@@ -1,0 +1,232 @@
+"""Page rasterization to PIL (feeds the layout/OCR models).
+
+Role equivalent of pdfium rendering in the reference
+(reference: rapid_doc/utils/pdf_image_tools.py:26-48, DPI 200 default).
+Text is drawn with the embedded font program via FreeType when it can map
+unicode, else with a system fallback; scanned-page images (the OCR-path
+case that actually feeds model pixels) are decoded exactly.
+"""
+from __future__ import annotations
+
+import io
+import math
+from typing import Any
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from .content import ContentInterpreter, Matrix, mat_apply, mat_mul
+from .cos import Stream
+from .document import PdfDocument, PdfPage
+from .fonts import Font
+from .images import xobject_to_pil
+from .text import page_base_ctm
+
+_FALLBACK_FONTS = [
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+]
+
+
+class _FontBank:
+    """Caches FreeType faces per (font, pixel size)."""
+
+    def __init__(self) -> None:
+        self._cache: dict[tuple[int, int], Any] = {}
+        self._broken: set[int] = set()
+        self._fallback_cache: dict[int, Any] = {}
+
+    def face(self, font: Font, px: int):
+        px = max(2, min(int(px), 512))
+        key = (id(font), px)
+        if key in self._cache:
+            return self._cache[key]
+        face = None
+        if font.font_program and id(font) not in self._broken:
+            try:
+                face = ImageFont.truetype(io.BytesIO(font.font_program), px)
+            except Exception:
+                self._broken.add(id(font))
+        self._cache[key] = face
+        return face
+
+    def fallback(self, px: int):
+        px = max(2, min(int(px), 512))
+        if px not in self._fallback_cache:
+            face = None
+            for path in _FALLBACK_FONTS:
+                try:
+                    face = ImageFont.truetype(path, px)
+                    break
+                except Exception:
+                    continue
+            self._fallback_cache[px] = face or ImageFont.load_default()
+        return self._fallback_cache[px]
+
+    def covers(self, face, text: str) -> bool:
+        """Whether the face draws ink for `text` (subset fonts often can't)."""
+        if face is None:
+            return False
+        try:
+            bbox = face.getbbox(text)
+            return bbox is not None and bbox[2] > bbox[0] and bbox[3] > bbox[1]
+        except Exception:
+            return False
+
+
+class PageRasterizer(ContentInterpreter):
+    def __init__(self, page: PdfPage, scale: float = 1.0, background=(255, 255, 255)):
+        super().__init__(page)
+        self.scale = scale
+        w, h = page.size
+        self.width = max(1, int(round(w * scale)))
+        self.height = max(1, int(round(h * scale)))
+        self.canvas = Image.new("RGB", (self.width, self.height), background)
+        self.draw = ImageDraw.Draw(self.canvas, "RGBA")
+        self.fontbank = _FontBank()
+        self._font_covers: dict[tuple[int, str], bool] = {}
+
+    # ---------------------------------------------------------------- public
+
+    def render(self) -> Image.Image:
+        self.run(page_base_ctm(self.page, self.scale))
+        return self.canvas
+
+    # ----------------------------------------------------------------- hooks
+
+    def on_paint_path(
+        self, path: list[list[tuple[float, float]]], *, stroke: bool, fill: bool,
+        even_odd: bool,
+    ) -> None:
+        gs = self.gs
+        if fill:
+            color = tuple(int(c * 255) for c in gs.fill_color) + (
+                int(255 * gs.fill_alpha),
+            )
+            for sub in path:
+                if len(sub) >= 3:
+                    self.draw.polygon(sub, fill=color)
+        if stroke:
+            color = tuple(int(c * 255) for c in gs.stroke_color) + (
+                int(255 * gs.stroke_alpha),
+            )
+            from .content import mat_scale_of
+
+            lw = max(1, int(round(gs.line_width * mat_scale_of(gs.ctm))))
+            for sub in path:
+                if len(sub) >= 2:
+                    self.draw.line(sub, fill=color, width=lw)
+
+    def on_show_char(
+        self, code: int, text: str, trm: Matrix, advance: float, font: Font
+    ) -> None:
+        if self.gs.render_mode in (3, 7):  # invisible / clip-only
+            return
+        if not text or text.isspace():
+            return
+        a, b, c, d, e, f = trm
+        px = math.hypot(c, d)
+        if px < 1.0:
+            return
+        color = tuple(int(v * 255) for v in self.gs.fill_color) + (
+            int(255 * self.gs.fill_alpha),
+        )
+        face = self._pick_face(font, text, px)
+        if face is None:
+            return
+        rotation = math.degrees(math.atan2(b, a)) % 360.0
+        if rotation < 0.5 or rotation > 359.5:
+            self.draw.text((e, f), text, font=face, fill=color, anchor="ls")
+        else:
+            self._draw_rotated(text, face, color, (e, f), rotation)
+
+    def _pick_face(self, font: Font, text: str, px: float):
+        key = (id(font), text[:1])
+        face = self.fontbank.face(font, round(px))
+        covered = self._font_covers.get(key)
+        if covered is None:
+            covered = self.fontbank.covers(face, text)
+            self._font_covers[key] = covered
+        if covered:
+            return face
+        fb = self.fontbank.fallback(round(px))
+        return fb
+
+    def _draw_rotated(self, text, face, color, origin, rotation) -> None:
+        try:
+            bbox = face.getbbox(text)
+        except Exception:
+            return
+        if bbox is None:
+            return
+        pad = 4
+        w = bbox[2] - bbox[0] + 2 * pad
+        h = bbox[3] - bbox[1] + 2 * pad
+        if w <= 0 or h <= 0 or w > 4096 or h > 4096:
+            return
+        tile = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+        td = ImageDraw.Draw(tile)
+        td.text((pad - bbox[0], pad - bbox[1]), text, font=face, fill=color)
+        # device space is y-down: a +θ text rotation appears as -θ for PIL
+        rotated = tile.rotate(-rotation, expand=True, resample=Image.BICUBIC)
+        # place so the glyph origin lands at `origin`
+        ox, oy = origin
+        self.canvas.paste(
+            rotated,
+            (int(ox - rotated.width / 2), int(oy - rotated.height / 2)),
+            rotated,
+        )
+
+    def on_draw_image(self, stream: Stream, name: str) -> None:
+        img = None
+        try:
+            img = xobject_to_pil(self.doc, stream)
+        except Exception:
+            img = None
+        ctm = self.gs.ctm
+        # unit square corners under CTM
+        corners = [
+            mat_apply(ctm, 0, 0), mat_apply(ctm, 1, 0),
+            mat_apply(ctm, 1, 1), mat_apply(ctm, 0, 1),
+        ]
+        xs = [p[0] for p in corners]
+        ys = [p[1] for p in corners]
+        x0, y0, x1, y1 = min(xs), min(ys), max(xs), max(ys)
+        if self.gs.clip_bbox:
+            cb = self.gs.clip_bbox
+            x0, y0 = max(x0, cb[0]), max(y0, cb[1])
+            x1, y1 = min(x1, cb[2]), min(y1, cb[3])
+        dst_w, dst_h = int(round(x1 - x0)), int(round(y1 - y0))
+        if dst_w <= 0 or dst_h <= 0:
+            return
+        if img is None:
+            return  # unsupported codec: leave background
+        if img.mode == "LA":  # stencil mask: paint fill color through mask
+            color = tuple(int(v * 255) for v in self.gs.fill_color)
+            mask = img.getchannel("L").resize((dst_w, dst_h))
+            solid = Image.new("RGB", (dst_w, dst_h), color)
+            self.canvas.paste(solid, (int(x0), int(y0)), mask)
+            return
+        a, b, c, d, _, _ = ctm
+        flip_x = a < 0
+        flip_y = d > 0  # PDF images are top-down after our y-flip base ctm
+        if flip_x:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if flip_y:
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
+        rot = math.degrees(math.atan2(b, a)) % 360.0
+        if 45 <= rot < 135 or 225 <= rot < 315:
+            img = img.rotate(-rot, expand=True)
+        resized = img.resize((dst_w, dst_h))
+        if resized.mode == "RGBA":
+            self.canvas.paste(resized, (int(x0), int(y0)), resized)
+        else:
+            self.canvas.paste(resized.convert("RGB"), (int(x0), int(y0)))
+
+
+def render_page(page: PdfPage, dpi: int = 200) -> Image.Image:
+    return PageRasterizer(page, scale=dpi / 72.0).render()
+
+
+def render_pdf_page(pdf_bytes: bytes, index: int, dpi: int = 200) -> Image.Image:
+    doc = PdfDocument(pdf_bytes)
+    return render_page(doc.get_page(index), dpi=dpi)

@@ -1,0 +1,106 @@
+"""PDF subsystem tests: parse, text, render, write, classify."""
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+from rapiddoc_tpu import pdfio
+
+DEMO = "/root/reference/demo/pdfs"
+TESTPDF = "/root/reference/tests/unittest/pdfs/test.pdf"
+
+needs_demo = pytest.mark.skipif(
+    not os.path.isdir(DEMO), reason="reference demo pdfs unavailable"
+)
+
+
+def _make_text_image(text="Hello RapidDoc TPU", size=(400, 200)):
+    img = Image.new("RGB", size, "white")
+    d = ImageDraw.Draw(img)
+    d.text((20, 80), text, fill="black")
+    return img
+
+
+def test_images_to_pdf_roundtrip():
+    imgs = [_make_text_image(), _make_text_image("Page two")]
+    pdf = pdfio.images_to_pdf(imgs, dpi=72)
+    doc = pdfio.open_pdf(pdf)
+    assert len(doc) == 2
+    page = doc.get_page(0)
+    assert abs(page.size[0] - 400) < 1 and abs(page.size[1] - 200) < 1
+    rendered = pdfio.render_page(page, dpi=72)
+    arr = np.asarray(rendered.convert("L"))
+    assert (arr < 128).sum() > 50  # drawn text survived the roundtrip
+
+
+def test_select_pages_roundtrip():
+    imgs = [_make_text_image(f"page {i}") for i in range(4)]
+    pdf = pdfio.images_to_pdf(imgs)
+    subset = pdfio.select_pages(pdf, [1, 3])
+    doc = pdfio.open_pdf(subset)
+    assert len(doc) == 2
+
+
+def test_classify_synthetic_scanned():
+    imgs = [_make_text_image("scanned page")]
+    pdf = pdfio.images_to_pdf(imgs)
+    assert pdfio.classify_pdf(pdf) == "ocr"
+
+
+def test_open_garbage_raises():
+    with pytest.raises(pdfio.PdfError):
+        pdfio.open_pdf(b"this is not a pdf at all")
+
+
+@needs_demo
+def test_demo_pdfs_parse_and_extract():
+    expectations = {
+        "demo1.pdf": (13, "The response of"),
+        "demo3.pdf": (10, "Abstract"),
+    }
+    for name, (npages, phrase) in expectations.items():
+        data = open(os.path.join(DEMO, name), "rb").read()
+        doc = pdfio.open_pdf(data)
+        assert len(doc) == npages, name
+        text = pdfio.page_text(doc.get_page(0))
+        assert phrase.lower().replace(" ", "") in text.lower().replace(" ", ""), name
+
+
+@needs_demo
+def test_unittest_pdf_text():
+    doc = pdfio.open_pdf(open(TESTPDF, "rb").read())
+    assert len(doc) == 1
+    text = pdfio.page_text(doc.get_page(0))
+    assert "Trump" in text and "Wharton" in text
+
+
+@needs_demo
+def test_cjk_extraction():
+    doc = pdfio.open_pdf(open(os.path.join(DEMO, "比亚迪财报.pdf"), "rb").read())
+    text = pdfio.page_text(doc.get_page(0))
+    assert "比亚迪" in text
+
+
+@needs_demo
+def test_scanned_render_has_ink():
+    doc = pdfio.open_pdf(open(os.path.join(DEMO, "small_ocr.pdf"), "rb").read())
+    img = pdfio.render_page(doc.get_page(0), dpi=72)
+    arr = np.asarray(img.convert("L"))
+    assert (arr < 100).mean() > 0.005  # scanned content drawn
+
+
+@needs_demo
+def test_classify_demo():
+    assert pdfio.classify_pdf(open(os.path.join(DEMO, "demo1.pdf"), "rb").read()) == "txt"
+    assert (
+        pdfio.classify_pdf(open(os.path.join(DEMO, "small_ocr.pdf"), "rb").read())
+        == "ocr"
+    )
+
+
+@needs_demo
+def test_loadable_page_indices():
+    data = open(os.path.join(DEMO, "demo3.pdf"), "rb").read()
+    assert pdfio.loadable_page_indices(data) == list(range(10))
