@@ -1,0 +1,73 @@
+"""Shape-bucket registry — the anti-recompile strategy.
+
+XLA compiles one program per input shape. OCR crops and page renders have
+arbitrary sizes, so every model runs on a small closed set of padded shapes
+(generalizing the reference's 64-px resolution grouping,
+reference: rapid_doc/backend/pipeline/analyze_utils.py:157-190, to a
+device-friendly pad+mask discipline).
+"""
+from __future__ import annotations
+
+import bisect
+import math
+from dataclasses import dataclass, field
+from typing import Sequence
+
+
+def _ceil_to(value: int, step: int, lo: int, hi: int) -> int:
+    v = max(lo, min(hi, value))
+    return min(hi, int(math.ceil(v / step)) * step)
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """Defines the closed shape set for one model's inputs."""
+
+    # spatial buckets: explicit sorted edge lists, or stride-generated
+    heights: tuple[int, ...] = ()
+    widths: tuple[int, ...] = ()
+    stride: int = 128
+    min_side: int = 128
+    max_side: int = 1024
+    batch_sizes: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+
+    def bucket_dim(self, value: int, edges: tuple[int, ...]) -> int:
+        if edges:
+            idx = bisect.bisect_left(edges, min(value, edges[-1]))
+            return edges[min(idx, len(edges) - 1)]
+        return _ceil_to(value, self.stride, self.min_side, self.max_side)
+
+    def bucket_hw(self, h: int, w: int) -> tuple[int, int]:
+        return (self.bucket_dim(h, self.heights), self.bucket_dim(w, self.widths))
+
+    def bucket_batch(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
+
+    def max_batch(self) -> int:
+        return self.batch_sizes[-1]
+
+
+DET_BUCKETS = BucketSpec(stride=160, min_side=320, max_side=1280,
+                         batch_sizes=(1, 2, 4, 8, 16))
+REC_BUCKETS = BucketSpec(
+    heights=(48,),
+    widths=(80, 160, 240, 320, 480, 640),
+    batch_sizes=(8, 16, 32, 64, 128),
+)
+FIXED_800 = BucketSpec(heights=(800,), widths=(800,), batch_sizes=(1, 2, 4, 8))
+FIXED_640 = BucketSpec(heights=(640,), widths=(640,), batch_sizes=(1, 2, 4, 8))
+FIXED_480 = BucketSpec(heights=(480,), widths=(480,), batch_sizes=(1, 2, 4, 8, 16))
+FIXED_1024 = BucketSpec(heights=(1024,), widths=(1024,), batch_sizes=(1, 2, 4))
+
+
+def group_by_bucket(
+    shapes: Sequence[tuple[int, int]], spec: BucketSpec
+) -> dict[tuple[int, int], list[int]]:
+    """Group item indices by their (H, W) bucket."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (h, w) in enumerate(shapes):
+        groups.setdefault(spec.bucket_hw(h, w), []).append(i)
+    return groups

@@ -1,0 +1,167 @@
+"""JaxSession: the inference-engine layer.
+
+Replaces the role onnxruntime/OpenVINO play in the reference
+(reference: rapid_doc/model/layout/rapid_layout_self/inference_engine/
+onnxruntime/main.py InferSession): a model forward compiled once per
+(H, W, batch) bucket, with pad+mask semantics, bf16 compute, and
+data-parallel sharding over the device mesh.
+"""
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import data_sharding, get_mesh, replicated
+from ..utils.logging import get_logger
+from .buckets import BucketSpec
+
+logger = get_logger("rapiddoc_tpu.engine")
+
+
+@dataclass
+class SessionStats:
+    compiles: int = 0
+    calls: int = 0
+    items: int = 0
+    padded_items: int = 0
+
+    def as_dict(self) -> dict:
+        return {
+            "compiles": self.compiles,
+            "calls": self.calls,
+            "items": self.items,
+            "padded_items": self.padded_items,
+            "pad_overhead": (self.padded_items / self.items - 1.0)
+            if self.items
+            else 0.0,
+        }
+
+
+class JaxSession:
+    """Bucketed, jitted forward pass over NHWC image batches.
+
+    `apply_fn(params, x)` must be shape-polymorphic at trace time and return
+    an array or pytree of arrays whose leading dim is the batch dim.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable[[Any, jax.Array], Any],
+        params: Any,
+        bucket_spec: BucketSpec,
+        *,
+        name: str = "model",
+        compute_dtype: jnp.dtype = jnp.bfloat16,
+        donate: bool = False,
+        multi_device: bool = True,
+    ):
+        self.name = name
+        self.apply_fn = apply_fn
+        self.bucket_spec = bucket_spec
+        self.compute_dtype = compute_dtype
+        self.stats = SessionStats()
+        self._compiled: dict[tuple[int, int, int], Callable] = {}
+        self._lock = threading.Lock()
+        self.mesh = get_mesh() if multi_device else None
+        self.n_shards = (
+            self.mesh.devices.size if self.mesh is not None else 1
+        )
+        if self.mesh is not None and self.n_shards > 1:
+            self.params = jax.device_put(params, replicated(self.mesh))
+        else:
+            self.params = jax.device_put(params)
+
+    # ----------------------------------------------------------------- jit
+
+    def _get_compiled(self, batch: int, h: int, w: int, c: int) -> Callable:
+        key = (batch, h, w)
+        fn = self._compiled.get(key)
+        if fn is not None:
+            return fn
+        with self._lock:
+            fn = self._compiled.get(key)
+            if fn is not None:
+                return fn
+
+            def forward(params, x):
+                x = x.astype(self.compute_dtype)
+                out = self.apply_fn(params, x)
+                return jax.tree.map(
+                    lambda a: a.astype(jnp.float32)
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a,
+                    out,
+                )
+
+            if self.mesh is not None and self.n_shards > 1 and batch % self.n_shards == 0:
+                in_shardings = (replicated(self.mesh), data_sharding(self.mesh))
+                fn = jax.jit(forward, in_shardings=in_shardings)
+            else:
+                fn = jax.jit(forward)
+            self.stats.compiles += 1
+            logger.info(
+                "%s: compiling bucket batch=%d %dx%dx%d (compile #%d)",
+                self.name, batch, h, w, c, self.stats.compiles,
+            )
+            self._compiled[key] = fn
+            return fn
+
+    # ---------------------------------------------------------------- call
+
+    def __call__(self, batch_nhwc: np.ndarray) -> Any:
+        """Run the forward pass on an already-bucketed NHWC batch.
+
+        The batch is padded up to the bucket batch size; outputs are sliced
+        back to the true batch length on the host.
+        """
+        n, h, w, c = batch_nhwc.shape
+        nb = self.bucket_spec.bucket_batch(n)
+        if self.mesh is not None and self.n_shards > 1:
+            # keep batch divisible by shard count for even data-parallel split
+            nb = max(nb, self.n_shards)
+            if nb % self.n_shards:
+                nb = ((nb + self.n_shards - 1) // self.n_shards) * self.n_shards
+        if nb != n:
+            pad = np.zeros((nb - n, h, w, c), dtype=batch_nhwc.dtype)
+            batch_nhwc = np.concatenate([batch_nhwc, pad], axis=0)
+        fn = self._get_compiled(nb, h, w, c)
+        out = fn(self.params, jnp.asarray(batch_nhwc))
+        self.stats.calls += 1
+        self.stats.items += n
+        self.stats.padded_items += nb
+        return jax.tree.map(lambda a: np.asarray(a[:n]), out)
+
+    def run_batched(
+        self, images: Sequence[np.ndarray]
+    ) -> list[Any]:
+        """Run many same-bucket images, chunking by the max batch size."""
+        if not images:
+            return []
+        max_b = self.bucket_spec.max_batch()
+        outs: list[Any] = []
+        for i in range(0, len(images), max_b):
+            chunk = np.stack(images[i : i + max_b], axis=0)
+            out = self(chunk)
+            leaves, treedef = jax.tree.flatten(out)
+            for j in range(chunk.shape[0]):
+                outs.append(jax.tree.unflatten(treedef, [lf[j] for lf in leaves]))
+        return outs
+
+
+def pad_image_to(
+    img: np.ndarray, target_h: int, target_w: int, pad_value: float = 0.0
+) -> np.ndarray:
+    """Bottom/right-pad an HWC image to the bucket shape."""
+    h, w = img.shape[:2]
+    if h == target_h and w == target_w:
+        return img
+    out = np.full(
+        (target_h, target_w) + img.shape[2:], pad_value, dtype=img.dtype
+    )
+    out[:h, :w] = img[: target_h, : target_w]
+    return out

@@ -1,0 +1,240 @@
+"""OCR engine: detector + recognizer over JaxSessions.
+
+The device-facing replacement for the reference's rapidocr wrapper
+(reference: rapid_doc/model/ocr/rapid_ocr.py RapidOcrModel): batched,
+bucket-grouped det and width-sorted rec, with all geometry on the host.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Sequence
+
+import cv2
+import jax
+import numpy as np
+
+from ...engine.buckets import DET_BUCKETS, REC_BUCKETS, BucketSpec, group_by_bucket
+from ...engine.session import JaxSession, pad_image_to
+from ...utils.logging import get_logger
+from .convert import det_variables_from_torch, rec_variables_from_torch
+from .det import DBNet
+from .pre_post import (
+    CTCLabelDecoder,
+    DBPostParams,
+    det_normalize,
+    det_resize,
+    rec_normalize,
+    rec_resize,
+    rec_width_bucket,
+)
+from .rec import SVTRRec, ctc_greedy_decode
+
+logger = get_logger("rapiddoc_tpu.ocr")
+
+_REFERENCE_DICT = Path(
+    "/root/reference/rapid_doc/resources/ppocrv6_small_dict.txt"
+)
+
+
+def default_charset_path() -> Path | None:
+    import os
+
+    p = os.environ.get("RAPIDDOC_OCR_DICT")
+    if p and Path(p).is_file():
+        return Path(p)
+    from ...config import get_models_dir
+
+    cand = get_models_dir() / "ppocrv6_small_dict.txt"
+    if cand.is_file():
+        return cand
+    if _REFERENCE_DICT.is_file():
+        return _REFERENCE_DICT
+    return None
+
+
+@dataclass
+class DetResult:
+    boxes: np.ndarray  # (N, 4, 2) quads in source pixels
+    scores: np.ndarray
+
+
+@dataclass
+class RecResult:
+    text: str
+    score: float
+
+
+class TextDetector:
+    def __init__(
+        self,
+        variables=None,
+        *,
+        bucket_spec: BucketSpec = DET_BUCKETS,
+        post_params: DBPostParams | None = None,
+        limit_side_len: int = 960,
+        limit_type: str = "max",
+        seed: int = 0,
+    ):
+        self.model = DBNet()
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed), np.zeros((1, 64, 64, 3), np.float32)
+            )
+        self.post_params = post_params or DBPostParams()
+        self.limit_side_len = limit_side_len
+        self.limit_type = limit_type
+        self.session = JaxSession(
+            lambda v, x: self.model.apply(v, x),
+            variables,
+            bucket_spec,
+            name="ocr_det",
+        )
+
+    @classmethod
+    def from_torch_state(cls, state_dict, **kw) -> "TextDetector":
+        return cls(det_variables_from_torch(state_dict), **kw)
+
+    def __call__(self, images: Sequence[np.ndarray]) -> list[DetResult]:
+        """images: uint8 RGB HWC arrays of any sizes."""
+        prepped = []
+        metas = []
+        for img in images:
+            resized, ry, rx = det_resize(img, self.limit_side_len, self.limit_type)
+            norm = det_normalize(resized)
+            metas.append((img.shape[0], img.shape[1], resized.shape[0], resized.shape[1]))
+            prepped.append(norm)
+        spec = self.session.bucket_spec
+        groups = group_by_bucket([(m[2], m[3]) for m in metas], spec)
+        results: list[DetResult | None] = [None] * len(images)
+        for (bh, bw), idxs in groups.items():
+            batch_imgs = [pad_image_to(prepped[i], bh, bw) for i in idxs]
+            outs = self.session.run_batched(batch_imgs)
+            for i, prob in zip(idxs, outs):
+                src_h, src_w, rh, rw = metas[i]
+                boxes, scores = None, None
+                prob2d = prob[..., 0]
+                # crop bucket padding, then scale boxes back to source pixels
+                boxes, scores = self._post(prob2d, src_h, src_w, rh, rw)
+                results[i] = DetResult(boxes, scores)
+        return results  # type: ignore[return-value]
+
+    def _post(self, prob2d, src_h, src_w, rh, rw):
+        from .pre_post import db_postprocess
+
+        return db_postprocess(
+            prob2d, src_h, src_w, valid_h=rh, valid_w=rw, params=self.post_params
+        )
+
+
+class TextRecognizer:
+    def __init__(
+        self,
+        variables=None,
+        *,
+        charset: list[str] | None = None,
+        bucket_spec: BucketSpec = REC_BUCKETS,
+        num_classes: int | None = None,
+        drop_score: float = 0.5,
+        seed: int = 0,
+    ):
+        if charset is None:
+            path = default_charset_path()
+            if path is not None:
+                self.decoder = CTCLabelDecoder.from_file(str(path))
+            else:
+                self.decoder = CTCLabelDecoder([chr(32 + i) for i in range(95)])
+        else:
+            self.decoder = CTCLabelDecoder(charset)
+        n_cls = num_classes or len(self.decoder.chars)
+        self.model = SVTRRec(num_classes=n_cls)
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed), np.zeros((1, 48, 80, 3), np.float32)
+            )
+        self.drop_score = drop_score
+        self.session = JaxSession(
+            lambda v, x: ctc_greedy_decode(self.model.apply(v, x)),
+            variables,
+            bucket_spec,
+            name="ocr_rec",
+        )
+
+    @classmethod
+    def from_torch_state(cls, state_dict, **kw) -> "TextRecognizer":
+        return cls(rec_variables_from_torch(state_dict), **kw)
+
+    def __call__(self, crops: Sequence[np.ndarray]) -> list[RecResult]:
+        """crops: uint8 RGB text-line images."""
+        if not len(crops):
+            return []
+        spec = self.session.bucket_spec
+        widths = spec.widths
+        buckets = [
+            rec_width_bucket(c.shape[1], c.shape[0], widths) for c in crops
+        ]
+        groups: dict[int, list[int]] = {}
+        for i, wb in enumerate(buckets):
+            groups.setdefault(wb, []).append(i)
+        results: list[RecResult | None] = [None] * len(crops)
+        for wb, idxs in groups.items():
+            # sort by true aspect so padded tails cluster (cache-friendly)
+            idxs = sorted(idxs, key=lambda i: crops[i].shape[1] / max(crops[i].shape[0], 1))
+            batch = [rec_normalize(rec_resize(crops[i], wb)) for i in idxs]
+            outs = self.session.run_batched(batch)
+            for i, (ids, probs) in zip(idxs, outs):
+                valid_t = max(1, int(math.ceil(
+                    min(wb, crops[i].shape[1] * 48 / max(crops[i].shape[0], 1)) / 8
+                )))
+                text, score = self.decoder(ids, probs, valid_t=valid_t)
+                results[i] = RecResult(text, score)
+        return results  # type: ignore[return-value]
+
+
+def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    """Perspective-crop a detected quad into an upright text-line image."""
+    quad = quad.astype(np.float32)
+    w = int(max(np.linalg.norm(quad[0] - quad[1]), np.linalg.norm(quad[2] - quad[3])))
+    h = int(max(np.linalg.norm(quad[0] - quad[3]), np.linalg.norm(quad[1] - quad[2])))
+    w, h = max(w, 1), max(h, 1)
+    dst = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float32)
+    mat = cv2.getPerspectiveTransform(quad, dst)
+    out = cv2.warpPerspective(img, mat, (w, h))
+    if h > w * 1.5:  # vertical text: rotate to horizontal
+        out = np.rot90(out, 3)
+    return out
+
+
+class TextSystem:
+    """det + rec pipeline over full images."""
+
+    def __init__(self, detector: TextDetector, recognizer: TextRecognizer,
+                 drop_score: float = 0.5):
+        self.detector = detector
+        self.recognizer = recognizer
+        self.drop_score = drop_score
+
+    def __call__(self, images: Sequence[np.ndarray]):
+        det_results = self.detector(images)
+        all_crops: list[np.ndarray] = []
+        owners: list[tuple[int, int]] = []
+        for img_idx, det in enumerate(det_results):
+            for box_idx, quad in enumerate(det.boxes):
+                all_crops.append(crop_quad(images[img_idx], quad))
+                owners.append((img_idx, box_idx))
+        rec_results = self.recognizer(all_crops)
+        out: list[list[dict]] = [[] for _ in images]
+        for (img_idx, box_idx), rec in zip(owners, rec_results):
+            if rec.score < self.drop_score:
+                continue
+            det = det_results[img_idx]
+            out[img_idx].append(
+                {
+                    "box": det.boxes[box_idx].tolist(),
+                    "det_score": float(det.scores[box_idx]),
+                    "text": rec.text,
+                    "score": rec.score,
+                }
+            )
+        return out

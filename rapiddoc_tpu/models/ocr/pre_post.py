@@ -1,0 +1,211 @@
+"""Host-side pre/post-processing for OCR det & rec.
+
+Conventions follow the PP-OCR pipeline as configured by the reference
+(reference: rapid_doc/model/ocr/rapid_ocr.py:44-98 — det limit 960/max,
+imagenet mean/std, box_thresh 0.5, unclip 1.8, dilation on; rec H=48,
+[-1,1] normalize). The quad unclip is computed analytically on the
+min-area rect (equivalent to the reference's pyclipper offset for quads —
+this environment has no pyclipper).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import cv2
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+# ------------------------------------------------------------------ det pre
+
+def det_resize(
+    img: np.ndarray, limit_side_len: int = 960, limit_type: str = "max",
+    max_side_limit: int = 4000,
+) -> tuple[np.ndarray, float, float]:
+    """Resize so the max (or min) side respects the limit; sides to /32."""
+    h, w = img.shape[:2]
+    if limit_type == "max":
+        ratio = min(1.0, limit_side_len / max(h, w))
+    else:
+        ratio = max(1.0, limit_side_len / max(min(h, w), 1))
+    if max(h, w) * ratio > max_side_limit:
+        ratio = max_side_limit / max(h, w)
+    rh = max(32, int(round(h * ratio / 32) * 32))
+    rw = max(32, int(round(w * ratio / 32) * 32))
+    resized = cv2.resize(img, (rw, rh))
+    return resized, rh / h, rw / w
+
+
+def det_normalize(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC RGB -> float32 normalized HWC."""
+    x = img.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+# ----------------------------------------------------------------- det post
+
+@dataclass
+class DBPostParams:
+    thresh: float = 0.3
+    box_thresh: float = 0.5
+    unclip_ratio: float = 1.8
+    max_candidates: int = 1000
+    min_size: int = 3
+    use_dilation: bool = True
+    score_mode: str = "fast"
+
+
+def _box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
+    h, w = bitmap.shape[:2]
+    xmin = int(np.clip(np.floor(box[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(box[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(box[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(box[:, 1].max()), 0, h - 1))
+    mask = np.zeros((ymax - ymin + 1, xmax - xmin + 1), dtype=np.uint8)
+    shifted = box.copy()
+    shifted[:, 0] -= xmin
+    shifted[:, 1] -= ymin
+    cv2.fillPoly(mask, [shifted.astype(np.int32)], 1)
+    region = bitmap[ymin : ymax + 1, xmin : xmax + 1]
+    if mask.sum() == 0:
+        return 0.0
+    return float(cv2.mean(region, mask)[0])
+
+
+def _unclip_rect(rect, unclip_ratio: float):
+    """Offset a min-area rect outward by area*ratio/perimeter."""
+    (cx, cy), (rw, rh), angle = rect
+    area = rw * rh
+    perimeter = 2 * (rw + rh)
+    if perimeter <= 0:
+        return rect
+    d = area * unclip_ratio / perimeter
+    return ((cx, cy), (rw + 2 * d, rh + 2 * d), angle)
+
+
+def _order_quad(pts: np.ndarray) -> np.ndarray:
+    """Order 4 points clockwise starting top-left."""
+    idx = np.argsort(pts[:, 0])
+    left = pts[idx[:2]][np.argsort(pts[idx[:2]][:, 1])]
+    right = pts[idx[2:]][np.argsort(pts[idx[2:]][:, 1])]
+    return np.array([left[0], right[0], right[1], left[1]], dtype=np.float32)
+
+
+def db_postprocess(
+    prob_map: np.ndarray,
+    src_h: int,
+    src_w: int,
+    valid_h: int | None = None,
+    valid_w: int | None = None,
+    params: DBPostParams | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """prob map (H, W) at network scale -> (boxes Nx4x2 in source pixels, scores).
+
+    valid_h/valid_w crop off bucket padding before box extraction.
+    """
+    p = params or DBPostParams()
+    prob = prob_map[..., 0] if prob_map.ndim == 3 else prob_map
+    if valid_h is not None:
+        prob = prob[:valid_h, :valid_w]
+    seg = (prob > p.thresh).astype(np.uint8)
+    if p.use_dilation:
+        seg = cv2.dilate(seg, np.array([[1, 1], [1, 1]], dtype=np.uint8))
+    contours, _ = cv2.findContours(seg, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+    h, w = prob.shape
+    scale_x = src_w / w
+    scale_y = src_h / h
+    boxes, scores = [], []
+    for contour in contours[: p.max_candidates]:
+        rect = cv2.minAreaRect(contour)
+        if min(rect[1]) < p.min_size:
+            continue
+        pts = cv2.boxPoints(rect)
+        score = _box_score_fast(prob, pts)
+        if score < p.box_thresh:
+            continue
+        rect = _unclip_rect(rect, p.unclip_ratio)
+        if min(rect[1]) < p.min_size + 2:
+            continue
+        pts = _order_quad(cv2.boxPoints(rect))
+        pts[:, 0] = np.clip(pts[:, 0] * scale_x, 0, src_w)
+        pts[:, 1] = np.clip(pts[:, 1] * scale_y, 0, src_h)
+        boxes.append(pts)
+        scores.append(score)
+    if not boxes:
+        return np.zeros((0, 4, 2), dtype=np.float32), np.zeros((0,), dtype=np.float32)
+    return np.stack(boxes), np.asarray(scores, dtype=np.float32)
+
+
+# ------------------------------------------------------------------ rec pre
+
+REC_HEIGHT = 48
+
+
+def rec_resize(img: np.ndarray, target_w: int, height: int = REC_HEIGHT) -> np.ndarray:
+    """Keep-ratio resize to rec height, right-pad with zeros to target_w."""
+    h, w = img.shape[:2]
+    ratio = height / max(h, 1)
+    rw = max(1, min(target_w, int(math.ceil(w * ratio))))
+    resized = cv2.resize(img, (rw, height))
+    out = np.zeros((height, target_w, 3), dtype=img.dtype)
+    out[:, :rw] = resized if resized.ndim == 3 else resized[..., None]
+    return out
+
+
+def rec_normalize(img: np.ndarray) -> np.ndarray:
+    """uint8 -> [-1, 1] float32 (PP-OCR rec convention)."""
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+def rec_width_bucket(w: int, h: int, widths: tuple[int, ...]) -> int:
+    """Pick the smallest width bucket that fits the aspect-scaled crop."""
+    target = int(math.ceil(w * REC_HEIGHT / max(h, 1)))
+    for wb in widths:
+        if target <= wb:
+            return wb
+    return widths[-1]
+
+
+# ----------------------------------------------------------------- charsets
+
+class CTCLabelDecoder:
+    """CTC greedy decoder over a character dictionary.
+
+    Dictionary layout matches PP-OCR: index 0 = blank, then dict entries,
+    final entry is space (reference dict: rapid_doc/resources/
+    ppocrv6_small_dict.txt + implicit blank/space handling).
+    """
+
+    def __init__(self, charset: list[str]):
+        # charset: raw dictionary lines (no blank). Final vocab:
+        # [blank] + charset + [' ']
+        self.chars = [""] + list(charset) + [" "]
+
+    @classmethod
+    def from_file(cls, path: str) -> "CTCLabelDecoder":
+        with open(path, encoding="utf-8") as f:
+            lines = [ln.rstrip("\n\r") for ln in f]
+        return cls([ln for ln in lines if ln != ""])
+
+    def __call__(
+        self, ids: np.ndarray, probs: np.ndarray, valid_t: int | None = None
+    ) -> tuple[str, float]:
+        """ids/probs: (T,) greedy argmax ids and their probabilities."""
+        if valid_t is not None:
+            ids = ids[:valid_t]
+            probs = probs[:valid_t]
+        out: list[str] = []
+        confs: list[float] = []
+        prev = -1
+        for i, t in enumerate(ids.tolist()):
+            if t != prev and t != 0:
+                if t < len(self.chars):
+                    out.append(self.chars[t])
+                    confs.append(float(probs[i]))
+            prev = t
+        if not out:
+            return "", 0.0
+        return "".join(out), float(np.mean(confs))

@@ -1,22 +1,27 @@
 """Test configuration.
 
 Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-exercised without TPU hardware. Must set flags before jax is imported.
+exercised without TPU hardware. NOTE: in this environment the axon TPU
+plugin ignores the JAX_PLATFORMS env var — jax.config.update is the only
+reliable way to force the CPU backend, and XLA_FLAGS must be set before
+the backend initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def cpu_devices():
-    import jax
-
     return jax.devices("cpu")
