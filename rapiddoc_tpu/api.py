@@ -1,0 +1,368 @@
+"""RapidDoc facade: the public parse API.
+
+API-compatible with the reference facade
+(reference: rapid_doc/main.py RapidDoc.__init__/__call__/warmup,
+RapidDocOutput): normalize inputs (path/bytes/URL/image/office), classify
+txt vs ocr, process pages in streaming windows, emit
+markdown/middle_json/content_list + images via writers.
+"""
+from __future__ import annotations
+
+import base64
+import os
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Iterable
+
+import numpy as np
+from PIL import Image
+
+from . import pdfio
+from .config import (
+    formula_enable_default,
+    get_pdf_render_dpi,
+    get_processing_window_size,
+    table_enable_default,
+)
+from .data.io import (
+    DataWriter,
+    FanoutDataWriter,
+    FileBasedDataWriter,
+    MemoryDataWriter,
+)
+from .pdfio.placements import image_placements
+from .pipeline.middle import result_to_middle_json
+from .pipeline.mkcontent import union_make
+from .pipeline.scheduler import DocumentAnalyzer
+from .types import MakeMode
+from .utils.logging import get_logger
+from .utils.trace import GLOBAL_TRACER, stage_timer
+
+logger = get_logger("rapiddoc_tpu.api")
+
+image_suffixes = (".png", ".jpg", ".jpeg", ".webp", ".gif", ".bmp")
+office_suffixes = (".docx", ".pptx", ".xlsx")
+old_office_suffixes = (".doc", ".ppt", ".xls")
+
+
+@dataclass
+class RapidDocOutput:
+    markdown: str = ""
+    images: dict[str, bytes] = field(default_factory=dict)
+    middle_json: dict[str, Any] | None = None
+    content_list_json: list[Any] | None = None
+
+    def __iter__(self):
+        yield self.markdown
+        yield self.images
+
+
+class ModelStack:
+    """Lazily-built model singleton, keyed by config."""
+
+    _instances: dict[tuple, "ModelStack"] = {}
+
+    def __init__(self, lang: str, formula_enable: bool, table_enable: bool,
+                 configs: dict):
+        from .models.registry import build_analyzer
+
+        self.analyzer = build_analyzer(
+            lang=lang,
+            formula_enable=formula_enable,
+            table_enable=table_enable,
+            configs=configs,
+        )
+
+    @classmethod
+    def get(cls, lang: str, formula_enable: bool, table_enable: bool,
+            configs: dict | None = None) -> "ModelStack":
+        key = (lang, formula_enable, table_enable, repr(sorted((configs or {}).items())))
+        if key not in cls._instances:
+            cls._instances[key] = cls(lang, formula_enable, table_enable, configs or {})
+        return cls._instances[key]
+
+
+class RapidDoc:
+    def __init__(
+        self,
+        layout_config: dict[str, Any] | None = None,
+        ocr_config: dict[str, Any] | None = None,
+        formula_config: dict[str, Any] | None = None,
+        table_config: dict[str, Any] | None = None,
+        checkbox_config: dict[str, Any] | None = None,
+        image_config: dict[str, Any] | None = None,
+        parse_method: str = "auto",
+        formula_enable: bool = True,
+        table_enable: bool = True,
+        lang: str = "ch",
+        make_md_mode: str = MakeMode.MM_MD,
+        output_dir: str | Path | None = None,
+        image_writer: DataWriter | None = None,
+        md_writer: DataWriter | None = None,
+        image_dir_name: str = "images",
+        image_output_mode: str = "url",
+        preload_model: bool = False,
+        pdf_pages_batch: int = 64,
+    ) -> None:
+        self.layout_config = layout_config or {}
+        self.ocr_config = ocr_config or {}
+        self.formula_config = formula_config or {}
+        self.table_config = table_config or {}
+        self.checkbox_config = checkbox_config or {}
+        self.image_config = image_config or {}
+        self.parse_method = parse_method
+        self.formula_enable = formula_enable_default(formula_enable)
+        self.table_enable = table_enable_default(table_enable)
+        self.lang = lang
+        self.make_md_mode = make_md_mode
+        self.default_output_dir = output_dir
+        self.default_image_writer = image_writer
+        self.default_md_writer = md_writer
+        self.image_dir_name = image_dir_name or "images"
+        if image_output_mode not in ("url", "data_uri"):
+            raise ValueError("image_output_mode must be 'url' or 'data_uri'")
+        self.image_output_mode = image_output_mode
+        self.pdf_pages_batch = pdf_pages_batch
+        if preload_model:
+            self.warmup()
+
+    # -------------------------------------------------------------- warmup
+
+    def warmup(self, lang: str | None = None, formula_enable: bool | None = None,
+               table_enable: bool | None = None) -> None:
+        ModelStack.get(
+            lang or self.lang,
+            self.formula_enable if formula_enable is None else formula_enable,
+            self.table_enable if table_enable is None else table_enable,
+            {
+                "layout": self.layout_config,
+                "ocr": self.ocr_config,
+                "formula": self.formula_config,
+                "table": self.table_config,
+            },
+        )
+
+    # ---------------------------------------------------------------- call
+
+    def __call__(
+        self,
+        inputs: str | bytes | Path | Iterable,
+        output_dir: str | Path | None = None,
+        **overrides: Any,
+    ) -> RapidDocOutput | list[RapidDocOutput]:
+        if isinstance(inputs, (str, bytes, Path)):
+            return self._parse_single(inputs, output_dir, **overrides)
+        return [self._parse_single(item, output_dir, **overrides) for item in inputs]
+
+    def _parse_single(
+        self, item: str | bytes | Path, output_dir: str | Path | None, **overrides
+    ) -> RapidDocOutput:
+        pdf_bytes, name, kind = self._normalize_input(item)
+        if kind == "office":
+            from .office.analyze import office_parse
+
+            return office_parse(
+                pdf_bytes, name, make_md_mode=self.make_md_mode
+            )
+        return self._parse_pipeline(pdf_bytes, name, output_dir, **overrides)
+
+    # ------------------------------------------------------------ pipeline
+
+    def _parse_pipeline(
+        self, pdf_bytes: bytes, name: str, output_dir: str | Path | None,
+        **overrides,
+    ) -> RapidDocOutput:
+        parse_method = overrides.get("parse_method", self.parse_method)
+        if parse_method == "auto":
+            parse_method = pdfio.classify_pdf(pdf_bytes)
+        logger.info("parsing %s as %s", name, parse_method)
+
+        mem_writer = MemoryDataWriter(self.image_dir_name)
+        writers: list[DataWriter] = [mem_writer]
+        out_dir = output_dir or self.default_output_dir
+        if out_dir:
+            img_dir = Path(out_dir) / name / self.image_dir_name
+            writers.append(FileBasedDataWriter(str(img_dir)))
+        if self.default_image_writer is not None:
+            writers.append(self.default_image_writer)
+        image_writer = FanoutDataWriter(*writers)
+
+        stack = ModelStack.get(
+            self.lang, self.formula_enable, self.table_enable,
+            {
+                "layout": self.layout_config,
+                "ocr": self.ocr_config,
+                "formula": self.formula_config,
+                "table": self.table_config,
+            },
+        )
+
+        doc = pdfio.open_pdf(pdf_bytes)
+        n_pages = len(doc)
+        dpi = get_pdf_render_dpi()
+        scale = dpi / 72.0
+        window = max(1, self.pdf_pages_batch)
+
+        all_model_infos: list[dict] = []
+        page_dims: list[tuple[float, float]] = []
+        scales: list[float] = []
+        page_imgs: list[Image.Image] = []
+        text_dicts: list[dict | None] = []
+        parse_modes: list[str] = []
+
+        for start in range(0, n_pages, window):
+            idxs = list(range(start, min(start + window, n_pages)))
+            w_imgs, w_text, w_boxes, w_modes = [], [], [], []
+            with stage_timer("render", len(idxs)):
+                for i in idxs:
+                    page = doc.get_page(i)
+                    img = pdfio.render_page(page, dpi=dpi)
+                    w_imgs.append(img)
+                    tdict = pdfio.get_page(page) if parse_method == "txt" else None
+                    w_text.append(tdict)
+                    w_boxes.append(image_placements(page))
+                    w_modes.append(parse_method)
+                    page_dims.append(page.size)
+                    scales.append(scale)
+            arrays = [np.asarray(im.convert("RGB")) for im in w_imgs]
+            infos = stack.analyzer.analyze_pages(
+                arrays, w_modes, w_text, w_boxes, [scale] * len(idxs)
+            )
+            all_model_infos.extend(infos)
+            page_imgs.extend(w_imgs)
+            text_dicts.extend(w_text)
+            parse_modes.extend(w_modes)
+
+        with stage_timer("assembly", n_pages):
+            middle_json = result_to_middle_json(
+                all_model_infos,
+                page_dims,
+                scales,
+                page_imgs=page_imgs,
+                page_text_dicts=text_dicts,
+                parse_mode=parse_method,
+                image_writer=image_writer,
+            )
+
+        img_prefix = self.image_dir_name
+        markdown = union_make(middle_json["pdf_info"], self.make_md_mode, img_prefix)
+        content_list = union_make(
+            middle_json["pdf_info"], MakeMode.CONTENT_LIST, img_prefix
+        )
+        images = {
+            f"{self.image_dir_name}/{k}": v for k, v in mem_writer.data.items()
+        }
+        if self.image_output_mode == "data_uri":
+            markdown = self._embed_data_uris(markdown, images)
+
+        if out_dir:
+            md_writer = FileBasedDataWriter(str(Path(out_dir) / name))
+            md_writer.write_string(f"{name}.md", markdown)
+            import json
+
+            md_writer.write_string(
+                f"{name}_middle.json", json.dumps(middle_json, ensure_ascii=False,
+                                                  default=str)
+            )
+            md_writer.write_string(
+                f"{name}_content_list.json",
+                json.dumps(content_list, ensure_ascii=False, default=str),
+            )
+        if self.default_md_writer is not None:
+            self.default_md_writer.write_string(f"{name}.md", markdown)
+
+        return RapidDocOutput(
+            markdown=markdown,
+            images=images,
+            middle_json=middle_json,
+            content_list_json=content_list,
+        )
+
+    @staticmethod
+    def _embed_data_uris(markdown: str, images: dict[str, bytes]) -> str:
+        def repl(m: re.Match) -> str:
+            path = m.group(1)
+            data = images.get(path)
+            if data is None:
+                return m.group(0)
+            b64 = base64.b64encode(data).decode()
+            return f"![](data:image/jpeg;base64,{b64})"
+
+        return re.sub(r"!\[\]\(([^)]+)\)", repl, markdown)
+
+    # --------------------------------------------------------------- input
+
+    def _normalize_input(self, item: str | bytes | Path) -> tuple[bytes, str, str]:
+        """Returns (pdf_bytes_or_office_bytes, doc_name, kind)."""
+        if isinstance(item, (str, Path)):
+            s = str(item)
+            if s.startswith(("http://", "https://")):
+                import requests
+                from urllib.parse import unquote, urlparse
+
+                resp = requests.get(s, timeout=120)
+                resp.raise_for_status()
+                data = resp.content
+                name = os.path.basename(unquote(urlparse(s).path)) or "download"
+            else:
+                data = Path(s).read_bytes()
+                name = Path(s).name
+        else:
+            data = bytes(item)
+            name = "document"
+        stem, suffix = os.path.splitext(name)
+        suffix = suffix.lower()
+        stem = stem or "document"
+
+        if suffix in office_suffixes or _sniff_office(data):
+            return data, stem, "office"
+        if suffix in old_office_suffixes:
+            converted = _legacy_office_to_modern(data, suffix)
+            return converted, stem, "office"
+        if suffix in image_suffixes or _sniff_image(data):
+            pdf = pdfio.images_to_pdf([data], dpi=get_pdf_render_dpi())
+            return pdf, stem, "pdf"
+        return data, stem, "pdf"
+
+
+def _sniff_image(data: bytes) -> bool:
+    return data[:4] in (b"\x89PNG", b"RIFF") or data[:3] == b"\xff\xd8\xff" or data[:6] in (
+        b"GIF87a", b"GIF89a"
+    )
+
+
+def _sniff_office(data: bytes) -> bool:
+    if data[:4] != b"PK\x03\x04":
+        return False
+    head = data[:4096]
+    return b"word/" in head or b"ppt/" in head or b"xl/" in head
+
+
+def _legacy_office_to_modern(data: bytes, suffix: str) -> bytes:
+    """doc/ppt/xls -> docx/pptx/xlsx via LibreOffice when available
+    (reference: rapid_doc/utils/office_converter.py:52)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    soffice = shutil.which("soffice") or shutil.which("libreoffice")
+    if soffice is None:
+        raise RuntimeError(
+            "legacy office formats require LibreOffice (soffice) on PATH"
+        )
+    target = {".doc": "docx", ".ppt": "pptx", ".xls": "xlsx"}[suffix]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = Path(tmp) / f"input{suffix}"
+        src.write_bytes(data)
+        subprocess.run(
+            [soffice, "--headless", "--convert-to", target, "--outdir", tmp, str(src)],
+            check=True, capture_output=True, timeout=300,
+        )
+        out = Path(tmp) / f"input.{target}"
+        return out.read_bytes()
+
+
+def stage_report() -> dict:
+    """Per-stage ms/page metrics collected during parsing."""
+    return GLOBAL_TRACER.report()

@@ -1,0 +1,122 @@
+"""Model registry: builds the model stack from available checkpoints.
+
+Counterpart of the reference's AtomModelSingleton/model_init
+(reference: rapid_doc/backend/pipeline/model_init.py:57-134 + per-stack
+default_models.yaml registries). Checkpoints are orbax/npz trees under
+get_models_dir(); converted from the published torch checkpoints by
+rapiddoc_tpu.models.<family>.convert. When a checkpoint is missing the
+model is built random-init (structure-complete, quality pending weights)
+or skipped, keeping the pipeline runnable in weightless environments.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..config import get_models_dir
+from ..pipeline.scheduler import DocumentAnalyzer
+from ..utils.logging import get_logger
+
+logger = get_logger("rapiddoc_tpu.registry")
+
+
+def _load_variables(path: Path):
+    """Load a flax variables tree from .npz (flat keys 'a/b/c')."""
+    if not path.is_file():
+        return None
+    flat = dict(np.load(str(path), allow_pickle=False))
+    tree: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save_variables(variables, path: Path) -> None:
+    flat: dict[str, np.ndarray] = {}
+
+    def walk(node, prefix=""):
+        for k, v in node.items():
+            key = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v)
+
+    walk(variables)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(str(path), **flat)
+
+
+def build_ocr_system(configs: dict | None = None):
+    from .ocr.engine import TextDetector, TextRecognizer, TextSystem
+
+    if os.environ.get("RAPIDDOC_DISABLE_OCR"):
+        return None
+    models_dir = get_models_dir()
+    det_vars = _load_variables(models_dir / "ocr_det_v6_small.npz")
+    rec_vars = _load_variables(models_dir / "ocr_rec_v6_small.npz")
+    cfg = configs or {}
+    det = TextDetector(
+        det_vars,
+        limit_side_len=int(cfg.get("Det.limit_side_len", 960)),
+    )
+    rec = TextRecognizer(rec_vars)
+    if det_vars is None or rec_vars is None:
+        logger.warning(
+            "OCR checkpoints not found under %s — using random init "
+            "(structure-complete; convert published weights for quality)",
+            models_dir,
+        )
+    return TextSystem(det, rec)
+
+
+def build_layout_model(configs: dict | None = None):
+    try:
+        from .layout.engine import LayoutDetector
+
+        return LayoutDetector.build(configs or {})
+    except (ImportError, FileNotFoundError):
+        return None
+
+
+def build_formula_model(configs: dict | None = None):
+    try:
+        from .formula.engine import FormulaRecognizer
+
+        return FormulaRecognizer.build(configs or {})
+    except (ImportError, FileNotFoundError):
+        return None
+
+
+def build_table_model(configs: dict | None = None):
+    try:
+        from .table.engine import TableRecognizer
+
+        return TableRecognizer.build(configs or {})
+    except (ImportError, FileNotFoundError):
+        return None
+
+
+def build_analyzer(
+    lang: str = "ch",
+    formula_enable: bool = True,
+    table_enable: bool = True,
+    configs: dict | None = None,
+) -> DocumentAnalyzer:
+    configs = configs or {}
+    return DocumentAnalyzer(
+        layout_model=build_layout_model(configs.get("layout")),
+        ocr_system=build_ocr_system(configs.get("ocr")),
+        formula_model=build_formula_model(configs.get("formula"))
+        if formula_enable
+        else None,
+        table_model=build_table_model(configs.get("table")) if table_enable else None,
+        formula_enable=formula_enable,
+        table_enable=table_enable,
+    )

@@ -1,0 +1,59 @@
+"""Office (docx/pptx/xlsx) parsing entry point.
+
+Counterpart of the reference office backend
+(reference: rapid_doc/backend/office/office_analyze.py:9-36). Converters
+live in rapiddoc_tpu.office.{docx,pptx,xlsx}; this module routes by
+container sniffing and assembles the output.
+"""
+from __future__ import annotations
+
+import zipfile
+import io
+
+from ..types import MakeMode
+from ..utils.logging import get_logger
+
+logger = get_logger("rapiddoc_tpu.office")
+
+
+def sniff_office_kind(data: bytes) -> str | None:
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            names = z.namelist()
+    except zipfile.BadZipFile:
+        return None
+    if any(n.startswith("word/") for n in names):
+        return "docx"
+    if any(n.startswith("ppt/") for n in names):
+        return "pptx"
+    if any(n.startswith("xl/") for n in names):
+        return "xlsx"
+    return None
+
+
+def office_parse(data: bytes, name: str, make_md_mode: str = MakeMode.MM_MD):
+    from ..api import RapidDocOutput
+
+    kind = sniff_office_kind(data)
+    if kind == "docx":
+        from .docx import docx_to_blocks
+
+        result = docx_to_blocks(data)
+    elif kind == "pptx":
+        from .pptx import pptx_to_blocks
+
+        result = pptx_to_blocks(data)
+    elif kind == "xlsx":
+        from .xlsx import xlsx_to_blocks
+
+        result = xlsx_to_blocks(data)
+    else:
+        raise ValueError(f"not a recognizable office document: {name}")
+
+    markdown = result.to_markdown()
+    return RapidDocOutput(
+        markdown=markdown,
+        images=result.images,
+        middle_json=result.to_middle_json(),
+        content_list_json=result.to_content_list(),
+    )

@@ -1,0 +1,154 @@
+"""XLSX -> blocks converter (sheets as HTML tables).
+
+Behavioral counterpart of the reference xlsx converter
+(reference: rapid_doc/model/xlsx/xlsx_converter.py): shared strings,
+inline strings, numbers, merged-cell spans, one table per sheet with the
+sheet name as a title.
+"""
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+from .common import NS, OfficeResult, esc, q
+
+S = NS["s"]
+
+
+def _col_to_idx(ref: str) -> int:
+    """'C5' -> column index 2."""
+    m = re.match(r"([A-Z]+)", ref)
+    col = 0
+    for ch in m.group(1) if m else "A":
+        col = col * 26 + (ord(ch) - ord("A") + 1)
+    return col - 1
+
+
+def _row_of(ref: str) -> int:
+    m = re.search(r"(\d+)", ref)
+    return int(m.group(1)) - 1 if m else 0
+
+
+def _shared_strings(z: zipfile.ZipFile) -> list[str]:
+    out = []
+    if "xl/sharedStrings.xml" not in z.namelist():
+        return out
+    root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    for si in root.findall(f"{{{S}}}si"):
+        out.append("".join(t.text or "" for t in si.iter(f"{{{S}}}t")))
+    return out
+
+
+def _cell_value(c, shared: list[str]) -> str:
+    ctype = c.get("t", "n")
+    if ctype == "s":
+        v = c.find(f"{{{S}}}v")
+        try:
+            return shared[int(v.text)] if v is not None and v.text else ""
+        except (ValueError, IndexError):
+            return ""
+    if ctype == "inlineStr":
+        return "".join(t.text or "" for t in c.iter(f"{{{S}}}t"))
+    v = c.find(f"{{{S}}}v")
+    if v is None or v.text is None:
+        return ""
+    if ctype == "b":
+        return "TRUE" if v.text == "1" else "FALSE"
+    text = v.text
+    # trim float noise
+    try:
+        f = float(text)
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return f"{f:g}"
+    except ValueError:
+        return text
+
+
+def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str]) -> str | None:
+    root = ET.fromstring(z.read(path))
+    data = root.find(f"{{{S}}}sheetData")
+    if data is None:
+        return None
+    grid: dict[tuple[int, int], str] = {}
+    max_r = max_c = -1
+    for row in data.findall(f"{{{S}}}row"):
+        for c in row.findall(f"{{{S}}}c"):
+            ref = c.get("r", "A1")
+            r, col = _row_of(ref), _col_to_idx(ref)
+            val = _cell_value(c, shared)
+            if val != "":
+                grid[(r, col)] = val
+                max_r, max_c = max(max_r, r), max(max_c, col)
+    if max_r < 0:
+        return None
+    # merged cells
+    merges: dict[tuple[int, int], tuple[int, int]] = {}
+    covered: set[tuple[int, int]] = set()
+    mc = root.find(f"{{{S}}}mergeCells")
+    if mc is not None:
+        for m in mc.findall(f"{{{S}}}mergeCell"):
+            ref = m.get("ref", "")
+            if ":" not in ref:
+                continue
+            a, b = ref.split(":")
+            r0, c0 = _row_of(a), _col_to_idx(a)
+            r1, c1 = _row_of(b), _col_to_idx(b)
+            merges[(r0, c0)] = (r1 - r0 + 1, c1 - c0 + 1)
+            for rr in range(r0, r1 + 1):
+                for cc in range(c0, c1 + 1):
+                    if (rr, cc) != (r0, c0):
+                        covered.add((rr, cc))
+    rows_html = []
+    for r in range(max_r + 1):
+        cells = []
+        for c in range(max_c + 1):
+            if (r, c) in covered:
+                continue
+            attrs = ""
+            if (r, c) in merges:
+                rs, cs = merges[(r, c)]
+                if rs > 1:
+                    attrs += f' rowspan="{rs}"'
+                if cs > 1:
+                    attrs += f' colspan="{cs}"'
+            cells.append(f"<td{attrs}>{esc(grid.get((r, c), ''))}</td>")
+        rows_html.append("<tr>" + "".join(cells) + "</tr>")
+    return "<table>" + "".join(rows_html) + "</table>"
+
+
+def xlsx_to_blocks(data: bytes) -> OfficeResult:
+    from .docx import _load_rels
+
+    result = OfficeResult()
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        shared = _shared_strings(z)
+        sheets: list[tuple[str, str]] = []
+        if "xl/workbook.xml" in z.namelist():
+            wb_rels = _load_rels(z, "xl/workbook.xml")
+            root = ET.fromstring(z.read("xl/workbook.xml"))
+            for sheet in root.iter(f"{{{S}}}sheet"):
+                name = sheet.get("name", "Sheet")
+                rid = sheet.get(q("r:id"))
+                target = wb_rels.get(rid)
+                if target and target in z.namelist():
+                    sheets.append((name, target))
+        if not sheets:
+            sheets = [
+                (f"Sheet{i+1}", n)
+                for i, n in enumerate(
+                    sorted(
+                        n for n in z.namelist()
+                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+                    )
+                )
+            ]
+        result.n_pages = max(len(sheets), 1)
+        for page_idx, (name, path) in enumerate(sheets):
+            html = _sheet_to_html(z, path, shared)
+            if html:
+                result.add_title(name, level=2, page=page_idx)
+                result.add_table(html, page=page_idx)
+    return result

@@ -1,0 +1,129 @@
+"""Model outputs -> middle_json.
+
+Behavioral counterpart of the reference result_to_middle_json
+(reference: rapid_doc/backend/pipeline/model_json_to_middle_json.py:295):
+per-page PageModel cleanup, span assembly (model spans + native pdf text in
+'txt' mode), block filling, reading order, image cutting, paragraph merge.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from PIL import Image
+
+from ..types import BlockType, ContentType
+from ..utils import boxes as B
+from ..utils.images import cut_span_images
+from ..version import __version__
+from .page_build import (
+    collect_blocks,
+    fill_spans_into_blocks,
+    finalize_block_lines,
+    make_page_info,
+    remove_outside_spans,
+    sort_and_group_blocks,
+)
+from .page_model import PageModel
+from .para import para_split
+from .table_merge import cross_page_table_merge
+
+
+def native_text_spans(page_text_dict: dict) -> list[dict]:
+    """Convert pdfio native text structure to content spans."""
+    spans = []
+    for block in page_text_dict.get("blocks", []):
+        for line in block.get("lines", []):
+            for span in line.get("spans", []):
+                text = span.get("text", "")
+                if not text.strip():
+                    continue
+                spans.append(
+                    {
+                        "bbox": [round(v, 2) for v in span["bbox"]],
+                        "content": text,
+                        "type": ContentType.TEXT,
+                        "score": 1.0,
+                    }
+                )
+    return spans
+
+
+def page_to_page_info(
+    page_model_info: dict,
+    page_idx: int,
+    page_w: float,
+    page_h: float,
+    scale: float,
+    *,
+    page_img: Image.Image | None = None,
+    page_text_dict: dict | None = None,
+    parse_mode: str = "ocr",
+    image_writer=None,
+) -> dict | None:
+    model = PageModel(page_model_info, scale)
+    all_blocks, discarded, footnotes = collect_blocks(model, page_w, page_h)
+
+    spans = model.all_spans()
+    if parse_mode == "txt" and page_text_dict is not None:
+        # native text replaces OCR text spans
+        ocr_text_spans = [s for s in spans if s["type"] == ContentType.TEXT]
+        spans = [s for s in spans if s["type"] != ContentType.TEXT]
+        spans.extend(native_text_spans(page_text_dict))
+        del ocr_text_spans
+
+    spans = remove_outside_spans(spans, all_blocks, discarded)
+
+    blocks, leftover = fill_spans_into_blocks(all_blocks, spans, 0.4)
+    discarded_filled, _ = fill_spans_into_blocks(discarded, leftover, 0.4)
+    blocks = finalize_block_lines(blocks)
+    discarded_filled = finalize_block_lines(discarded_filled)
+
+    if not blocks and not discarded_filled:
+        return None
+
+    sorted_blocks = sort_and_group_blocks(blocks)
+    page_info = make_page_info(
+        sorted_blocks, page_idx, page_w, page_h, discarded_filled
+    )
+    if page_img is not None:
+        cut_span_images(page_info, page_img, scale, image_writer)
+    return page_info
+
+
+def result_to_middle_json(
+    model_infos: Sequence[dict],
+    page_dims: Sequence[tuple[float, float]],
+    scales: Sequence[float],
+    *,
+    page_imgs: Sequence[Image.Image] | None = None,
+    page_text_dicts: Sequence[dict | None] | None = None,
+    parse_mode: str = "ocr",
+    image_writer=None,
+    page_idx_offset: int = 0,
+) -> dict[str, Any]:
+    middle: dict[str, Any] = {
+        "pdf_info": [],
+        "_backend": "pipeline",
+        "_version_name": __version__,
+        "_parse_type": parse_mode,
+    }
+    for i, model_info in enumerate(model_infos):
+        w, h = page_dims[i]
+        info = page_to_page_info(
+            model_info,
+            page_idx_offset + i,
+            w,
+            h,
+            scales[i],
+            page_img=page_imgs[i] if page_imgs else None,
+            page_text_dict=page_text_dicts[i] if page_text_dicts else None,
+            parse_mode=parse_mode,
+            image_writer=image_writer,
+        )
+        if info is None:
+            info = make_page_info([], page_idx_offset + i, w, h, [])
+        middle["pdf_info"].append(info)
+
+    para_split(middle["pdf_info"])
+    cross_page_table_merge(middle["pdf_info"])
+    return middle

@@ -1,0 +1,236 @@
+"""middle_json -> Markdown / content_list emitters.
+
+Behavioral counterpart of the reference union_make
+(reference: rapid_doc/backend/pipeline/pipeline_middle_json_mkcontent.py:
+MM_MD / NLP_MD / CONTENT_LIST modes, hyphen joining, configurable LaTeX
+delimiters, title levels, caption/body/footnote ordering).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from ..config import get_latex_delimiter_config
+from ..types import BlockType, ContentType, MakeMode
+
+_CJK_RE = re.compile(r"[⺀-鿿豈-﫿＀-￯]")
+
+
+def _full_to_half(text: str) -> str:
+    out = []
+    for ch in text:
+        code = ord(ch)
+        if 0xFF01 <= code <= 0xFF5E and ch not in "：；，。！？":
+            out.append(chr(code - 0xFEE0))
+        elif code == 0x3000:
+            out.append(" ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _span_markdown(span: dict, delims: dict) -> str:
+    stype = span.get("type")
+    content = span.get("content", "") or ""
+    if stype in (ContentType.TEXT, ContentType.CHECKBOX, ContentType.SEAL):
+        return _full_to_half(content)
+    if stype == ContentType.INLINE_EQUATION:
+        d = delims["inline"]
+        return f"{d['left']}{content.strip()}{d['right']}" if content.strip() else ""
+    if stype == ContentType.INTERLINE_EQUATION:
+        d = delims["display"]
+        return f"\n{d['left']}\n{content.strip()}\n{d['right']}\n" if content.strip() else ""
+    return content
+
+
+def _ends_with_cjk(text: str) -> bool:
+    return bool(text) and bool(_CJK_RE.match(text[-1]))
+
+
+def merge_para_with_text(block: dict) -> str:
+    """Join a block's lines into one paragraph string."""
+    delims = get_latex_delimiter_config()
+    para = ""
+    for line in block.get("lines", []):
+        line_text = "".join(_span_markdown(s, delims) for s in line.get("spans", []))
+        line_text = line_text.strip("\n") if line_text.strip("\n") else line_text
+        if not line_text.strip():
+            continue
+        if line.get("is_list_start_line") and para:
+            para = para.rstrip() + "  \n"  # markdown hard break between items
+        if para and not para.endswith("\n"):
+            if re.search(r"[A-Za-z]-$", para.rstrip()):
+                para = para.rstrip()[:-1]  # drop trailing hyphen, join word
+            elif _ends_with_cjk(para.rstrip()) and line_text and _CJK_RE.match(line_text[0]):
+                pass  # CJK: no space joint
+            else:
+                para = para.rstrip() + " "
+        para += line_text.strip() if not para.endswith("\n") else line_text.strip()
+    return para.strip()
+
+
+def get_title_level(block: dict) -> int:
+    level = block.get("level", 1)
+    try:
+        level = int(level)
+    except (TypeError, ValueError):
+        level = 1
+    return min(max(level, 1), 4)
+
+
+def _image_block_md(block: dict, img_prefix: str) -> str:
+    parts_caption, parts_body, parts_footnote = [], [], []
+    for sub in block.get("blocks", []):
+        if sub["type"] == BlockType.IMAGE_CAPTION:
+            parts_caption.append(merge_para_with_text(sub))
+        elif sub["type"] == BlockType.IMAGE_BODY:
+            for line in sub.get("lines", []):
+                for span in line.get("spans", []):
+                    if span.get("type") == ContentType.IMAGE:
+                        if span.get("image_path"):
+                            parts_body.append(f"![]({img_prefix}/{span['image_path']})")
+                        if span.get("original_label") == "seal" and span.get("content"):
+                            parts_body.append(span["content"])
+        elif sub["type"] == BlockType.IMAGE_FOOTNOTE:
+            parts_footnote.append(merge_para_with_text(sub))
+    pieces = parts_body + parts_caption + parts_footnote
+    return "  \n".join(x for x in pieces if x)
+
+
+def _table_block_md(block: dict, img_prefix: str) -> str:
+    caption, body, footnote = [], [], []
+    for sub in block.get("blocks", []):
+        if sub["type"] == BlockType.TABLE_CAPTION:
+            caption.append(merge_para_with_text(sub))
+        elif sub["type"] == BlockType.TABLE_BODY:
+            for line in sub.get("lines", []):
+                for span in line.get("spans", []):
+                    if span.get("type") == ContentType.TABLE:
+                        if span.get("html"):
+                            body.append(f"\n{span['html']}\n")
+                        elif span.get("latex"):
+                            body.append(f"\n{span['latex']}\n")
+                        elif span.get("image_path"):
+                            body.append(f"![]({img_prefix}/{span['image_path']})")
+        elif sub["type"] == BlockType.TABLE_FOOTNOTE:
+            footnote.append(merge_para_with_text(sub))
+    out = ""
+    if caption:
+        out += "  \n".join(caption) + "  \n"
+    out += "".join(body)
+    if footnote:
+        out += "\n" + "  \n".join(footnote)
+    return out.strip()
+
+
+def blocks_to_markdown(
+    para_blocks: list[dict], mode: str, img_prefix: str = ""
+) -> list[str]:
+    delims = get_latex_delimiter_config()
+    page_md: list[str] = []
+    for block in para_blocks:
+        btype = block["type"]
+        text = ""
+        if btype in (BlockType.TEXT, BlockType.LIST, BlockType.INDEX):
+            text = merge_para_with_text(block)
+        elif btype == BlockType.TITLE:
+            text = f"{'#' * get_title_level(block)} {merge_para_with_text(block)}"
+            text = text.replace("-\n", "").replace("\n", " ")
+        elif btype == BlockType.INTERLINE_EQUATION:
+            lines = block.get("lines", [])
+            if not lines or not lines[0].get("spans"):
+                continue
+            span = lines[0]["spans"][0]
+            if span.get("content"):
+                text = merge_para_with_text(block)
+            elif span.get("image_path") and mode == MakeMode.MM_MD:
+                text = f"![]({img_prefix}/{span['image_path']})"
+        elif btype == BlockType.IMAGE:
+            if mode == MakeMode.MM_MD:
+                text = _image_block_md(block, img_prefix)
+        elif btype == BlockType.TABLE:
+            if mode == MakeMode.MM_MD:
+                text = _table_block_md(block, img_prefix)
+        if text and text.strip():
+            page_md.append(text.strip())
+    return page_md
+
+
+def _block_content_item(block: dict, page_idx: int, img_prefix: str) -> dict | None:
+    btype = block["type"]
+    item: dict[str, Any] = {"page_idx": page_idx, "bbox": block.get("bbox")}
+    if btype in (BlockType.TEXT, BlockType.LIST, BlockType.INDEX):
+        item.update({"type": ContentType.TEXT, "text": merge_para_with_text(block)})
+    elif btype == BlockType.TITLE:
+        item.update(
+            {
+                "type": ContentType.TEXT,
+                "text": merge_para_with_text(block),
+                "text_level": get_title_level(block),
+            }
+        )
+    elif btype == BlockType.INTERLINE_EQUATION:
+        text = merge_para_with_text(block)
+        item.update({"type": ContentType.EQUATION, "text": text, "text_format": "latex"})
+    elif btype == BlockType.IMAGE:
+        item.update({"type": ContentType.IMAGE})
+        captions, footnotes = [], []
+        for sub in block.get("blocks", []):
+            if sub["type"] == BlockType.IMAGE_BODY:
+                for line in sub.get("lines", []):
+                    for span in line.get("spans", []):
+                        if span.get("image_path"):
+                            item["img_path"] = f"{img_prefix}/{span['image_path']}"
+            elif sub["type"] == BlockType.IMAGE_CAPTION:
+                captions.append(merge_para_with_text(sub))
+            elif sub["type"] == BlockType.IMAGE_FOOTNOTE:
+                footnotes.append(merge_para_with_text(sub))
+        item["img_caption"] = captions
+        item["img_footnote"] = footnotes
+    elif btype == BlockType.TABLE:
+        item.update({"type": ContentType.TABLE})
+        captions, footnotes = [], []
+        for sub in block.get("blocks", []):
+            if sub["type"] == BlockType.TABLE_BODY:
+                for line in sub.get("lines", []):
+                    for span in line.get("spans", []):
+                        if span.get("html"):
+                            item["table_body"] = span["html"]
+                        if span.get("image_path"):
+                            item["img_path"] = f"{img_prefix}/{span['image_path']}"
+            elif sub["type"] == BlockType.TABLE_CAPTION:
+                captions.append(merge_para_with_text(sub))
+            elif sub["type"] == BlockType.TABLE_FOOTNOTE:
+                footnotes.append(merge_para_with_text(sub))
+        item["table_caption"] = captions
+        item["table_footnote"] = footnotes
+    else:
+        return None
+    if item.get("type") == ContentType.TEXT and not item.get("text", "").strip():
+        return None
+    return item
+
+
+def union_make(
+    pdf_info: list[dict],
+    make_mode: str = MakeMode.MM_MD,
+    img_prefix: str = "",
+) -> str | list[dict]:
+    """Emit markdown (str) or content list (list of dicts) from pdf_info."""
+    if make_mode in (MakeMode.MM_MD, MakeMode.NLP_MD):
+        output: list[str] = []
+        for page_info in pdf_info:
+            blocks = page_info.get("para_blocks") or page_info.get("preproc_blocks") or []
+            output.extend(blocks_to_markdown(blocks, make_mode, img_prefix))
+        return "\n\n".join(output)
+    if make_mode in (MakeMode.CONTENT_LIST, MakeMode.CONTENT_LIST_V2):
+        items: list[dict] = []
+        for page_info in pdf_info:
+            page_idx = page_info.get("page_idx", 0)
+            blocks = page_info.get("para_blocks") or page_info.get("preproc_blocks") or []
+            for block in blocks:
+                item = _block_content_item(block, page_idx, img_prefix)
+                if item is not None:
+                    items.append(item)
+        return items
+    raise ValueError(f"unknown make mode {make_mode!r}")

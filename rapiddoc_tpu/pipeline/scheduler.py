@@ -1,0 +1,270 @@
+"""Batch inference scheduler: pages -> layout dets (+OCR/formula/table fills).
+
+Device-side counterpart of the reference BatchAnalyze
+(reference: rapid_doc/backend/pipeline/batch_analyze.py:30-457 — the
+7-step schedule: layout -> region collect -> formula -> ocr det -> table ->
+ocr rec -> seal). Each model runs as a bucketed JaxSession batch; region
+collection and geometry stay on the host.
+
+When a model is absent (no trained weights in the environment), a
+structural fallback keeps the pipeline end-to-end runnable:
+  - txt pages: native text blocks + embedded image placements become dets
+  - ocr pages: OCR det lines become Text dets, OCR rec fills their spans
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from ..types import CategoryId
+from ..utils import boxes as B
+from ..utils.logging import get_logger
+from ..utils.trace import stage_timer
+
+logger = get_logger("rapiddoc_tpu.scheduler")
+
+
+def _quad_poly(x0: float, y0: float, x1: float, y1: float) -> list[float]:
+    return [x0, y0, x1, y0, x1, y1, x0, y1]
+
+
+class DocumentAnalyzer:
+    """Runs the model stack over rendered page images."""
+
+    def __init__(
+        self,
+        layout_model=None,
+        ocr_system=None,
+        formula_model=None,
+        table_model=None,
+        orientation_model=None,
+        formula_enable: bool = True,
+        table_enable: bool = True,
+    ):
+        self.layout_model = layout_model
+        self.ocr = ocr_system
+        self.formula_model = formula_model
+        self.table_model = table_model
+        self.orientation_model = orientation_model
+        self.formula_enable = formula_enable
+        self.table_enable = table_enable
+
+    # ------------------------------------------------------------ main
+
+    def analyze_pages(
+        self,
+        page_images: Sequence[np.ndarray],
+        parse_modes: Sequence[str],
+        text_dicts: Sequence[dict | None],
+        image_boxes_per_page: Sequence[list[list[float]] | None] | None = None,
+        scales: Sequence[float] | None = None,
+    ) -> list[dict]:
+        """Returns one model_info = {"layout_dets": [...]} per page.
+
+        page_images are rendered RGB arrays; det polys are in image pixels.
+        scales[i] = pixels per page unit (used to map native text to pixels).
+        """
+        n = len(page_images)
+        scales = scales or [1.0] * n
+        image_boxes_per_page = image_boxes_per_page or [None] * n
+        model_infos: list[dict] = [{"layout_dets": []} for _ in range(n)]
+
+        # ① layout detection
+        if self.layout_model is not None:
+            with stage_timer("layout", n):
+                layout_results = self.layout_model.batch_predict(page_images)
+            for i, dets in enumerate(layout_results):
+                model_infos[i]["layout_dets"].extend(dets)
+        else:
+            for i in range(n):
+                self._fallback_layout(
+                    model_infos[i],
+                    parse_modes[i],
+                    text_dicts[i],
+                    image_boxes_per_page[i],
+                    scales[i],
+                )
+
+        # ② collect OCR regions for ocr-mode pages
+        ocr_pages = [
+            i for i in range(n) if parse_modes[i] == "ocr" and self.ocr is not None
+        ]
+        if ocr_pages:
+            with stage_timer("ocr", len(ocr_pages)):
+                self._run_page_ocr(ocr_pages, page_images, model_infos)
+
+        # ③ formulas
+        if self.formula_enable and self.formula_model is not None:
+            self._run_formulas(page_images, model_infos)
+
+        # ④ tables
+        if self.table_enable and self.table_model is not None:
+            self._run_tables(page_images, model_infos)
+
+        return model_infos
+
+    # ------------------------------------------------------- fallbacks
+
+    def _fallback_layout(
+        self,
+        model_info: dict,
+        parse_mode: str,
+        text_dict: dict | None,
+        image_boxes: list[list[float]] | None,
+        scale: float,
+    ) -> None:
+        dets = model_info["layout_dets"]
+        if parse_mode == "txt" and text_dict is not None:
+            for block in text_dict.get("blocks", []):
+                x0, y0, x1, y1 = (v * scale for v in block["bbox"])
+                dets.append(
+                    {
+                        "category_id": CategoryId.Text,
+                        "poly": _quad_poly(x0, y0, x1, y1),
+                        "score": 1.0,
+                    }
+                )
+        if image_boxes:
+            for box in image_boxes:
+                x0, y0, x1, y1 = (v * scale for v in box)
+                if x1 - x0 < 8 * scale or y1 - y0 < 8 * scale:
+                    continue
+                dets.append(
+                    {
+                        "category_id": CategoryId.ImageBody,
+                        "poly": _quad_poly(x0, y0, x1, y1),
+                        "score": 1.0,
+                    }
+                )
+
+    # ------------------------------------------------------------- ocr
+
+    def _run_page_ocr(
+        self,
+        page_idxs: list[int],
+        page_images: Sequence[np.ndarray],
+        model_infos: list[dict],
+    ) -> None:
+        """Full-page OCR: det boxes become Text dets + OcrText spans."""
+        images = [page_images[i] for i in page_idxs]
+        det_results = self.ocr.detector(images)
+        crops: list[np.ndarray] = []
+        owners: list[tuple[int, np.ndarray, float]] = []
+        from ..models.ocr.engine import crop_quad
+
+        for page_i, det in zip(page_idxs, det_results):
+            for quad, score in zip(det.boxes, det.scores):
+                crops.append(crop_quad(page_images[page_i], quad))
+                owners.append((page_i, quad, float(score)))
+        rec_results = self.ocr.recognizer(crops)
+        for (page_i, quad, det_score), rec in zip(owners, rec_results):
+            x0, y0 = float(quad[:, 0].min()), float(quad[:, 1].min())
+            x1, y1 = float(quad[:, 0].max()), float(quad[:, 1].max())
+            if not rec.text:
+                continue
+            dets = model_infos[page_i]["layout_dets"]
+            cat = (
+                CategoryId.OcrText
+                if rec.score >= self.ocr.drop_score
+                else CategoryId.LowScoreText
+            )
+            dets.append(
+                {
+                    "category_id": CategoryId.Text,
+                    "poly": _quad_poly(x0, y0, x1, y1),
+                    "score": det_score,
+                }
+            )
+            dets.append(
+                {
+                    "category_id": cat,
+                    "poly": _quad_poly(x0, y0, x1, y1),
+                    "score": rec.score,
+                    "text": rec.text,
+                }
+            )
+
+    def run_region_ocr(
+        self,
+        page_images: Sequence[np.ndarray],
+        model_infos: list[dict],
+        scales: Sequence[float],
+    ) -> None:
+        """OCR inside layout-detected text regions (layout-model mode)."""
+        # collected regions cropped from pages, bucket-batched by the engine
+        from ..models.ocr.engine import crop_quad
+
+        crops = []
+        owners = []
+        for page_i, info in enumerate(model_infos):
+            for det in info["layout_dets"]:
+                if det["category_id"] != CategoryId.Text or det.get("text"):
+                    continue
+                x0, y0, _, _, x1, y1, _, _ = det["poly"]
+                quad = np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32
+                )
+                crops.append(crop_quad(page_images[page_i], quad))
+                owners.append((page_i, det))
+        if not crops:
+            return
+        results = self.ocr.recognizer(crops)
+        for (page_i, det), rec in zip(owners, results):
+            if not rec.text:
+                continue
+            model_infos[page_i]["layout_dets"].append(
+                {
+                    "category_id": CategoryId.OcrText,
+                    "poly": det["poly"],
+                    "score": rec.score,
+                    "text": rec.text,
+                }
+            )
+
+    # --------------------------------------------------- formula/table
+
+    def _run_formulas(self, page_images, model_infos) -> None:
+        regions = []
+        owners = []
+        for page_i, info in enumerate(model_infos):
+            for det in info["layout_dets"]:
+                if det["category_id"] in (
+                    CategoryId.InterlineEquation_Layout,
+                    CategoryId.InterlineEquation_YOLO,
+                    CategoryId.InlineEquation,
+                ) and not det.get("latex"):
+                    x0, y0, _, _, x1, y1, _, _ = det["poly"]
+                    crop = page_images[page_i][
+                        max(int(y0), 0) : int(y1) + 1, max(int(x0), 0) : int(x1) + 1
+                    ]
+                    if crop.size:
+                        regions.append(crop)
+                        owners.append(det)
+        if not regions:
+            return
+        with stage_timer("formula", len(regions)):
+            latexes = self.formula_model.batch_predict(regions)
+        for det, latex in zip(owners, latexes):
+            det["latex"] = latex
+
+    def _run_tables(self, page_images, model_infos) -> None:
+        regions = []
+        owners = []
+        for page_i, info in enumerate(model_infos):
+            for det in info["layout_dets"]:
+                if det["category_id"] == CategoryId.TableBody and not det.get("html"):
+                    x0, y0, _, _, x1, y1, _, _ = det["poly"]
+                    crop = page_images[page_i][
+                        max(int(y0), 0) : int(y1) + 1, max(int(x0), 0) : int(x1) + 1
+                    ]
+                    if crop.size:
+                        regions.append(crop)
+                        owners.append(det)
+        if not regions:
+            return
+        with stage_timer("table", len(regions)):
+            htmls = self.table_model.batch_predict(regions)
+        for det, html in zip(owners, htmls):
+            if html:
+                det["html"] = html

@@ -61,30 +61,33 @@ def xycut_order(
     out: list[int] = []
 
     def recurse(idxs: np.ndarray, depth: int) -> None:
-        if len(idxs) <= 1 or depth > 48:
+        if len(idxs) <= 1 or depth > 64:
             out.extend(_final_sort(boxes, idxs))
             return
         sub = boxes[idxs]
-        # Try horizontal cuts first (split into vertical bands of rows):
         y_gaps = _projection_gaps(
             sub[:, [1, 3]], sub[:, 1].min(), sub[:, 3].max(), min_gap_y
         )
         x_gaps = _projection_gaps(
             sub[:, [0, 2]], sub[:, 0].min(), sub[:, 2].max(), min_gap_x
         )
-        # Prefer the axis with the single widest gap; rows (y) win ties so
-        # that top-to-bottom dominates, matching document reading order.
-        best_y = max((g[1] - g[0] for g in y_gaps), default=0.0)
-        best_x = max((g[1] - g[0] for g in x_gaps), default=0.0)
-        if best_y <= 0 and best_x <= 0:
+        best_y = max(y_gaps, key=lambda g: g[1] - g[0], default=None)
+        best_x = max(x_gaps, key=lambda g: g[1] - g[0], default=None)
+        if best_y is None and best_x is None:
             out.extend(_final_sort(boxes, idxs))
             return
-        if best_y >= best_x * 0.6 and y_gaps:
-            bands = _split_indices(boxes, idxs, 1, y_gaps)
-            bands.sort(key=lambda b: boxes[b, 1].min())
+        # Classic recursion: one cut at the widest gap, then recurse both
+        # halves. A column gutter (x gap) wider than the best row gap wins,
+        # so columns are read fully before moving right; otherwise cut rows
+        # top-down first.
+        wy = best_y[1] - best_y[0] if best_y else 0.0
+        wx = best_x[1] - best_x[0] if best_x else 0.0
+        if wy >= wx:
+            axis, gap = 1, best_y
         else:
-            bands = _split_indices(boxes, idxs, 0, x_gaps)
-            bands.sort(key=lambda b: boxes[b, 0].min())
+            axis, gap = 0, best_x
+        bands = _split_indices(boxes, idxs, axis, [gap])
+        bands.sort(key=lambda b: boxes[b, axis].min())
         if len(bands) <= 1:
             out.extend(_final_sort(boxes, idxs))
             return
@@ -112,4 +115,4 @@ def sort_boxes_reading_order(bboxes) -> list[int]:
         return []
     heights = np.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
     med_h = float(np.median(heights))
-    return xycut_order(boxes, min_gap_x=med_h * 0.8, min_gap_y=med_h * 0.35)
+    return xycut_order(boxes, min_gap_x=med_h * 0.5, min_gap_y=med_h * 0.3)

@@ -1,0 +1,114 @@
+"""End-to-end tests: PDF/office -> markdown (fuzzy-golden style, per
+SURVEY.md §4 — the reference's e2e strategy adapted to this environment:
+no trained model weights, so txt-mode pipelines and office docs are the
+quality-bearing paths)."""
+import os
+
+import pytest
+
+os.environ.setdefault("RAPIDDOC_DISABLE_OCR", "1")
+
+DEMO = "/root/reference/demo"
+
+needs_demo = pytest.mark.skipif(
+    not os.path.isdir(DEMO), reason="reference demo docs unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from rapiddoc_tpu import RapidDoc
+
+    return RapidDoc(formula_enable=False, table_enable=False)
+
+
+@needs_demo
+def test_pdf_txt_e2e(engine):
+    out = engine(os.path.join(DEMO, "pdfs", "demo1.pdf"))
+    assert len(out.middle_json["pdf_info"]) == 13
+    md = out.markdown
+    assert "flow duration curves" in md.replace("ﬂ", "fl")
+    assert "Journal of Hydrology" in md
+    assert "Abstract" in md
+    assert len(out.images) > 0
+    assert any(item["type"] == "image" for item in out.content_list_json)
+    # reading order: title before abstract
+    assert md.index("Journal of Hydrology") < md.index("Abstract")
+
+
+@needs_demo
+def test_pdf_cjk_e2e(engine):
+    out = engine(os.path.join(DEMO, "pdfs", "比亚迪财报.pdf"))
+    assert "比亚迪" in out.markdown
+    assert len(out.middle_json["pdf_info"]) == 9
+
+
+@needs_demo
+def test_docx_e2e(engine):
+    out = engine(os.path.join(DEMO, "docx", "demo1-docx.docx"))
+    assert "MinerU" in out.markdown
+    assert len(out.images) > 0
+    assert out.middle_json["_backend"] == "office"
+
+
+@needs_demo
+def test_pptx_e2e(engine):
+    out = engine(os.path.join(DEMO, "pptx", "powerpoint_sample.pptx"))
+    assert "<table>" in out.markdown
+    assert out.content_list_json
+
+
+@needs_demo
+def test_xlsx_e2e(engine):
+    out = engine(os.path.join(DEMO, "xlsx", "xlsx_01.xlsx"))
+    assert "<table>" in out.markdown
+    assert "first" in out.markdown
+
+
+@needs_demo
+def test_image_input(engine):
+    import glob
+
+    imgs = sorted(glob.glob(os.path.join(DEMO, "images", "*.jpg"))) + sorted(
+        glob.glob(os.path.join(DEMO, "images", "*.png"))
+    )
+    if not imgs:
+        pytest.skip("no demo images")
+    out = engine(imgs[0])
+    # image inputs go through images->pdf->ocr path; with OCR disabled the
+    # output may be empty but must be well-formed
+    assert out.middle_json is not None
+
+
+def test_data_uri_mode(tmp_path):
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import RapidDoc, pdfio
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).rectangle([40, 40, 260, 160], fill="black")
+    pdf = pdfio.images_to_pdf([img])
+    p = tmp_path / "t.pdf"
+    p.write_bytes(pdf)
+    eng = RapidDoc(
+        formula_enable=False, table_enable=False, image_output_mode="data_uri",
+        parse_method="txt",
+    )
+    out = eng(str(p))
+    assert isinstance(out.markdown, str)
+
+
+def test_xycut_two_columns():
+    from rapiddoc_tpu.reading_order.xycut import sort_boxes_reading_order
+
+    # two-column layout: title spanning both, then left col, then right col
+    boxes = [
+        [10, 0, 190, 20],  # 0: full-width title
+        [10, 30, 90, 60],  # 1: left top
+        [10, 70, 90, 100],  # 2: left bottom
+        [110, 30, 190, 60],  # 3: right top
+        [110, 70, 190, 100],  # 4: right bottom
+    ]
+    order = sort_boxes_reading_order(boxes)
+    assert order[0] == 0
+    assert order.index(1) < order.index(2) < order.index(3) < order.index(4)
