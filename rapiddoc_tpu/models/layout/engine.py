@@ -1,0 +1,207 @@
+"""Layout detection engine: preprocessing, session, postprocessing.
+
+IO contract per the reference handler (reference:
+rapid_doc/model/layout/rapid_layout_self/model_handler/pp_doclayout/
+main.py:17-80 — fixed 800x800 (V2/V3) or 480/640 input, /255 normalize
+(V2/V3 use no mean/std), postprocess with per-class thresholds + NMS
+(iou_same 0.6, iou_diff 0.98); V2/V3 det order is the reading order;
+label->CategoryId maps from rapid_doc/model/layout/rapid_layout.py:131).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import cv2
+import jax
+import numpy as np
+
+from ...config import get_models_dir
+from ...engine.buckets import BucketSpec
+from ...engine.session import JaxSession
+from ...types import CategoryId
+from ...utils import boxes as B
+from ...utils.logging import get_logger
+from .rtdetr import RTDETR
+
+logger = get_logger("rapiddoc_tpu.layout")
+
+# PP-DocLayoutV2/V3 label set (alphabetical — class-id order of the model)
+DOCLAYOUT_V2_LABELS = [
+    "abstract", "algorithm", "aside_text", "chart", "content",
+    "display_formula", "doc_title", "figure_title", "footer", "footer_image",
+    "footnote", "formula_number", "header", "header_image", "image",
+    "inline_formula", "number", "paragraph_title", "reference",
+    "reference_content", "seal", "table", "text", "vertical_text",
+    "vision_footnote",
+]
+
+DEFAULT_ABANDON_LABELS = {
+    "header", "footer", "number", "aside_text", "vision_footnote",
+    "header_image", "footer_image", "footnote",
+}
+
+V2_CATEGORY_MAP = {
+    "abstract": CategoryId.Text,
+    "algorithm": CategoryId.Text,
+    "aside_text": CategoryId.Text,
+    "chart": CategoryId.ImageBody,
+    "content": CategoryId.Text,
+    "display_formula": CategoryId.InterlineEquation_YOLO,
+    "doc_title": CategoryId.Title,
+    "figure_title": CategoryId.Text,
+    "footer": CategoryId.Text,
+    "footer_image": CategoryId.ImageBody,
+    "footnote": CategoryId.Text,
+    "formula_number": CategoryId.InterlineEquationNumber_Layout,
+    "header": CategoryId.Text,
+    "header_image": CategoryId.ImageBody,
+    "image": CategoryId.ImageBody,
+    "inline_formula": CategoryId.InlineEquation,
+    "number": CategoryId.Text,
+    "paragraph_title": CategoryId.Title,
+    "reference": CategoryId.Text,
+    "reference_content": CategoryId.Text,
+    "seal": CategoryId.ImageBody,
+    "table": CategoryId.TableBody,
+    "text": CategoryId.Text,
+    "vertical_text": CategoryId.Text,
+    "vision_footnote": CategoryId.Text,
+}
+
+
+def class_nms(
+    boxes: np.ndarray, scores: np.ndarray, labels: np.ndarray,
+    iou_same: float = 0.6, iou_diff: float = 0.98,
+) -> list[int]:
+    """NMS with separate IoU thresholds for same-class and cross-class pairs
+    (reference: pp_doclayout/post_process.py:948)."""
+    order = np.argsort(-scores)
+    keep: list[int] = []
+    if len(boxes) == 0:
+        return keep
+    ious = B.iou_matrix(boxes, boxes)
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        same = labels == labels[i]
+        suppressed |= same & (ious[i] > iou_same)
+        suppressed |= (~same) & (ious[i] > iou_diff)
+        suppressed[i] = True
+    return keep
+
+
+@dataclass
+class LayoutConfig:
+    model_size: str = "B4"
+    input_size: int = 800
+    conf_threshold: float = 0.5
+    num_queries: int = 300
+    dec_layers: int = 6
+    markdown_ignore_labels: frozenset = frozenset(DEFAULT_ABANDON_LABELS)
+
+
+class LayoutDetector:
+    """Batched RT-DETR layout detection; output dets in image pixels."""
+
+    def __init__(self, variables=None, config: LayoutConfig | None = None,
+                 seed: int = 0):
+        self.config = config or LayoutConfig()
+        cfg = self.config
+        self.labels = DOCLAYOUT_V2_LABELS
+        self.model = RTDETR(
+            num_classes=len(self.labels),
+            backbone_size=cfg.model_size,
+            num_queries=cfg.num_queries,
+            dec_layers=cfg.dec_layers,
+        )
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed),
+                np.zeros((1, cfg.input_size, cfg.input_size, 3), np.float32),
+            )
+        spec = BucketSpec(
+            heights=(cfg.input_size,), widths=(cfg.input_size,),
+            batch_sizes=(1, 2, 4, 8),
+        )
+        self.session = JaxSession(
+            lambda v, x: self.model.apply(v, x), variables, spec, name="layout"
+        )
+
+    @classmethod
+    def build(cls, configs: dict) -> "LayoutDetector":
+        models_dir = get_models_dir()
+        from ..registry import _load_variables
+
+        variables = _load_variables(models_dir / "layout_doclayout_v3.npz")
+        if variables is None and not configs.get("allow_random_init", True):
+            raise FileNotFoundError("layout checkpoint missing")
+        if variables is None:
+            logger.warning(
+                "layout checkpoint not found — random init (structure only)"
+            )
+        return cls(variables)
+
+    def batch_predict(self, images: list[np.ndarray]) -> list[list[dict]]:
+        """images: uint8 RGB arrays. Returns per-image layout_dets
+        ({category_id, poly, score, original_label, original_order})."""
+        if not images:
+            return []
+        size = self.config.input_size
+        batch = np.stack(
+            [
+                cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+                for img in images
+            ]
+        ).astype(np.float32) / 255.0
+        outs = self.session(batch)
+        results = []
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            results.append(
+                self._postprocess(
+                    outs["scores"][i], outs["labels"][i], outs["boxes"][i], w, h
+                )
+            )
+        return results
+
+    def _postprocess(self, scores, labels, boxes_cxcywh, src_w, src_h) -> list[dict]:
+        cfg = self.config
+        mask = scores > cfg.conf_threshold
+        if not mask.any():
+            return []
+        scores = scores[mask]
+        labels = labels[mask]
+        b = boxes_cxcywh[mask]
+        # cxcywh [0,1] -> xyxy pixels
+        xyxy = np.stack(
+            [
+                (b[:, 0] - b[:, 2] / 2) * src_w,
+                (b[:, 1] - b[:, 3] / 2) * src_h,
+                (b[:, 0] + b[:, 2] / 2) * src_w,
+                (b[:, 1] + b[:, 3] / 2) * src_h,
+            ],
+            axis=1,
+        )
+        xyxy[:, 0::2] = np.clip(xyxy[:, 0::2], 0, src_w)
+        xyxy[:, 1::2] = np.clip(xyxy[:, 1::2], 0, src_h)
+        keep = class_nms(xyxy, scores, labels)
+        dets = []
+        for order, i in enumerate(keep):
+            label = self.labels[int(labels[i])]
+            cat = V2_CATEGORY_MAP.get(label, CategoryId.Text)
+            if label in cfg.markdown_ignore_labels:
+                cat = CategoryId.Abandon
+            x0, y0, x1, y1 = xyxy[i]
+            dets.append(
+                {
+                    "category_id": cat,
+                    "poly": [x0, y0, x1, y0, x1, y1, x0, y1],
+                    "score": float(scores[i]),
+                    "original_label": label,
+                    "original_order": order,
+                }
+            )
+        return dets
