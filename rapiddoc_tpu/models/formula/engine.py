@@ -1,0 +1,205 @@
+"""Formula recognition engine: crops -> LaTeX.
+
+Pipeline parity with the reference formula stack (reference:
+rapid_doc/model/formula/rapid_formula_self/model_handler/pp_formulanet_plus/
+pre_process.py:12-257 — crop margin, UniMERNet normalize mean .7931 /
+std .1738, grayscale->3ch, pad to /16 shape buckets; post_process.py —
+tokenizer decode + LaTeX fixups). The AR decode runs as a compiled
+lax.while_loop per (image-bucket, length-bucket) pair.
+"""
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import get_models_dir
+from ...utils.logging import get_logger
+from .decoder import greedy_decode
+from .model import build_formula_modules
+
+logger = get_logger("rapiddoc_tpu.formula")
+
+UNIMER_MEAN = 0.7931
+UNIMER_STD = 0.1738
+
+# (H, W) buckets — all /32-divisible
+IMAGE_BUCKETS = [(96, 384), (128, 512), (192, 768), (192, 1024)]
+LENGTH_BUCKETS = (256, 512, 1024, 2560)
+
+
+def crop_margin(img: np.ndarray, pad: int = 8) -> np.ndarray:
+    """Trim uniform white margins around the formula."""
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) if img.ndim == 3 else img
+    mask = gray < 250
+    if not mask.any():
+        return img
+    ys, xs = np.where(mask)
+    y0, y1 = max(ys.min() - pad, 0), min(ys.max() + pad + 1, img.shape[0])
+    x0, x1 = max(xs.min() - pad, 0), min(xs.max() + pad + 1, img.shape[1])
+    return img[y0:y1, x0:x1]
+
+
+def preprocess_formula(img: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
+    """uint8 RGB -> normalized bucket image; returns (array, bucket_hw)."""
+    img = crop_margin(img)
+    h, w = img.shape[:2]
+    # pick the smallest bucket that fits at uniform scale
+    for bh, bw in IMAGE_BUCKETS:
+        scale = min(bh / max(h, 1), bw / max(w, 1))
+        if scale >= 1.0 or (bh, bw) == IMAGE_BUCKETS[-1]:
+            break
+    scale = min(bh / max(h, 1), bw / max(w, 1), 1.5)
+    rh, rw = max(1, int(h * scale)), max(1, int(w * scale))
+    resized = cv2.resize(img, (rw, rh))
+    if resized.ndim == 2:
+        resized = np.stack([resized] * 3, axis=-1)
+    canvas = np.full((bh, bw, 3), 255, np.uint8)
+    canvas[:rh, :rw] = resized
+    x = canvas.astype(np.float32) / 255.0
+    x = (x - UNIMER_MEAN) / UNIMER_STD
+    return x, (bh, bw)
+
+
+class FormulaTokenizer:
+    """UniMERNet-style tokenizer wrapper (HF tokenizers format)."""
+
+    def __init__(self, path: Path | None):
+        self._tok = None
+        if path is not None and path.is_file():
+            try:
+                from tokenizers import Tokenizer
+
+                self._tok = Tokenizer.from_file(str(path))
+            except Exception:
+                logger.warning("failed to load formula tokenizer at %s", path)
+
+    def available(self) -> bool:
+        return self._tok is not None
+
+    def decode(self, ids: list[int]) -> str:
+        if self._tok is None:
+            return ""
+        text = self._tok.decode(ids, skip_special_tokens=True)
+        return fix_latex(text)
+
+
+def fix_latex(text: str) -> str:
+    """Post-decode LaTeX cleanup (spacing artifacts from BPE)."""
+    text = text.replace("\\ ", "\\")
+    text = re.sub(r"\\(?=[a-zA-Z])", r" \\", text)
+    text = re.sub(r"\s+", " ", text).strip()
+    # rebalance braces defensively
+    opens, closes = text.count("{"), text.count("}")
+    if opens > closes:
+        text += "}" * (opens - closes)
+    return text
+
+
+@dataclass
+class FormulaConfig:
+    max_len: int = 2560
+    vocab_size: int = 50000
+    layers: int = 6
+    backbone_size: str = "B6"
+    default_length_bucket: int = 256
+
+
+class FormulaRecognizer:
+    def __init__(self, variables=None, config: FormulaConfig | None = None,
+                 seed: int = 0):
+        self.config = config or FormulaConfig()
+        cfg = self.config
+        self.encoder, self.decoder, self.mem_proj, self.mbart_cfg = (
+            build_formula_modules(
+                max_len=cfg.max_len, vocab_size=cfg.vocab_size,
+                layers=cfg.layers, backbone_size=cfg.backbone_size,
+            )
+        )
+        if variables is None:
+            rng = jax.random.PRNGKey(seed)
+            x = np.zeros((1, 96, 384, 3), np.float32)
+            enc_vars = self.encoder.init(rng, x)
+            mem = np.zeros((1, 36, self.mbart_cfg.d_model), np.float32)
+            mem_vars = self.mem_proj.init(rng, mem)
+            hd = self.mbart_cfg.d_model // self.mbart_cfg.heads
+            dec_vars = self.decoder.init(
+                rng,
+                np.zeros((1, 1), np.int32),
+                np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
+                np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
+                0,
+                np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
+                np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
+                np.ones((1, 36), bool),
+            )
+            variables = {"encoder": enc_vars, "decoder": dec_vars,
+                         "mem_proj": mem_vars}
+        self.variables = variables
+        self.tokenizer = FormulaTokenizer(
+            get_models_dir() / "formula_tokenizer.json"
+        )
+        self._compiled: dict = {}
+
+    @classmethod
+    def build(cls, configs: dict) -> "FormulaRecognizer":
+        from ..registry import _load_variables
+
+        variables = _load_variables(get_models_dir() / "formula_net_plus_m.npz")
+        if variables is None:
+            if configs.get("require_weights"):
+                raise FileNotFoundError("formula checkpoint missing")
+            logger.warning(
+                "formula checkpoint not found — random init (structure only)"
+            )
+        return cls(variables)
+
+    def _decode_fn(self, max_len: int):
+        fn = self._compiled.get(max_len)
+        if fn is None:
+            def run(enc_vars, dec_vars, mem_vars, images):
+                memory = self.encoder.apply(
+                    enc_vars, images.astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                mem_mask = jnp.ones(memory.shape[:2], bool)
+                return greedy_decode(
+                    self.decoder, dec_vars, self.mem_proj, mem_vars,
+                    memory, mem_mask, max_len,
+                )
+
+            fn = jax.jit(run, static_argnums=())
+            self._compiled[max_len] = fn
+        return fn
+
+    def batch_predict(
+        self, crops: list[np.ndarray], length_bucket: int | None = None
+    ) -> list[str]:
+        if not crops:
+            return []
+        max_len = length_bucket or self.config.default_length_bucket
+        groups: dict[tuple[int, int], list[int]] = {}
+        prepped: list[np.ndarray] = []
+        for i, crop in enumerate(crops):
+            x, bucket = preprocess_formula(crop)
+            prepped.append(x)
+            groups.setdefault(bucket, []).append(i)
+        out: list[str] = [""] * len(crops)
+        fn = self._decode_fn(max_len)
+        for bucket, idxs in groups.items():
+            batch = np.stack([prepped[i] for i in idxs])
+            tokens, lengths = fn(
+                self.variables["encoder"], self.variables["decoder"],
+                self.variables["mem_proj"], jnp.asarray(batch),
+            )
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            for j, i in enumerate(idxs):
+                ids = tokens[j, : max(int(lengths[j]) - 1, 0)].tolist()
+                out[i] = self.tokenizer.decode(ids)
+        return out
