@@ -1,0 +1,117 @@
+"""Table recognition engine: cls -> wired(UNet)/wireless(UNITABLE) -> HTML.
+
+Composite-strategy parity with the reference (reference:
+rapid_doc/model/table/rapid_table.py:46-285 — classifier routes each table
+crop to the wired or wireless structure model; OCR fills cell text; the
+matcher emits final HTML).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...config import get_models_dir
+from ...utils.logging import get_logger
+from .cls import TableClassifier, heuristic_table_kind
+from .matcher import build_html_from_grid, html_from_structure_tokens, match_ocr_to_cells
+from .unet import WiredTableStructure
+from .unitable import UniTableStructure
+
+logger = get_logger("rapiddoc_tpu.table")
+
+
+@dataclass
+class TableConfig:
+    use_cls_model: bool = False  # heuristic until trained cls weights exist
+    wireless_max_len: int = 256
+
+
+class TableRecognizer:
+    def __init__(self, config: TableConfig | None = None, ocr_system=None,
+                 variables: dict | None = None):
+        self.config = config or TableConfig()
+        variables = variables or {}
+        self.classifier = (
+            TableClassifier(variables.get("cls"))
+            if self.config.use_cls_model
+            else None
+        )
+        self.wired = WiredTableStructure(variables.get("unet"))
+        self.wireless = UniTableStructure(variables.get("unitable"))
+        self.ocr = ocr_system
+
+    @classmethod
+    def build(cls, configs: dict) -> "TableRecognizer":
+        from ..registry import _load_variables
+
+        models_dir = get_models_dir()
+        variables = {
+            "unet": _load_variables(models_dir / "table_unet.npz"),
+            "unitable": _load_variables(models_dir / "table_unitable.npz"),
+            "cls": _load_variables(models_dir / "table_cls.npz"),
+        }
+        if all(v is None for v in variables.values()):
+            logger.warning(
+                "table checkpoints not found — random init (structure only)"
+            )
+        return cls(
+            TableConfig(use_cls_model=variables["cls"] is not None),
+            variables=variables,
+        )
+
+    def batch_predict(self, crops: list[np.ndarray]) -> list[str]:
+        """Table crops -> HTML strings."""
+        if not crops:
+            return []
+        if self.classifier is not None:
+            kinds = self.classifier(crops)
+        else:
+            kinds = [heuristic_table_kind(c) for c in crops]
+        results = [""] * len(crops)
+        wired_idx = [i for i, k in enumerate(kinds) if k == "wired"]
+        wireless_idx = [i for i, k in enumerate(kinds) if k == "wireless"]
+        for i in wired_idx:
+            results[i] = self._predict_wired(crops[i])
+        if wireless_idx:
+            structures = self.wireless(
+                [crops[i] for i in wireless_idx],
+                max_len=self.config.wireless_max_len,
+            )
+            for i, (structure, bboxes) in zip(wireless_idx, structures):
+                results[i] = self._fill_text(crops[i], structure, bboxes)
+        return results
+
+    # ------------------------------------------------------------- wired
+
+    def _predict_wired(self, crop: np.ndarray) -> str:
+        cell_boxes, grid = self.wired(crop)
+        if not cell_boxes:
+            return ""
+        texts = self._cell_texts(crop, cell_boxes)
+        return build_html_from_grid(grid, texts)
+
+    def _fill_text(
+        self, crop: np.ndarray, structure: list[str], bboxes: list[list[float]]
+    ) -> str:
+        if not structure:
+            return ""
+        texts = self._cell_texts(crop, bboxes) if bboxes else []
+        return html_from_structure_tokens(structure, texts)
+
+    def _cell_texts(
+        self, crop: np.ndarray, cell_boxes: list[list[float]]
+    ) -> list[str]:
+        if self.ocr is None or not cell_boxes:
+            return [""] * len(cell_boxes)
+        ocr_out = self.ocr([crop])[0]
+        items = [
+            {"bbox": [min(p[0] for p in it["box"]), min(p[1] for p in it["box"]),
+                      max(p[0] for p in it["box"]), max(p[1] for p in it["box"])],
+             "text": it["text"]}
+            for it in ocr_out
+        ]
+        assignments = match_ocr_to_cells(cell_boxes, items)
+        return [
+            " ".join(items[i]["text"] for i in idxs) for idxs in assignments
+        ]

@@ -1,0 +1,146 @@
+"""UNet wired-table segmentation + host cell recovery.
+
+Role parity with the reference wired-table pipeline (reference:
+rapid_doc/model/table/rapid_table_self/table_structure/unet/main.py —
+fixed 1024x1024 input, semantic line mask -> cell polygons ->
+logical rows/cols; utils_table_recover.py). The network is a standard
+UNet in flax; cell extraction runs on the host with OpenCV.
+"""
+from __future__ import annotations
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..common.layers import ConvBNAct
+
+
+class DoubleConv(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBNAct(self.features, 3, name="conv1")(x)
+        x = ConvBNAct(self.features, 3, name="conv2")(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Classic UNet; output 2-channel logits (line vs background)."""
+
+    base: int = 16
+    depth: int = 4
+    out_channels: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        f = self.base
+        for i in range(self.depth):
+            x = DoubleConv(f, name=f"down{i}")(x)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            f *= 2
+        x = DoubleConv(f, name="bottom")(x)
+        for i in range(self.depth - 1, -1, -1):
+            f //= 2
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            x = nn.Conv(f, (2, 2), padding="SAME", name=f"upconv{i}")(x)
+            x = jnp.concatenate([skips[i], x], axis=-1)
+            x = DoubleConv(f, name=f"up{i}")(x)
+        return nn.Conv(self.out_channels, (1, 1), name="head")(x)
+
+
+def extract_cells_from_mask(
+    line_mask: np.ndarray, min_cell_area: int = 64
+) -> list[list[float]]:
+    """Line-probability mask -> cell boxes via connected components of the
+    complement inside the table region."""
+    mask = (line_mask > 0.5).astype(np.uint8)
+    if mask.sum() < 10:
+        return []
+    # close gaps in the line lattice
+    kernel = np.ones((3, 3), np.uint8)
+    lattice = cv2.dilate(mask, kernel)
+    inv = (1 - lattice).astype(np.uint8)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(inv, connectivity=4)
+    h, w = mask.shape
+    cells = []
+    for i in range(1, n):
+        x, y, cw, ch, area = stats[i]
+        if area < min_cell_area:
+            continue
+        # drop the outside background (touches the border massively)
+        if x == 0 and y == 0 and cw == w and ch == h:
+            continue
+        touches_border = x == 0 or y == 0 or x + cw >= w or y + ch >= h
+        if touches_border and area > 0.5 * h * w:
+            continue
+        cells.append([float(x), float(y), float(x + cw), float(y + ch)])
+    cells.sort(key=lambda b: (b[1], b[0]))
+    return cells
+
+
+def cells_to_grid(cells: list[list[float]]) -> list[tuple[int, int, int, int]]:
+    """Assign logical (row, col, rowspan, colspan) to cell boxes."""
+    if not cells:
+        return []
+    ys = sorted(set(round(c[1]) for c in cells))
+    xs = sorted(set(round(c[0]) for c in cells))
+
+    def cluster(vals: list[int], tol: int = 8) -> list[int]:
+        out: list[int] = []
+        for v in vals:
+            if not out or v - out[-1] > tol:
+                out.append(v)
+        return out
+
+    row_edges = cluster(ys)
+    col_edges = cluster(xs)
+
+    def nearest(edges: list[int], v: float) -> int:
+        return min(range(len(edges)), key=lambda i: abs(edges[i] - v))
+
+    grid = []
+    for x0, y0, x1, y1 in cells:
+        r = nearest(row_edges, y0)
+        c = nearest(col_edges, x0)
+        heights = [e for e in row_edges if y0 - 4 < e < y1 - 4]
+        widths = [e for e in col_edges if x0 - 4 < e < x1 - 4]
+        grid.append((r, c, max(1, len(heights)), max(1, len(widths))))
+    return grid
+
+
+class WiredTableStructure:
+    """Fixed-1024 UNet session + host recovery."""
+
+    INPUT = 1024
+
+    def __init__(self, variables=None, seed: int = 0):
+        self.model = UNet()
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed),
+                np.zeros((1, 256, 256, 3), np.float32),
+            )
+        self.variables = variables
+        self._fwd = jax.jit(
+            lambda v, x: jax.nn.softmax(
+                self.model.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32),
+                axis=-1,
+            )[..., 1]
+        )
+
+    def __call__(self, img: np.ndarray) -> tuple[list[list[float]], list]:
+        """Returns (cell boxes in source pixels, logical grid)."""
+        h, w = img.shape[:2]
+        resized = cv2.resize(img, (self.INPUT, self.INPUT))
+        x = resized.astype(np.float32)[None] / 255.0
+        prob = np.asarray(self._fwd(self.variables, jnp.asarray(x))[0])
+        cells = extract_cells_from_mask(prob)
+        sx, sy = w / self.INPUT, h / self.INPUT
+        scaled = [[c[0] * sx, c[1] * sy, c[2] * sx, c[3] * sy] for c in cells]
+        return scaled, cells_to_grid(cells)

@@ -1,0 +1,92 @@
+"""Table stack: mask->cells recovery, grid logic, matcher, engine plumbing."""
+import numpy as np
+import pytest
+
+
+def _synthetic_table_mask(rows=3, cols=4, size=256):
+    mask = np.zeros((size, size), np.float32)
+    xs = np.linspace(10, size - 10, cols + 1).astype(int)
+    ys = np.linspace(10, size - 10, rows + 1).astype(int)
+    for x in xs:
+        mask[ys[0] : ys[-1] + 1, x - 1 : x + 2] = 1.0
+    for y in ys:
+        mask[y - 1 : y + 2, xs[0] : xs[-1] + 1] = 1.0
+    return mask, rows, cols
+
+
+def test_extract_cells_from_mask():
+    from rapiddoc_tpu.models.table.unet import cells_to_grid, extract_cells_from_mask
+
+    mask, rows, cols = _synthetic_table_mask()
+    cells = extract_cells_from_mask(mask)
+    assert len(cells) == rows * cols
+    grid = cells_to_grid(cells)
+    assert len(grid) == rows * cols
+    assert max(g[0] for g in grid) == rows - 1
+    assert max(g[1] for g in grid) == cols - 1
+
+
+def test_build_html_from_grid():
+    from rapiddoc_tpu.models.table.matcher import build_html_from_grid
+
+    grid = [(0, 0, 1, 2), (1, 0, 1, 1), (1, 1, 1, 1)]
+    html = build_html_from_grid(grid, ["head", "a", "b"])
+    assert 'colspan="2"' in html
+    assert html.count("<tr>") == 2
+    assert "<td>a</td>" in html and "<td>b</td>" in html
+
+
+def test_match_ocr_to_cells():
+    from rapiddoc_tpu.models.table.matcher import match_ocr_to_cells
+
+    cells = [[0, 0, 50, 50], [50, 0, 100, 50]]
+    items = [
+        {"bbox": [5, 5, 45, 20], "text": "left"},
+        {"bbox": [55, 5, 95, 20], "text": "right"},
+        {"bbox": [48, 30, 60, 45], "text": "straddle"},
+    ]
+    a = match_ocr_to_cells(cells, items)
+    assert 0 in a[0] and 1 in a[1]
+    assert 2 in a[0] or 2 in a[1]
+
+
+def test_heuristic_table_kind():
+    import cv2
+
+    from rapiddoc_tpu.models.table.cls import heuristic_table_kind
+
+    img = np.full((200, 300, 3), 255, np.uint8)
+    for y in np.linspace(10, 190, 5).astype(int):
+        cv2.line(img, (10, y), (290, y), (0, 0, 0), 2)
+    for x in np.linspace(10, 290, 5).astype(int):
+        cv2.line(img, (x, 10), (x, 190), (0, 0, 0), 2)
+    assert heuristic_table_kind(img) == "wired"
+    blank = np.full((200, 300, 3), 255, np.uint8)
+    assert heuristic_table_kind(blank) == "wireless"
+
+
+def test_table_vocab_roundtrip():
+    from rapiddoc_tpu.models.table.unitable import TableVocab
+
+    v = TableVocab()
+    ids = [v.token_to_id[t] for t in ("<tr>", "<td></td>", "</tr>", "<eos>", "<tr>")]
+    toks = v.decode(ids)
+    assert toks == ["<tr>", "<td></td>", "</tr>"]  # eos stops decode
+
+
+@pytest.mark.slow
+def test_wired_engine_on_synthetic_table():
+    import cv2
+
+    from rapiddoc_tpu.models.table.engine import TableRecognizer
+
+    img = np.full((256, 256, 3), 255, np.uint8)
+    for y in (20, 100, 180, 236):
+        cv2.line(img, (20, y), (236, y), (0, 0, 0), 2)
+    for x in (20, 128, 236):
+        cv2.line(img, (x, 20), (x, 236), (0, 0, 0), 2)
+    rec = TableRecognizer()
+    htmls = rec.batch_predict([img])
+    assert len(htmls) == 1
+    # wired path + random UNet weights: structure may be empty but must not crash
+    assert isinstance(htmls[0], str)
