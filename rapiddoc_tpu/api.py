@@ -151,6 +151,8 @@ class RapidDoc:
         output_dir: str | Path | None = None,
         **overrides: Any,
     ) -> RapidDocOutput | list[RapidDocOutput]:
+        if isinstance(inputs, (bytearray, memoryview)):
+            inputs = bytes(inputs)
         if isinstance(inputs, (str, bytes, Path)):
             return self._parse_single(inputs, output_dir, **overrides)
         return [self._parse_single(item, output_dir, **overrides) for item in inputs]

@@ -152,12 +152,8 @@ class FormulaRecognizer:
         from ..registry import _load_variables
 
         variables = _load_variables(get_models_dir() / "formula_net_plus_m.npz")
-        if variables is None:
-            if configs.get("require_weights"):
-                raise FileNotFoundError("formula checkpoint missing")
-            logger.warning(
-                "formula checkpoint not found — random init (structure only)"
-            )
+        if variables is None and not configs.get("allow_random_init", False):
+            raise FileNotFoundError("formula checkpoint missing")
         return cls(variables)
 
     def _decode_fn(self, max_len: int):

@@ -136,12 +136,10 @@ class LayoutDetector:
         from ..registry import _load_variables
 
         variables = _load_variables(models_dir / "layout_doclayout_v3.npz")
-        if variables is None and not configs.get("allow_random_init", True):
+        if variables is None and not configs.get("allow_random_init", False):
+            # without trained weights a random detector is worse than the
+            # structural fallback (native text / OCR det drive the layout)
             raise FileNotFoundError("layout checkpoint missing")
-        if variables is None:
-            logger.warning(
-                "layout checkpoint not found — random init (structure only)"
-            )
         return cls(variables)
 
     def batch_predict(self, images: list[np.ndarray]) -> list[list[dict]]:

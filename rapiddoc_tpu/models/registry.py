@@ -77,6 +77,8 @@ def build_ocr_system(configs: dict | None = None):
 
 
 def build_layout_model(configs: dict | None = None):
+    if os.environ.get("RAPIDDOC_DISABLE_LAYOUT"):
+        return None
     try:
         from .layout.engine import LayoutDetector
 
@@ -86,6 +88,8 @@ def build_layout_model(configs: dict | None = None):
 
 
 def build_formula_model(configs: dict | None = None):
+    if os.environ.get("RAPIDDOC_DISABLE_FORMULA"):
+        return None
     try:
         from .formula.engine import FormulaRecognizer
 
@@ -95,6 +99,8 @@ def build_formula_model(configs: dict | None = None):
 
 
 def build_table_model(configs: dict | None = None):
+    if os.environ.get("RAPIDDOC_DISABLE_TABLE"):
+        return None
     try:
         from .table.engine import TableRecognizer
 

@@ -51,10 +51,10 @@ class TableRecognizer:
             "unitable": _load_variables(models_dir / "table_unitable.npz"),
             "cls": _load_variables(models_dir / "table_cls.npz"),
         }
-        if all(v is None for v in variables.values()):
-            logger.warning(
-                "table checkpoints not found — random init (structure only)"
-            )
+        if all(v is None for v in variables.values()) and not configs.get(
+            "allow_random_init", False
+        ):
+            raise FileNotFoundError("table checkpoints missing")
         return cls(
             TableConfig(use_cls_model=variables["cls"] is not None),
             variables=variables,

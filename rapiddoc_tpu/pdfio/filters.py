@@ -44,11 +44,22 @@ def _apply_predictor(data: bytes, params: dict) -> bytes:
     if predictor == 2:  # TIFF horizontal differencing (8-bit only)
         if bpc != 8:
             return data
+        from ..utils import native
+
+        fast = native.tiff_defilter(data, row_len, bpp)
+        if fast is not None:
+            return fast
         out = bytearray(data)
         for r in range(0, len(out) - row_len + 1, row_len):
             for i in range(bpp, row_len):
                 out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
         return bytes(out)
+
+    from ..utils import native
+
+    fast = native.png_defilter(data, row_len, bpp)
+    if fast is not None:
+        return fast
 
     # PNG predictors: each row prefixed by a filter-type byte
     stride = row_len + 1

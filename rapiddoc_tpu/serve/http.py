@@ -1,0 +1,140 @@
+"""HTTP parsing service.
+
+API parity with the reference FastAPI server (reference:
+docker/app.py:37-172 — GET /health, POST /file_parse multipart with
+per-request config JSON strings, zip or JSON response). Implemented on
+aiohttp (fastapi is absent from this environment); endpoint shapes and
+field names match.
+"""
+from __future__ import annotations
+
+import asyncio
+import io
+import json
+import zipfile
+from concurrent.futures import ThreadPoolExecutor
+
+from ..utils.logging import get_logger
+from ..version import __version__
+
+logger = get_logger("rapiddoc_tpu.serve")
+
+_executor = ThreadPoolExecutor(max_workers=2)
+
+
+def _parse_bytes(data: bytes, filename: str, options: dict) -> dict:
+    from ..api import RapidDoc
+
+    engine = RapidDoc(
+        parse_method=options.get("parse_method", "auto"),
+        lang=options.get("lang", "ch"),
+        formula_enable=options.get("formula_enable", True),
+        table_enable=options.get("table_enable", True),
+        layout_config=options.get("layout_config") or {},
+        ocr_config=options.get("ocr_config") or {},
+        formula_config=options.get("formula_config") or {},
+        table_config=options.get("table_config") or {},
+    )
+    suffix = "." + filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
+    out = engine(data if suffix == "" else _named_bytes(data, filename))
+    return {
+        "markdown": out.markdown,
+        "middle_json": out.middle_json,
+        "content_list": out.content_list_json,
+        "images": out.images,
+        "filename": filename,
+    }
+
+
+def _named_bytes(data: bytes, filename: str):
+    # RapidDoc sniffs content; the name only matters for office suffixes
+    return data
+
+
+def make_app():
+    from aiohttp import web
+
+    routes = web.RouteTableDef()
+
+    @routes.get("/health")
+    async def health(request):
+        return web.json_response({"status": "ok", "version": __version__})
+
+    @routes.post("/file_parse")
+    async def file_parse(request):
+        try:
+            reader = await request.multipart()
+        except (ValueError, AssertionError):
+            return web.json_response(
+                {"error": "multipart form data expected"}, status=400
+            )
+        file_bytes = None
+        filename = "document"
+        options: dict = {}
+        return_zip = False
+        async for part in reader:
+            if part.name in ("file", "files"):
+                filename = part.filename or filename
+                file_bytes = await part.read(decode=False)
+            elif part.name == "return_format":
+                return_zip = (await part.text()) == "zip"
+            else:
+                text = await part.text()
+                try:
+                    options[part.name] = json.loads(text)
+                except json.JSONDecodeError:
+                    options[part.name] = text
+        if file_bytes is None:
+            return web.json_response({"error": "no file uploaded"}, status=400)
+        loop = asyncio.get_running_loop()
+        try:
+            result = await loop.run_in_executor(
+                _executor, _parse_bytes, file_bytes, filename, options
+            )
+        except Exception as e:
+            logger.exception("parse failed")
+            return web.json_response({"error": str(e)}, status=500)
+        if return_zip:
+            buf = io.BytesIO()
+            name = filename.rsplit(".", 1)[0]
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                z.writestr(f"{name}.md", result["markdown"])
+                z.writestr(
+                    f"{name}_middle.json",
+                    json.dumps(result["middle_json"], ensure_ascii=False,
+                               default=str),
+                )
+                z.writestr(
+                    f"{name}_content_list.json",
+                    json.dumps(result["content_list"], ensure_ascii=False,
+                               default=str),
+                )
+                for rel, blob in result["images"].items():
+                    z.writestr(rel, blob)
+            return web.Response(
+                body=buf.getvalue(),
+                content_type="application/zip",
+                headers={
+                    "Content-Disposition": f'attachment; filename="{name}.zip"'
+                },
+            )
+        import base64
+
+        result["images"] = {
+            k: base64.b64encode(v).decode() for k, v in result["images"].items()
+        }
+        return web.json_response(result, dumps=lambda o: json.dumps(o, default=str))
+
+    app = web.Application(client_max_size=256 * 1024 * 1024)
+    app.add_routes(routes)
+    return app
+
+
+def main(host: str = "0.0.0.0", port: int = 8000):
+    from aiohttp import web
+
+    web.run_app(make_app(), host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,12 @@ def iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
     """Pairwise IoU, shape [len(a), len(b)]."""
     a = np.asarray(boxes_a, dtype=np.float64).reshape(-1, 4)
     b = np.asarray(boxes_b, dtype=np.float64).reshape(-1, 4)
+    if a.shape[0] * b.shape[0] >= 4096:  # native path pays off at scale
+        from . import native
+
+        fast = native.iou_matrix(a, b)
+        if fast is not None:
+            return fast
     x0 = np.maximum(a[:, None, 0], b[None, :, 0])
     y0 = np.maximum(a[:, None, 1], b[None, :, 1])
     x1 = np.minimum(a[:, None, 2], b[None, :, 2])

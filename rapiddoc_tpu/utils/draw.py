@@ -1,0 +1,92 @@
+"""Visual QA overlays: layout / span boxes drawn onto rendered pages.
+
+Role parity with the reference (reference: rapid_doc/utils/draw_bbox.py —
+*_layout.pdf / *_span.pdf debug artifacts). Emits a PDF built from
+annotated page renders.
+"""
+from __future__ import annotations
+
+from PIL import Image, ImageDraw, ImageFont
+
+from ..types import BlockType
+
+_TYPE_COLORS = {
+    BlockType.TEXT: (30, 120, 255),
+    BlockType.TITLE: (220, 40, 40),
+    BlockType.IMAGE: (40, 170, 90),
+    BlockType.IMAGE_BODY: (40, 170, 90),
+    BlockType.IMAGE_CAPTION: (120, 200, 120),
+    BlockType.TABLE: (200, 120, 30),
+    BlockType.TABLE_BODY: (200, 120, 30),
+    BlockType.TABLE_CAPTION: (230, 170, 90),
+    BlockType.INTERLINE_EQUATION: (160, 60, 200),
+    BlockType.LIST: (60, 60, 220),
+    BlockType.INDEX: (90, 90, 180),
+    BlockType.DISCARDED: (150, 150, 150),
+}
+_DEFAULT_COLOR = (90, 90, 90)
+
+
+def draw_layout_on_page(
+    page_img: Image.Image, page_info: dict, scale: float
+) -> Image.Image:
+    """Draw block boxes + reading-order indices on a rendered page."""
+    img = page_img.convert("RGB").copy()
+    draw = ImageDraw.Draw(img)
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf", 16
+        )
+    except OSError:
+        font = ImageFont.load_default()
+
+    def draw_block(block: dict, order: int | None) -> None:
+        color = _TYPE_COLORS.get(block["type"], _DEFAULT_COLOR)
+        x0, y0, x1, y1 = (v * scale for v in block["bbox"])
+        draw.rectangle([x0, y0, x1, y1], outline=color, width=2)
+        label = block["type"] + (f" #{order}" if order is not None else "")
+        draw.text((x0 + 2, max(y0 - 18, 0)), label, fill=color, font=font)
+
+    blocks = page_info.get("para_blocks") or page_info.get("preproc_blocks") or []
+    for i, block in enumerate(blocks):
+        draw_block(block, i)
+        for sub in block.get("blocks", []):
+            draw_block(sub, None)
+    for block in page_info.get("discarded_blocks", []):
+        draw_block(block, None)
+    return img
+
+
+def draw_spans_on_page(
+    page_img: Image.Image, page_info: dict, scale: float
+) -> Image.Image:
+    img = page_img.convert("RGB").copy()
+    draw = ImageDraw.Draw(img)
+
+    def walk(blocks):
+        for block in blocks:
+            if "blocks" in block:
+                walk(block["blocks"])
+            for line in block.get("lines", []):
+                for span in line.get("spans", []):
+                    x0, y0, x1, y1 = (v * scale for v in span["bbox"])
+                    draw.rectangle([x0, y0, x1, y1], outline=(255, 80, 80), width=1)
+
+    walk(page_info.get("para_blocks") or page_info.get("preproc_blocks") or [])
+    return img
+
+
+def render_debug_pdf(
+    page_imgs: list[Image.Image],
+    pdf_info: list[dict],
+    scale: float,
+    mode: str = "layout",
+) -> bytes:
+    """Annotated pages -> a PDF for visual QA."""
+    from ..pdfio.writer import images_to_pdf
+
+    fn = draw_layout_on_page if mode == "layout" else draw_spans_on_page
+    annotated = [
+        fn(img, info, scale) for img, info in zip(page_imgs, pdf_info)
+    ]
+    return images_to_pdf(annotated, dpi=int(72 * scale))

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+# Tests never build the heavyweight random-init model stacks implicitly;
+# model-specific tests construct tiny configs explicitly.
+os.environ.setdefault("RAPIDDOC_DISABLE_LAYOUT", "1")
+os.environ.setdefault("RAPIDDOC_DISABLE_FORMULA", "1")
+os.environ.setdefault("RAPIDDOC_DISABLE_TABLE", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,162 @@
+"""Long-tail components: chunker, md converters, checkbox, orientation,
+draw overlays, CLI, HTTP server."""
+import io
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("RAPIDDOC_DISABLE_OCR", "1")
+
+
+def test_chunker_headings_and_tables():
+    from rapiddoc_tpu.chunker.text_splitters import split_markdown
+
+    md = "# Title\n\npara one. " + "x" * 100 + "\n\n## Sub\n\n" + (
+        "<table>" + "".join(f"<tr><td>r{i}</td></tr>" for i in range(200)) + "</table>"
+    )
+    chunks = split_markdown(md, max_chars=500)
+    assert len(chunks) > 2
+    assert any(c.headings == ["Title"] for c in chunks)
+    table_chunks = [c for c in chunks if "<table>" in c.text]
+    assert len(table_chunks) > 1  # long table was split
+    for c in table_chunks:
+        assert c.text.count("<table>") == c.text.count("</table>") == 1
+
+
+def test_markdown_to_html():
+    from rapiddoc_tpu.utils.markdown_convert import markdown_to_html
+
+    html = markdown_to_html("# Hello\n\nworld **bold**")
+    assert "<h1>" in html and "<strong>bold</strong>" in html
+
+
+def test_markdown_to_docx_roundtrip():
+    import zipfile as zf
+
+    from rapiddoc_tpu.office.docx import docx_to_blocks
+    from rapiddoc_tpu.utils.markdown_convert import markdown_to_docx
+
+    md = "# Heading One\n\nSome paragraph text.\n\n<table><tr><td>A</td><td>B</td></tr></table>"
+    blob = markdown_to_docx(md)
+    with zf.ZipFile(io.BytesIO(blob)) as z:
+        assert "word/document.xml" in z.namelist()
+    # our own docx converter can read it back
+    result = docx_to_blocks(blob)
+    texts = [b.text for b in result.blocks]
+    assert any("Heading One" in t for t in texts)
+    assert any("paragraph text" in t for t in texts)
+    assert any(b.type == "table" for b in result.blocks)
+
+
+def test_checkbox_detection():
+    import cv2
+
+    from rapiddoc_tpu.utils.checkbox import detect_checkboxes
+
+    img = np.full((100, 200, 3), 255, np.uint8)
+    cv2.rectangle(img, (20, 20), (44, 44), (0, 0, 0), 2)  # empty box
+    cv2.rectangle(img, (80, 20), (104, 44), (0, 0, 0), 2)  # ticked box
+    cv2.line(img, (84, 24), (100, 40), (0, 0, 0), 3)
+    cv2.line(img, (100, 24), (84, 40), (0, 0, 0), 3)
+    boxes = detect_checkboxes(img)
+    assert len(boxes) == 2
+    by_x = sorted(boxes, key=lambda b: b["bbox"][0])
+    assert by_x[0]["checked"] is False
+    assert by_x[1]["checked"] is True
+
+
+def test_orientation_classifier_runs():
+    from rapiddoc_tpu.models.orientation.engine import (
+        OrientationClassifier,
+        rotate_image,
+    )
+
+    cls = OrientationClassifier()
+    img = np.random.randint(0, 255, (120, 90, 3), np.uint8)
+    angles = cls([img])
+    assert angles[0] in (0, 90, 180, 270)
+    rotated = rotate_image(img, 90)
+    assert rotated.shape[:2] == (90, 120)
+
+
+def test_draw_layout_overlay():
+    from PIL import Image
+
+    from rapiddoc_tpu.utils.draw import draw_layout_on_page
+
+    page_info = {
+        "para_blocks": [
+            {"type": "text", "bbox": [10, 10, 100, 40], "lines": []},
+            {"type": "title", "bbox": [10, 60, 100, 90], "lines": []},
+        ],
+        "discarded_blocks": [],
+    }
+    img = Image.new("RGB", (200, 200), "white")
+    out = draw_layout_on_page(img, page_info, 1.0)
+    assert np.asarray(out).std() > 0  # something was drawn
+
+
+def test_cli_end_to_end(tmp_path):
+    from click.testing import CliRunner
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.cli.main import main
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((30, 80), "CLI test doc", fill="black")
+    pdf_path = tmp_path / "doc.pdf"
+    pdf_path.write_bytes(pdfio.images_to_pdf([img]))
+    runner = CliRunner()
+    result = runner.invoke(
+        main,
+        [str(pdf_path), "-o", str(tmp_path / "out"), "-m", "txt",
+         "--no-formula", "--no-table", "--html"],
+    )
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "out" / "doc" / "doc.md").exists()
+    assert (tmp_path / "out" / "doc" / "doc.html").exists()
+    assert (tmp_path / "out" / "doc" / "doc_middle.json").exists()
+
+
+def test_http_server():
+    import asyncio
+
+    aiohttp = pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.serve.http import make_app
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((30, 80), "server test", fill="black")
+    pdf = pdfio.images_to_pdf([img])
+
+    async def scenario():
+        app = make_app()
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.get("/health")
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["status"] == "ok"
+
+            form = aiohttp.FormData()
+            form.add_field("file", pdf, filename="t.pdf",
+                           content_type="application/pdf")
+            form.add_field("parse_method", '"txt"')
+            resp = await client.post("/file_parse", data=form)
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            assert "markdown" in data and "content_list" in data
+
+            # probe: no file -> 400
+            form = aiohttp.FormData()
+            form.add_field("parse_method", '"txt"')
+            resp = await client.post("/file_parse", data=form)
+            assert resp.status == 400
+
+    asyncio.run(scenario())
