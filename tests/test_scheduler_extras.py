@@ -1,0 +1,43 @@
+"""Scheduler extras: orientation coord restore, seal unwrap geometry."""
+import numpy as np
+
+
+def test_rotate_dets_back_identity_cycle():
+    from rapiddoc_tpu.pipeline.scheduler import _quad_poly, _rotate_dets_back
+
+    w, h = 200, 100  # original page
+    # a box in original coords
+    orig = [20.0, 30.0, 80.0, 60.0]
+    for angle in (90, 180, 270):
+        # forward-rotate the box like np.rot90(img, angle//90) does
+        x0, y0, x1, y1 = orig
+        if angle == 90:  # np.rot90 CCW once: (x,y)->(y, w-1-x); dims swap
+            pts = [(y, w - 1 - x) for x, y in ((x0, y0), (x1, y1))]
+            rot_w, rot_h = h, w
+        elif angle == 180:
+            pts = [(w - 1 - x, h - 1 - y) for x, y in ((x0, y0), (x1, y1))]
+            rot_w, rot_h = w, h
+        else:  # 270
+            pts = [(h - 1 - y, x) for x, y in ((x0, y0), (x1, y1))]
+            rot_w, rot_h = h, w
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        det = {"poly": _quad_poly(min(xs), min(ys), max(xs), max(ys))}
+        _rotate_dets_back([det], angle, rot_w, rot_h)
+        back = [det["poly"][0], det["poly"][1], det["poly"][4], det["poly"][5]]
+        np.testing.assert_allclose(back, orig, atol=1.5, err_msg=f"angle {angle}")
+
+
+def test_circle_detection_and_unwrap():
+    import cv2
+
+    from rapiddoc_tpu.models.ocr.seal import detect_circle, unwrap_circular_text
+
+    img = np.full((200, 200, 3), 255, np.uint8)
+    cv2.circle(img, (100, 100), 80, (180, 30, 30), 4)
+    circle = detect_circle(img)
+    assert circle is not None
+    cx, cy, r = circle
+    assert abs(cx - 100) < 12 and abs(cy - 100) < 12 and abs(r - 80) < 15
+    strip = unwrap_circular_text(img, cx, cy, r)
+    assert strip.shape[1] > strip.shape[0]  # a wide strip
