@@ -15,14 +15,28 @@ from ...config import get_models_dir
 from ...utils.logging import get_logger
 from .cls import TableClassifier, heuristic_table_kind
 from .matcher import build_html_from_grid, html_from_structure_tokens, match_ocr_to_cells
+from .slanet import SLANetStructure
 from .unet import WiredTableStructure
 from .unitable import UniTableStructure
 
 logger = get_logger("rapiddoc_tpu.table")
 
+# Composite strategies (reference: rapid_doc/model/table/rapid_table.py:46-96
+# — UNET_SLANET_PLUS default, UNET_UNITABLE, plus single-model modes). The
+# first element is the wired model ("unet" or None), the second the wireless
+# model ("slanet" / "unitable" or None).
+STRATEGIES = {
+    "unet_slanet_plus": ("unet", "slanet"),
+    "unet_unitable": ("unet", "unitable"),
+    "slanet_plus": (None, "slanet"),
+    "unitable": (None, "unitable"),
+    "unet": ("unet", None),
+}
+
 
 @dataclass
 class TableConfig:
+    strategy: str = "unet_slanet_plus"
     use_cls_model: bool = False  # heuristic until trained cls weights exist
     wireless_max_len: int = 256
 
@@ -31,14 +45,28 @@ class TableRecognizer:
     def __init__(self, config: TableConfig | None = None, ocr_system=None,
                  variables: dict | None = None):
         self.config = config or TableConfig()
+        if self.config.strategy not in STRATEGIES:
+            raise ValueError(
+                f"unknown table strategy {self.config.strategy!r}; "
+                f"one of {sorted(STRATEGIES)}"
+            )
+        wired_kind, wireless_kind = STRATEGIES[self.config.strategy]
         variables = variables or {}
         self.classifier = (
             TableClassifier(variables.get("cls"))
             if self.config.use_cls_model
             else None
         )
-        self.wired = WiredTableStructure(variables.get("unet"))
-        self.wireless = UniTableStructure(variables.get("unitable"))
+        self.wired = (
+            WiredTableStructure(variables.get("unet"))
+            if wired_kind == "unet" else None
+        )
+        if wireless_kind == "unitable":
+            self.wireless = UniTableStructure(variables.get("unitable"))
+        elif wireless_kind == "slanet":
+            self.wireless = SLANetStructure(variables.get("slanet"))
+        else:
+            self.wireless = None
         self.ocr = ocr_system
 
     @classmethod
@@ -49,6 +77,7 @@ class TableRecognizer:
         variables = {
             "unet": _load_variables(models_dir / "table_unet.npz"),
             "unitable": _load_variables(models_dir / "table_unitable.npz"),
+            "slanet": _load_variables(models_dir / "table_slanet.npz"),
             "cls": _load_variables(models_dir / "table_cls.npz"),
         }
         if all(v is None for v in variables.values()) and not configs.get(
@@ -56,7 +85,10 @@ class TableRecognizer:
         ):
             raise FileNotFoundError("table checkpoints missing")
         return cls(
-            TableConfig(use_cls_model=variables["cls"] is not None),
+            TableConfig(
+                strategy=configs.get("strategy", "unet_slanet_plus"),
+                use_cls_model=variables["cls"] is not None,
+            ),
             variables=variables,
         )
 
@@ -64,7 +96,11 @@ class TableRecognizer:
         """Table crops -> HTML strings."""
         if not crops:
             return []
-        if self.classifier is not None:
+        if self.wired is None:
+            kinds = ["wireless"] * len(crops)
+        elif self.wireless is None:
+            kinds = ["wired"] * len(crops)
+        elif self.classifier is not None:
             kinds = self.classifier(crops)
         else:
             kinds = [heuristic_table_kind(c) for c in crops]

@@ -90,3 +90,44 @@ def test_wired_engine_on_synthetic_table():
     assert len(htmls) == 1
     # wired path + random UNet weights: structure may be empty but must not crash
     assert isinstance(htmls[0], str)
+
+
+def test_slanet_vocab():
+    from rapiddoc_tpu.models.table.slanet import SLANetVocab
+
+    v = SLANetVocab()
+    assert v.tokens[v.sos_id] == "sos" and v.tokens[v.eos_id] == "eos"
+    for t in ("<td></td>", "<td", ">", "</td>", ' colspan="3"'):
+        assert t in v.token_to_id
+
+
+def test_slanet_decode_shapes():
+    import jax.numpy as jnp
+
+    from rapiddoc_tpu.models.table.slanet import SLANetConfig, SLANetStructure
+
+    m = SLANetStructure(config=SLANetConfig(scale=0.5, max_steps=12))
+    img = (np.random.rand(90, 160, 3) * 255).astype(np.uint8)
+    out = m([img, img])
+    assert len(out) == 2
+    for structure, bboxes in out:
+        assert isinstance(structure, list)
+        for b in bboxes:
+            assert len(b) == 4
+            assert b[2] >= b[0] and b[3] >= b[1]
+
+
+def test_engine_strategy_routing():
+    from rapiddoc_tpu.models.table.engine import (
+        STRATEGIES,
+        TableConfig,
+        TableRecognizer,
+    )
+
+    assert set(STRATEGIES) >= {
+        "unet_slanet_plus", "unet_unitable", "slanet_plus", "unitable", "unet"
+    }
+    rec = TableRecognizer(TableConfig(strategy="unet"))
+    assert rec.wireless is None and rec.wired is not None
+    with pytest.raises(ValueError):
+        TableRecognizer(TableConfig(strategy="nope"))
