@@ -81,7 +81,7 @@ def page_to_page_info(
     if not blocks and not discarded_filled:
         return None
 
-    sorted_blocks = sort_and_group_blocks(blocks)
+    sorted_blocks = sort_and_group_blocks(blocks, page_w, page_h)
     page_info = make_page_info(
         sorted_blocks, page_idx, page_w, page_h, discarded_filled
     )

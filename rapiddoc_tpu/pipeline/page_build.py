@@ -14,6 +14,7 @@ from typing import Any
 import numpy as np
 
 from ..reading_order.xycut import sort_boxes_reading_order
+from ..reading_order.xycut_v3 import sort_blocks_v3
 from ..types import BlockType, ContentType
 from ..utils import boxes as B
 
@@ -231,14 +232,22 @@ _GROUPABLE = {
 }
 
 
-def sort_and_group_blocks(blocks: list[dict]) -> list[dict]:
+def sort_and_group_blocks(
+    blocks: list[dict], page_w: float = 0.0, page_h: float = 0.0
+) -> list[dict]:
     """Reading order + nest image/table groups into composite blocks.
 
     Prefers the layout model's built-in order (original_order) when present
-    (reference: utils/block_sort.py:154-170); falls back to XY-cut.
+    (reference: utils/block_sort.py:154-170); else the v3 enhanced sorter
+    (virtual lines + separator bands), falling back to plain XY-cut on any
+    failure (reference try/except chain, block_sort.py:215-224).
     """
     if not blocks:
         return []
+    if page_w <= 0:
+        page_w = max(b["bbox"][2] for b in blocks)
+    if page_h <= 0:
+        page_h = max(b["bbox"][3] for b in blocks)
     has_model_order = all(
         b.get("original_order") is not None and b.get("original_order", -1) >= 0
         for b in blocks
@@ -247,7 +256,10 @@ def sort_and_group_blocks(blocks: list[dict]) -> list[dict]:
         for b in blocks:
             b["index"] = b["original_order"]
     else:
-        order = sort_boxes_reading_order([b["bbox"] for b in blocks])
+        try:
+            order = sort_blocks_v3(blocks, page_w, page_h)
+        except Exception:
+            order = sort_boxes_reading_order([b["bbox"] for b in blocks])
         for rank, idx in enumerate(order):
             blocks[idx]["index"] = rank
 

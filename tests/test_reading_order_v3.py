@@ -1,0 +1,59 @@
+"""Enhanced reading order (xycut-plus-v3 counterpart)."""
+import numpy as np
+
+
+def _blk(x0, y0, x1, y1):
+    return {"bbox": [x0, y0, x1, y1], "lines": []}
+
+
+def test_two_column_order():
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    # page 600x800: title spans full width, then 2 columns of 3 blocks each
+    title = _blk(50, 30, 550, 70)
+    left = [_blk(50, 100 + i * 220, 280, 300 + i * 220) for i in range(3)]
+    right = [_blk(320, 100 + i * 220, 550, 300 + i * 220) for i in range(3)]
+    blocks = [right[1], left[0], title, right[0], left[2], right[2], left[1]]
+    order = sort_blocks_v3(blocks, 600, 800)
+    ordered = [blocks[i] for i in order]
+    assert ordered[0] is title
+    pos = {id(b): k for k, b in enumerate(ordered)}
+    assert all(pos[id(a)] < pos[id(b)] for a, b in zip(left, left[1:]))
+    assert all(pos[id(a)] < pos[id(b)] for a, b in zip(right, right[1:]))
+    # full left column before right column
+    assert pos[id(left[2])] < pos[id(right[0])]
+
+
+def test_separator_bands():
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    # columns above AND below a full-width figure: band must reset columns
+    fig = _blk(40, 380, 560, 430)
+    top_l, top_r = _blk(50, 100, 280, 350), _blk(320, 100, 550, 350)
+    bot_l, bot_r = _blk(50, 460, 280, 700), _blk(320, 460, 550, 700)
+    blocks = [bot_r, top_r, fig, bot_l, top_l]
+    order = sort_blocks_v3(blocks, 600, 800)
+    names = {id(b): n for b, n in zip(
+        blocks, ["bot_r", "top_r", "fig", "bot_l", "top_l"])}
+    seq = [names[id(blocks[i])] for i in order]
+    assert seq == ["top_l", "top_r", "fig", "bot_l", "bot_r"]
+
+
+def test_virtual_lines_slender_not_split():
+    from rapiddoc_tpu.reading_order.xycut_v3 import virtual_lines_for_block
+
+    # slender sidebar stays whole; tall half-width block splits finely
+    assert len(virtual_lines_for_block([0, 0, 50, 400], 12, 600, 800)) == 1
+    fine = virtual_lines_for_block([0, 0, 250, 300], 12, 600, 800)
+    assert len(fine) > 10
+
+
+def test_v3_fallback_path():
+    from rapiddoc_tpu.pipeline.page_build import sort_and_group_blocks
+
+    blocks = [
+        {"type": "text", "bbox": [50, 200, 550, 300]},
+        {"type": "text", "bbox": [50, 50, 550, 150]},
+    ]
+    out = sort_and_group_blocks(blocks, 600, 800)
+    assert out[0]["bbox"][1] == 50 and out[1]["bbox"][1] == 200
