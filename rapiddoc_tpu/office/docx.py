@@ -209,6 +209,13 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 for name, img_data in images:
                     flush_list()
                     result.add_image(name, img_data)
+                from .chart import chart_part_to_html, find_chart_refs
+
+                for chart_path in find_chart_refs(el, rels):
+                    html = chart_part_to_html(z, chart_path)
+                    if html:
+                        flush_list()
+                        result.add_table(html)
             elif el.tag == q("w:tbl"):
                 flush_list()
                 result.add_table(_table_to_html(el, rels))

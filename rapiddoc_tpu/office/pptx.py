@@ -118,6 +118,13 @@ def pptx_to_blocks(data: bytes) -> OfficeResult:
                     tbl = el.find(f".//{{{A}}}tbl")
                     if tbl is not None:
                         items.append((y, x, "table", _table_to_html(tbl)))
+                    else:
+                        from .chart import chart_part_to_html, find_chart_refs
+
+                        for chart_path in find_chart_refs(el, rels):
+                            html = chart_part_to_html(z, chart_path)
+                            if html:
+                                items.append((y, x, "table", html))
                 elif el.tag == f"{{{P}}}pic":
                     y, x = _shape_xy(el)
                     blip = el.find(f".//{{{A}}}blip")

@@ -151,4 +151,29 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
             if html:
                 result.add_title(name, level=2, page=page_idx)
                 result.add_table(html, page=page_idx)
+            for chart_html in _sheet_charts(z, path):
+                result.add_table(chart_html, page=page_idx)
     return result
+
+
+def _sheet_charts(z: zipfile.ZipFile, sheet_path: str) -> list[str]:
+    """Charts anchored on a worksheet (sheet rels -> drawing part ->
+    chart parts), rendered as HTML data tables."""
+    from .chart import chart_part_to_html, find_chart_refs
+    from .docx import _load_rels
+
+    out: list[str] = []
+    rels = _load_rels(z, sheet_path)
+    for target in rels.values():
+        if "drawings/" not in target or target not in z.namelist():
+            continue
+        drawing_rels = _load_rels(z, target)
+        try:
+            droot = ET.fromstring(z.read(target))
+        except ET.ParseError:
+            continue
+        for chart_path in find_chart_refs(droot, drawing_rels):
+            html = chart_part_to_html(z, chart_path)
+            if html:
+                out.append(html)
+    return out

@@ -1,0 +1,66 @@
+"""OOXML chart -> HTML data table extraction."""
+import os
+import zipfile
+
+import pytest
+
+DEMO = "/root/reference/demo"
+needs_demo = pytest.mark.skipif(
+    not os.path.isdir(DEMO), reason="reference demo docs unavailable"
+)
+
+CHART_XML = b"""<?xml version="1.0"?>
+<c:chartSpace xmlns:c="http://schemas.openxmlformats.org/drawingml/2006/chart"
+              xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">
+ <c:chart><c:title><a:t>Revenue</a:t></c:title>
+  <c:plotArea><c:barChart>
+   <c:ser>
+    <c:tx><c:strRef><c:strCache><c:pt idx="0"><c:v>Q1</c:v></c:pt></c:strCache></c:strRef></c:tx>
+    <c:cat><c:strRef><c:strCache>
+      <c:pt idx="0"><c:v>North</c:v></c:pt><c:pt idx="1"><c:v>South</c:v></c:pt>
+    </c:strCache></c:strRef></c:cat>
+    <c:val><c:numRef><c:numCache>
+      <c:pt idx="0"><c:v>10.5</c:v></c:pt><c:pt idx="1"><c:v>20</c:v></c:pt>
+    </c:numCache></c:numRef></c:val>
+   </c:ser>
+  </c:barChart></c:plotArea>
+ </c:chart>
+</c:chartSpace>"""
+
+
+def test_chart_xml_to_html():
+    from rapiddoc_tpu.office.chart import chart_xml_to_html
+
+    html = chart_xml_to_html(CHART_XML)
+    assert "<caption>Revenue</caption>" in html
+    assert "<td>Q1</td>" in html
+    assert "<td>North</td>" in html and "<td>South</td>" in html
+    assert "<td>10.5</td>" in html and "<td>20</td>" in html
+
+
+def test_chart_xml_no_cache_is_empty():
+    from rapiddoc_tpu.office.chart import chart_xml_to_html
+
+    assert chart_xml_to_html(b"<broken") == ""
+    assert chart_xml_to_html(b"<x/>") == ""
+
+
+@needs_demo
+def test_docx_chart_extraction():
+    from rapiddoc_tpu.office.chart import chart_part_to_html
+
+    path = os.path.join(DEMO, "docx", "demo1-docx.docx")
+    with zipfile.ZipFile(path) as z:
+        html = chart_part_to_html(z, "word/charts/chart1.xml")
+    assert html.startswith("<table>")
+    assert html.count("<tr>") >= 4
+
+
+@needs_demo
+def test_xlsx_chart_in_blocks():
+    from rapiddoc_tpu.office.xlsx import xlsx_to_blocks
+
+    with open(os.path.join(DEMO, "xlsx", "xlsx_03_chartsheet.xlsx"), "rb") as f:
+        res = xlsx_to_blocks(f.read())
+    tables = [b for b in res.blocks if b.type == "table"]
+    assert len(tables) >= 2  # data sheet + chartsheet chart
