@@ -25,9 +25,12 @@ from .pre_post import (
     DBPostParams,
     det_normalize,
     det_resize,
+    map_crop_box_to_quad,
     rec_normalize,
     rec_resize,
     rec_width_bucket,
+    split_words,
+    word_boxes_in_crop,
 )
 from .rec import SVTRRec, ctc_greedy_decode
 
@@ -64,6 +67,8 @@ class DetResult:
 class RecResult:
     text: str
     score: float
+    # optional word-level results: (word, score, [x0,y0,x1,y1] in crop px)
+    words: list[tuple[str, float, list[float]]] | None = None
 
 
 class TextDetector:
@@ -165,8 +170,12 @@ class TextRecognizer:
     def from_torch_state(cls, state_dict, **kw) -> "TextRecognizer":
         return cls(rec_variables_from_torch(state_dict), **kw)
 
-    def __call__(self, crops: Sequence[np.ndarray]) -> list[RecResult]:
-        """crops: uint8 RGB text-line images."""
+    def __call__(
+        self, crops: Sequence[np.ndarray], return_words: bool = False
+    ) -> list[RecResult]:
+        """crops: uint8 RGB text-line images. With return_words, each
+        result carries (word, score, bbox-in-crop) tuples (reference:
+        rapid_ocr.py calc_word_boxes :301-329)."""
         if not len(crops):
             return []
         spec = self.session.bucket_spec
@@ -187,8 +196,20 @@ class TextRecognizer:
                 valid_t = max(1, int(math.ceil(
                     min(wb, crops[i].shape[1] * 48 / max(crops[i].shape[0], 1)) / 8
                 )))
-                text, score = self.decoder(ids, probs, valid_t=valid_t)
-                results[i] = RecResult(text, score)
+                if return_words:
+                    text, score, frames = self.decoder.decode_with_positions(
+                        ids, probs, valid_t=valid_t
+                    )
+                    ch, cw = crops[i].shape[:2]
+                    words = split_words(text, frames)
+                    wboxes = word_boxes_in_crop(words, valid_t, cw, ch)
+                    word_items = [
+                        (w[0], score, box) for w, box in zip(words, wboxes)
+                    ]
+                    results[i] = RecResult(text, score, word_items)
+                else:
+                    text, score = self.decoder(ids, probs, valid_t=valid_t)
+                    results[i] = RecResult(text, score)
         return results  # type: ignore[return-value]
 
 
@@ -215,7 +236,9 @@ class TextSystem:
         self.recognizer = recognizer
         self.drop_score = drop_score
 
-    def __call__(self, images: Sequence[np.ndarray]):
+    def __call__(
+        self, images: Sequence[np.ndarray], return_word_boxes: bool = False
+    ):
         det_results = self.detector(images)
         all_crops: list[np.ndarray] = []
         owners: list[tuple[int, int]] = []
@@ -223,18 +246,38 @@ class TextSystem:
             for box_idx, quad in enumerate(det.boxes):
                 all_crops.append(crop_quad(images[img_idx], quad))
                 owners.append((img_idx, box_idx))
-        rec_results = self.recognizer(all_crops)
+        rec_results = self.recognizer(all_crops, return_words=return_word_boxes)
         out: list[list[dict]] = [[] for _ in images]
-        for (img_idx, box_idx), rec in zip(owners, rec_results):
+        for crop, (img_idx, box_idx), rec in zip(all_crops, owners, rec_results):
             if rec.score < self.drop_score:
                 continue
             det = det_results[img_idx]
-            out[img_idx].append(
-                {
-                    "box": det.boxes[box_idx].tolist(),
-                    "det_score": float(det.scores[box_idx]),
-                    "text": rec.text,
-                    "score": rec.score,
-                }
-            )
+            item = {
+                "box": det.boxes[box_idx].tolist(),
+                "det_score": float(det.scores[box_idx]),
+                "text": rec.text,
+                "score": rec.score,
+            }
+            if return_word_boxes and rec.words:
+                quad = det.boxes[box_idx].astype(np.float32)
+                ch, cw = crop.shape[:2]
+                # vertical lines were rot90'd in crop_quad: the homography
+                # no longer applies, fall back to the whole line quad
+                qw = max(np.linalg.norm(quad[0] - quad[1]),
+                         np.linalg.norm(quad[2] - quad[3]))
+                qh = max(np.linalg.norm(quad[0] - quad[3]),
+                         np.linalg.norm(quad[1] - quad[2]))
+                rotated = qh > qw * 1.5
+                words = []
+                for word, wscore, wbox in rec.words:
+                    if rotated:
+                        poly = quad.astype(np.float64)
+                    else:
+                        poly = map_crop_box_to_quad(wbox, cw, ch, quad)
+                    words.append(
+                        {"word": word, "score": wscore,
+                         "poly": np.asarray(poly).tolist()}
+                    )
+                item["words"] = words
+            out[img_idx].append(item)
         return out

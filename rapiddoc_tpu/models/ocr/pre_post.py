@@ -194,18 +194,99 @@ class CTCLabelDecoder:
         self, ids: np.ndarray, probs: np.ndarray, valid_t: int | None = None
     ) -> tuple[str, float]:
         """ids/probs: (T,) greedy argmax ids and their probabilities."""
+        text, score, _ = self.decode_with_positions(ids, probs, valid_t)
+        return text, score
+
+    def decode_with_positions(
+        self, ids: np.ndarray, probs: np.ndarray, valid_t: int | None = None
+    ) -> tuple[str, float, list[int]]:
+        """Greedy decode also returning each emitted char's frame index
+        (for word-box geometry, reference: rapid_ocr.py calc_word_boxes
+        :301-329 / rapidocr cal_rec_boxes)."""
         if valid_t is not None:
             ids = ids[:valid_t]
             probs = probs[:valid_t]
         out: list[str] = []
         confs: list[float] = []
+        frames: list[int] = []
         prev = -1
         for i, t in enumerate(ids.tolist()):
             if t != prev and t != 0:
                 if t < len(self.chars):
                     out.append(self.chars[t])
                     confs.append(float(probs[i]))
+                    frames.append(i)
             prev = t
         if not out:
-            return "", 0.0
-        return "".join(out), float(np.mean(confs))
+            return "", 0.0, []
+        return "".join(out), float(np.mean(confs)), frames
+
+
+def _is_cjk(ch: str) -> bool:
+    o = ord(ch)
+    return (
+        0x2E80 <= o <= 0x9FFF or 0xF900 <= o <= 0xFAFF
+        or 0xFF00 <= o <= 0xFFEF or 0x3000 <= o <= 0x303F
+    )
+
+
+def split_words(text: str, frames: list[int]) -> list[tuple[str, int, int]]:
+    """Group decoded chars into words: CJK chars stand alone, latin runs
+    group until whitespace. Returns (word, first_frame, last_frame)."""
+    words: list[tuple[str, int, int]] = []
+    cur = ""
+    f0 = f1 = -1
+    for ch, fr in zip(text, frames):
+        if ch.isspace():
+            if cur:
+                words.append((cur, f0, f1))
+                cur = ""
+            continue
+        if _is_cjk(ch):
+            if cur:
+                words.append((cur, f0, f1))
+                cur = ""
+            words.append((ch, fr, fr))
+        else:
+            if not cur:
+                cur, f0 = ch, fr
+            else:
+                cur += ch
+            f1 = fr
+    if cur:
+        words.append((cur, f0, f1))
+    return words
+
+
+def word_boxes_in_crop(
+    words: list[tuple[str, int, int]], total_frames: int,
+    crop_w: int, crop_h: int,
+) -> list[list[float]]:
+    """Frame span -> x-span boxes inside the rectified crop. Each frame
+    covers crop_w/total_frames px; half a frame of margin each side."""
+    if total_frames <= 0:
+        return [[0, 0, crop_w, crop_h] for _ in words]
+    px = crop_w / total_frames
+    out = []
+    for _, f0, f1 in words:
+        x0 = max(0.0, f0 * px)
+        x1 = min(float(crop_w), (f1 + 1) * px)
+        out.append([x0, 0.0, x1, float(crop_h)])
+    return out
+
+
+def map_crop_box_to_quad(
+    box: list[float], crop_w: int, crop_h: int, quad: np.ndarray
+) -> np.ndarray:
+    """Rect box in rectified-crop coords -> 4-point polygon in source-image
+    coords via the inverse of the rectification homography."""
+    quad = quad.astype(np.float32)
+    dst = np.array(
+        [[0, 0], [crop_w, 0], [crop_w, crop_h], [0, crop_h]], np.float32
+    )
+    m = cv2.getPerspectiveTransform(dst, quad)
+    x0, y0, x1, y1 = box
+    pts = np.array(
+        [[[x0, y0]], [[x1, y0]], [[x1, y1]], [[x0, y1]]], np.float32
+    )
+    return cv2.perspectiveTransform(pts, m).reshape(4, 2)

@@ -138,16 +138,45 @@ class TableRecognizer:
     def _cell_texts(
         self, crop: np.ndarray, cell_boxes: list[list[float]]
     ) -> list[str]:
+        """OCR the table crop and distribute text into cells. Prefers
+        word-level boxes so one OCR line straddling a cell border splits
+        correctly (reference: analyze_utils.py:491-527 word-box table
+        fill with line-level fallback)."""
         if self.ocr is None or not cell_boxes:
             return [""] * len(cell_boxes)
-        ocr_out = self.ocr([crop])[0]
-        items = [
-            {"bbox": [min(p[0] for p in it["box"]), min(p[1] for p in it["box"]),
-                      max(p[0] for p in it["box"]), max(p[1] for p in it["box"])],
-             "text": it["text"]}
-            for it in ocr_out
-        ]
+        try:
+            ocr_out = self.ocr([crop], return_word_boxes=True)[0]
+        except TypeError:  # custom OCR without word-box support
+            ocr_out = self.ocr([crop])[0]
+        items = []
+        for it in ocr_out:
+            if it.get("words"):
+                for w in it["words"]:
+                    poly = w["poly"]
+                    items.append(
+                        {"bbox": [min(p[0] for p in poly),
+                                  min(p[1] for p in poly),
+                                  max(p[0] for p in poly),
+                                  max(p[1] for p in poly)],
+                         "text": w["word"]}
+                    )
+            else:
+                items.append(
+                    {"bbox": [min(p[0] for p in it["box"]),
+                              min(p[1] for p in it["box"]),
+                              max(p[0] for p in it["box"]),
+                              max(p[1] for p in it["box"])],
+                     "text": it["text"]}
+                )
         assignments = match_ocr_to_cells(cell_boxes, items)
-        return [
-            " ".join(items[i]["text"] for i in idxs) for idxs in assignments
-        ]
+        out = []
+        for idxs in assignments:
+            frags = [items[i]["text"] for i in idxs]
+            # CJK fragments join without separator, latin with space
+            if frags and all(
+                all(ord(c) > 0x2E80 for c in f) for f in frags if f
+            ):
+                out.append("".join(frags))
+            else:
+                out.append(" ".join(frags))
+        return out

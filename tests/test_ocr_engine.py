@@ -91,3 +91,50 @@ def test_crop_quad_vertical_rotation():
     quad = np.array([[10, 10], [40, 10], [40, 200], [10, 200]], np.float32)
     crop = crop_quad(img, quad)
     assert crop.shape[1] > crop.shape[0]  # rotated to horizontal
+
+
+def test_split_words_mixed():
+    from rapiddoc_tpu.models.ocr.pre_post import split_words
+
+    text = "Hello 世界 ab"
+    frames = list(range(len(text)))
+    words = split_words(text, frames)
+    assert [w[0] for w in words] == ["Hello", "世", "界", "ab"]
+    assert words[0][1] == 0 and words[0][2] == 4
+    assert words[1][1] == words[1][2] == 6
+
+
+def test_word_boxes_in_crop_monotonic():
+    from rapiddoc_tpu.models.ocr.pre_post import split_words, word_boxes_in_crop
+
+    words = split_words("ab cd", [0, 1, 3, 4])
+    boxes = word_boxes_in_crop(words, 6, 120, 48)
+    assert len(boxes) == 2
+    assert boxes[0][0] < boxes[0][2] <= boxes[1][0] < boxes[1][2] <= 120
+
+
+def test_map_crop_box_to_quad_identity():
+    import numpy as np
+
+    from rapiddoc_tpu.models.ocr.pre_post import map_crop_box_to_quad
+
+    quad = np.array([[10, 20], [110, 20], [110, 60], [10, 60]], np.float32)
+    poly = map_crop_box_to_quad([0, 0, 100, 40], 100, 40, quad)
+    assert np.allclose(poly, quad, atol=1e-3)
+    half = map_crop_box_to_quad([0, 0, 50, 40], 100, 40, quad)
+    assert np.allclose(half[1], [60, 20], atol=1e-3)
+
+
+def test_text_system_word_boxes(text_system):
+    import cv2
+
+    img = np.full((100, 300, 3), 255, np.uint8)
+    cv2.putText(img, "AB CD", (10, 60), cv2.FONT_HERSHEY_SIMPLEX, 1.2,
+                (0, 0, 0), 2)
+    out = text_system([img], return_word_boxes=True)
+    for it in out[0]:
+        if it.get("words"):
+            for w in it["words"]:
+                assert len(w["poly"]) == 4
+                xs = [p[0] for p in w["poly"]]
+                assert max(xs) <= 301 and min(xs) >= -1
