@@ -39,6 +39,7 @@ class TableConfig:
     strategy: str = "unet_slanet_plus"
     use_cls_model: bool = False  # heuristic until trained cls weights exist
     wireless_max_len: int = 256
+    use_img2table: bool = True  # OpenCV ruling-line fallback for wired
 
 
 class TableRecognizer:
@@ -122,6 +123,12 @@ class TableRecognizer:
 
     def _predict_wired(self, crop: np.ndarray) -> str:
         cell_boxes, grid = self.wired(crop)
+        if not cell_boxes and self.config.use_img2table:
+            # model-free ruling-line fallback (reference:
+            # rapid_table.py:219-249 img2table path)
+            from .img2table import opencv_table_extract
+
+            cell_boxes, grid = opencv_table_extract(crop)
         if not cell_boxes:
             return ""
         texts = self._cell_texts(crop, cell_boxes)

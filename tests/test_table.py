@@ -131,3 +131,20 @@ def test_engine_strategy_routing():
     assert rec.wireless is None and rec.wired is not None
     with pytest.raises(ValueError):
         TableRecognizer(TableConfig(strategy="nope"))
+
+
+def test_img2table_opencv_extract():
+    import cv2
+
+    from rapiddoc_tpu.models.table.img2table import opencv_table_extract
+
+    img = np.full((300, 400, 3), 255, np.uint8)
+    for y in (20, 110, 200, 280):
+        cv2.line(img, (20, y), (380, y), (0, 0, 0), 2)
+    for x in (20, 140, 260, 380):
+        cv2.line(img, (x, 20), (x, 280), (0, 0, 0), 2)
+    cells, grid = opencv_table_extract(img)
+    assert len(cells) == 9
+    assert max(g[0] for g in grid) == 2 and max(g[1] for g in grid) == 2
+    blank = np.full((300, 400, 3), 255, np.uint8)
+    assert opencv_table_extract(blank) == ([], [])
