@@ -60,14 +60,45 @@ def make_app():
     async def health(request):
         return web.json_response({"status": "ok", "version": __version__})
 
-    @routes.post("/file_parse")
-    async def file_parse(request):
+    @routes.get("/")
+    async def index(request):
+        from .webui import PAGE
+
+        return web.Response(text=PAGE, content_type="text/html")
+
+    @routes.post("/webui_parse")
+    async def webui_parse(request):
+        """Webui endpoint: parse + server-rendered markdown preview."""
+        from .webui import render_preview_html
+
+        file_bytes, filename, options, _ = await _read_multipart(request)
+        if file_bytes is None:
+            return web.json_response({"error": "no file uploaded"}, status=400)
+        loop = asyncio.get_running_loop()
+        try:
+            result = await loop.run_in_executor(
+                _executor, _parse_bytes, file_bytes, filename, options
+            )
+        except Exception as e:
+            logger.exception("parse failed")
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response(
+            {
+                "markdown": result["markdown"],
+                "html": render_preview_html(
+                    result["markdown"], result["images"]
+                ),
+                "filename": filename,
+            }
+        )
+
+    async def _read_multipart(request):
+        """-> (file_bytes, filename, options, return_zip); file_bytes is
+        None when no file part was present or the form was malformed."""
         try:
             reader = await request.multipart()
         except (ValueError, AssertionError):
-            return web.json_response(
-                {"error": "multipart form data expected"}, status=400
-            )
+            return None, "document", {}, False
         file_bytes = None
         filename = "document"
         options: dict = {}
@@ -84,6 +115,13 @@ def make_app():
                     options[part.name] = json.loads(text)
                 except json.JSONDecodeError:
                     options[part.name] = text
+        return file_bytes, filename, options, return_zip
+
+    @routes.post("/file_parse")
+    async def file_parse(request):
+        file_bytes, filename, options, return_zip = await _read_multipart(
+            request
+        )
         if file_bytes is None:
             return web.json_response({"error": "no file uploaded"}, status=400)
         loop = asyncio.get_running_loop()

@@ -160,3 +160,45 @@ def test_http_server():
             assert resp.status == 400
 
     asyncio.run(scenario())
+
+
+def test_webui():
+    import asyncio
+
+    aiohttp = pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.serve.http import make_app
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((30, 80), "webui test", fill="black")
+    pdf = pdfio.images_to_pdf([img])
+
+    async def scenario():
+        app = make_app()
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.get("/")
+            assert resp.status == 200
+            page = await resp.text()
+            assert "rapiddoc-tpu" in page and "webui_parse" in page
+
+            form = aiohttp.FormData()
+            form.add_field("file", pdf, filename="t.pdf",
+                           content_type="application/pdf")
+            form.add_field("parse_method", '"txt"')
+            resp = await client.post("/webui_parse", data=form)
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            assert "html" in data and "markdown" in data
+
+    asyncio.run(scenario())
+
+
+def test_webui_preview_inlines_images():
+    from rapiddoc_tpu.serve.webui import render_preview_html
+
+    md = "![fig](images/x.png)"
+    html = render_preview_html(md, {"images/x.png": b"\x89PNG fake"})
+    assert "data:image/png;base64," in html
