@@ -101,6 +101,41 @@ class LayoutConfig:
     num_queries: int = 300
     dec_layers: int = 6
     markdown_ignore_labels: frozenset = frozenset(DEFAULT_ABANDON_LABELS)
+    # V3 irregular-region masks -> polygon_points on dets
+    with_masks: bool = True
+
+
+def mask_to_polygon(
+    mask01: np.ndarray, src_w: float, src_h: float, max_points: int = 32
+) -> list[list[float]] | None:
+    """Binary instance mask (model grid) -> simplified polygon in source
+    pixels (reference: pp_doclayout/post_process.py mask2polygon :400,
+    extract_polygon_points_by_masks :425). None when the mask is empty or
+    effectively rectangular (callers keep the plain box then)."""
+    m = (mask01 > 0.5).astype(np.uint8)
+    if m.sum() < 4:
+        return None
+    contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        return None
+    contour = max(contours, key=cv2.contourArea)
+    if cv2.contourArea(contour) < 4:
+        return None
+    eps = 0.01 * cv2.arcLength(contour, True)
+    poly = cv2.approxPolyDP(contour, eps, True).reshape(-1, 2)
+    if len(poly) < 3:
+        return None
+    if len(poly) > max_points:
+        step = len(poly) / max_points
+        poly = poly[(np.arange(max_points) * step).astype(int)]
+    # rectangular-enough masks carry no extra information over the bbox
+    # (cv2.contourArea of a filled rect contour is (w-1)*(h-1))
+    x, y, w, h = cv2.boundingRect(contour)
+    if len(poly) <= 4 and cv2.contourArea(contour) > 0.9 * (w - 1) * (h - 1):
+        return None
+    gh, gw = m.shape
+    sx, sy = src_w / gw, src_h / gh
+    return [[float(px * sx), float(py * sy)] for px, py in poly]
 
 
 class LayoutDetector:
@@ -116,6 +151,7 @@ class LayoutDetector:
             backbone_size=cfg.model_size,
             num_queries=cfg.num_queries,
             dec_layers=cfg.dec_layers,
+            with_masks=cfg.with_masks,
         )
         if variables is None:
             variables = self.model.init(
@@ -160,12 +196,15 @@ class LayoutDetector:
             h, w = img.shape[:2]
             results.append(
                 self._postprocess(
-                    outs["scores"][i], outs["labels"][i], outs["boxes"][i], w, h
+                    outs["scores"][i], outs["labels"][i], outs["boxes"][i],
+                    w, h,
+                    masks=outs["masks"][i] if "masks" in outs else None,
                 )
             )
         return results
 
-    def _postprocess(self, scores, labels, boxes_cxcywh, src_w, src_h) -> list[dict]:
+    def _postprocess(self, scores, labels, boxes_cxcywh, src_w, src_h,
+                     masks=None) -> list[dict]:
         cfg = self.config
         mask = scores > cfg.conf_threshold
         if not mask.any():
@@ -173,6 +212,8 @@ class LayoutDetector:
         scores = scores[mask]
         labels = labels[mask]
         b = boxes_cxcywh[mask]
+        if masks is not None:
+            masks = np.asarray(masks)[mask]
         # cxcywh [0,1] -> xyxy pixels
         xyxy = np.stack(
             [
@@ -193,13 +234,19 @@ class LayoutDetector:
             if label in cfg.markdown_ignore_labels:
                 cat = CategoryId.Abandon
             x0, y0, x1, y1 = xyxy[i]
-            dets.append(
-                {
-                    "category_id": cat,
-                    "poly": [x0, y0, x1, y0, x1, y1, x0, y1],
-                    "score": float(scores[i]),
-                    "original_label": label,
-                    "original_order": order,
-                }
-            )
+            det = {
+                "category_id": cat,
+                "poly": [x0, y0, x1, y0, x1, y1, x0, y1],
+                "score": float(scores[i]),
+                "original_label": label,
+                "original_order": order,
+            }
+            if masks is not None:
+                # sigmoid(logits) > .5 == logits > 0
+                poly_pts = mask_to_polygon(
+                    (masks[i] > 0).astype(np.float32), src_w, src_h
+                )
+                if poly_pts is not None:
+                    det["polygon_points"] = poly_pts
+            dets.append(det)
         return dets

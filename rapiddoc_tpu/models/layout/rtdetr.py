@@ -303,6 +303,11 @@ class RTDETR(nn.Module):
     heads: int = 8
     ffn: int = 1024
     points: int = 4
+    # V3 irregular-region instance masks (reference: PP-DocLayoutV3's
+    # mask branch, post_process.py mask2polygon :400): per-query mask
+    # embedding dotted with a stride-8 pixel feature map.
+    with_masks: bool = False
+    mask_dim: int = 32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
@@ -366,8 +371,18 @@ class RTDETR(nn.Module):
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         scores = jnp.max(probs, axis=-1)
         labels = jnp.argmax(probs, axis=-1)
-        return {
+        out = {
             "scores": scores,          # (B, Nq)
             "labels": labels,          # (B, Nq)
             "boxes": ref,              # (B, Nq, 4) cxcywh in [0,1]
         }
+        if self.with_masks:
+            # pixel feature: finest level refined by one 3x3 conv
+            pix = nn.Conv(self.mask_dim, (3, 3), padding="SAME",
+                          name="mask_pixel_proj")(levels[0])
+            q_emb = MLP(self.dim, self.mask_dim, name="mask_embed_head")(tgt)
+            mask_logits = jnp.einsum(
+                "bqc,bhwc->bqhw", q_emb, pix.astype(q_emb.dtype)
+            )
+            out["masks"] = mask_logits  # (B, Nq, H/8, W/8)
+        return out

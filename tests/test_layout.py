@@ -54,3 +54,36 @@ def test_layout_order_is_contiguous(tiny_layout):
     dets = tiny_layout.batch_predict([img])[0]
     orders = [d["original_order"] for d in dets]
     assert orders == list(range(len(orders)))
+
+
+def test_mask_to_polygon_l_shape():
+    from rapiddoc_tpu.models.layout.engine import mask_to_polygon
+
+    m = np.zeros((50, 50), np.float32)
+    m[5:45, 5:25] = 1.0   # vertical bar
+    m[30:45, 5:45] = 1.0  # horizontal foot -> L shape
+    poly = mask_to_polygon(m, 400.0, 400.0)
+    assert poly is not None and len(poly) >= 5
+    xs = [p[0] for p in poly]
+    ys = [p[1] for p in poly]
+    assert max(xs) <= 400 and max(ys) <= 400
+
+
+def test_mask_to_polygon_rectangle_is_none():
+    from rapiddoc_tpu.models.layout.engine import mask_to_polygon
+
+    m = np.zeros((50, 50), np.float32)
+    m[10:40, 10:40] = 1.0
+    assert mask_to_polygon(m, 400.0, 400.0) is None
+    assert mask_to_polygon(np.zeros((50, 50), np.float32), 400, 400) is None
+
+
+def test_layout_masks_output(tiny_layout):
+    if not tiny_layout.config.with_masks:
+        return
+    imgs = [np.random.randint(0, 255, (200, 200, 3), np.uint8)]
+    dets = tiny_layout.batch_predict(imgs)[0]
+    # polygon_points, when present, must lie inside the image
+    for d in dets:
+        for x, y in d.get("polygon_points") or []:
+            assert 0 <= x <= 200 and 0 <= y <= 200
