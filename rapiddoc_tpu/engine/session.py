@@ -59,11 +59,18 @@ class JaxSession:
         compute_dtype: jnp.dtype = jnp.bfloat16,
         donate: bool = False,
         multi_device: bool = True,
+        preproc: Callable[[jax.Array], jax.Array] | None = None,
     ):
+        """`preproc`, when given, runs ON DEVICE inside the compiled
+        program before the compute-dtype cast — callers then ship uint8
+        batches (4x less host->device traffic, the usual bottleneck on a
+        tunneled chip) and normalization fuses into the model's first
+        convolution's XLA program."""
         self.name = name
         self.apply_fn = apply_fn
         self.bucket_spec = bucket_spec
         self.compute_dtype = compute_dtype
+        self.preproc = preproc
         self.stats = SessionStats()
         self._compiled: dict[tuple[int, int, int], Callable] = {}
         self._lock = threading.Lock()
@@ -89,6 +96,8 @@ class JaxSession:
                 return fn
 
             def forward(params, x):
+                if self.preproc is not None:
+                    x = self.preproc(x)
                 x = x.astype(self.compute_dtype)
                 out = self.apply_fn(params, x)
                 return jax.tree.map(
@@ -113,12 +122,12 @@ class JaxSession:
 
     # ---------------------------------------------------------------- call
 
-    def __call__(self, batch_nhwc: np.ndarray) -> Any:
-        """Run the forward pass on an already-bucketed NHWC batch.
-
-        The batch is padded up to the bucket batch size; outputs are sliced
-        back to the true batch length on the host.
-        """
+    def dispatch(self, batch_nhwc: np.ndarray) -> tuple[Any, int]:
+        """Enqueue the forward pass; returns (device_output, n) WITHOUT
+        synchronizing. Transfers and computes of successive dispatches
+        pipeline on the device stream — the per-call host<->device
+        roundtrip (tens of ms on a tunneled chip) is paid once at fetch,
+        not once per batch."""
         n, h, w, c = batch_nhwc.shape
         nb = self.bucket_spec.bucket_batch(n)
         if self.mesh is not None and self.n_shards > 1:
@@ -134,21 +143,41 @@ class JaxSession:
         self.stats.calls += 1
         self.stats.items += n
         self.stats.padded_items += nb
+        return out, n
+
+    @staticmethod
+    def fetch(handle: tuple[Any, int]) -> Any:
+        """Materialize a dispatch() result on the host (sliced to true n)."""
+        out, n = handle
         return jax.tree.map(lambda a: np.asarray(a[:n]), out)
+
+    def __call__(self, batch_nhwc: np.ndarray) -> Any:
+        """Run the forward pass on an already-bucketed NHWC batch.
+
+        The batch is padded up to the bucket batch size; outputs are sliced
+        back to the true batch length on the host.
+        """
+        return self.fetch(self.dispatch(batch_nhwc))
 
     def run_batched(
         self, images: Sequence[np.ndarray]
     ) -> list[Any]:
-        """Run many same-bucket images, chunking by the max batch size."""
+        """Run many same-bucket images, chunking by the max batch size.
+
+        Two phases: enqueue every chunk first (device pipelines transfer
+        i+1 under compute i), then fetch results."""
         if not images:
             return []
         max_b = self.bucket_spec.max_batch()
-        outs: list[Any] = []
+        handles = []
         for i in range(0, len(images), max_b):
             chunk = np.stack(images[i : i + max_b], axis=0)
-            out = self(chunk)
+            handles.append(self.dispatch(chunk))
+        outs: list[Any] = []
+        for handle in handles:
+            out = self.fetch(handle)
             leaves, treedef = jax.tree.flatten(out)
-            for j in range(chunk.shape[0]):
+            for j in range(len(leaves[0])):
                 outs.append(jax.tree.unflatten(treedef, [lf[j] for lf in leaves]))
         return outs
 

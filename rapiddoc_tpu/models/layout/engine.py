@@ -162,8 +162,11 @@ class LayoutDetector:
             heights=(cfg.input_size,), widths=(cfg.input_size,),
             batch_sizes=(1, 2, 4, 8),
         )
+        import jax.numpy as jnp
+
         self.session = JaxSession(
-            lambda v, x: self.model.apply(v, x), variables, spec, name="layout"
+            lambda v, x: self.model.apply(v, x), variables, spec, name="layout",
+            preproc=lambda x: x.astype(jnp.float32) / 255.0,
         )
 
     @classmethod
@@ -189,7 +192,7 @@ class LayoutDetector:
                 cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
                 for img in images
             ]
-        ).astype(np.float32) / 255.0
+        )  # uint8; /255 happens on device
         outs = self.session(batch)
         results = []
         for i, img in enumerate(images):

@@ -23,10 +23,10 @@ from .det import DBNet
 from .pre_post import (
     CTCLabelDecoder,
     DBPostParams,
-    det_normalize,
+    det_normalize_device,
     det_resize,
     map_crop_box_to_quad,
-    rec_normalize,
+    rec_normalize_device,
     rec_resize,
     rec_width_bucket,
     split_words,
@@ -90,11 +90,23 @@ class TextDetector:
         self.post_params = post_params or DBPostParams()
         self.limit_side_len = limit_side_len
         self.limit_type = limit_type
+        def det_apply(v, x):
+            # quantize the full-res prob map to uint8 on device: DB
+            # thresholds (0.3/0.5) need far less than 1/255 resolution and
+            # the device->host readback shrinks 4x
+            import jax.numpy as jnp
+
+            prob = self.model.apply(v, x)
+            return jnp.round(
+                jnp.clip(prob.astype(jnp.float32), 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
+
         self.session = JaxSession(
-            lambda v, x: self.model.apply(v, x),
+            det_apply,
             variables,
             bucket_spec,
             name="ocr_det",
+            preproc=det_normalize_device,
         )
 
     @classmethod
@@ -107,9 +119,8 @@ class TextDetector:
         metas = []
         for img in images:
             resized, ry, rx = det_resize(img, self.limit_side_len, self.limit_type)
-            norm = det_normalize(resized)
             metas.append((img.shape[0], img.shape[1], resized.shape[0], resized.shape[1]))
-            prepped.append(norm)
+            prepped.append(resized)  # uint8; normalize happens on device
         spec = self.session.bucket_spec
         groups = group_by_bucket([(m[2], m[3]) for m in metas], spec)
         results: list[DetResult | None] = [None] * len(images)
@@ -128,6 +139,8 @@ class TextDetector:
     def _post(self, prob2d, src_h, src_w, rh, rw):
         from .pre_post import db_postprocess
 
+        if prob2d.dtype == np.uint8:
+            prob2d = prob2d.astype(np.float32) / 255.0
         return db_postprocess(
             prob2d, src_h, src_w, valid_h=rh, valid_w=rw, params=self.post_params
         )
@@ -164,6 +177,7 @@ class TextRecognizer:
             variables,
             bucket_spec,
             name="ocr_rec",
+            preproc=rec_normalize_device,
         )
 
     @classmethod
@@ -190,7 +204,7 @@ class TextRecognizer:
         for wb, idxs in groups.items():
             # sort by true aspect so padded tails cluster (cache-friendly)
             idxs = sorted(idxs, key=lambda i: crops[i].shape[1] / max(crops[i].shape[0], 1))
-            batch = [rec_normalize(rec_resize(crops[i], wb)) for i in idxs]
+            batch = [rec_resize(crops[i], wb) for i in idxs]  # uint8
             outs = self.session.run_batched(batch)
             for i, (ids, probs) in zip(idxs, outs):
                 valid_t = max(1, int(math.ceil(

@@ -45,6 +45,22 @@ def det_normalize(img: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def det_normalize_device(x):
+    """Device-side det normalize (uint8 NHWC in-graph; see
+    JaxSession(preproc=...)). Keeps host->device traffic at 1 byte/px."""
+    import jax.numpy as jnp
+
+    x = x.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+def rec_normalize_device(x):
+    """Device-side rec normalize: uint8 -> [-1, 1]."""
+    import jax.numpy as jnp
+
+    return x.astype(jnp.float32) / 127.5 - 1.0
+
+
 # ----------------------------------------------------------------- det post
 
 @dataclass
