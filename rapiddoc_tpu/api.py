@@ -140,6 +140,7 @@ class RapidDoc:
                 "ocr": self.ocr_config,
                 "formula": self.formula_config,
                 "table": self.table_config,
+                "checkbox": self.checkbox_config,
             },
         )
 
@@ -197,6 +198,7 @@ class RapidDoc:
                 "ocr": self.ocr_config,
                 "formula": self.formula_config,
                 "table": self.table_config,
+                "checkbox": self.checkbox_config,
             },
         )
 

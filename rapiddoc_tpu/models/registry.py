@@ -130,6 +130,7 @@ def build_analyzer(
     table = resolve_custom(configs.get("table"), "table") or (
         build_table_model(configs.get("table")) if table_enable else None
     )
+    checkbox_cfg = configs.get("checkbox") or {}
     return DocumentAnalyzer(
         layout_model=layout,
         ocr_system=ocr,
@@ -137,4 +138,7 @@ def build_analyzer(
         table_model=table if table_enable else None,
         formula_enable=formula_enable,
         table_enable=table_enable,
+        checkbox_enable=checkbox_cfg.get(
+            "checkbox_enable", checkbox_cfg.get("enable", False)
+        ),
     )

@@ -65,6 +65,7 @@ class DocumentAnalyzer:
         orientation_model=None,
         formula_enable: bool = True,
         table_enable: bool = True,
+        checkbox_enable: bool = False,
     ):
         self.layout_model = layout_model
         self.ocr = ocr_system
@@ -73,6 +74,7 @@ class DocumentAnalyzer:
         self.orientation_model = orientation_model
         self.formula_enable = formula_enable
         self.table_enable = table_enable
+        self.checkbox_enable = checkbox_enable
 
     # ------------------------------------------------------------ main
 
@@ -134,6 +136,23 @@ class DocumentAnalyzer:
         if ocr_pages:
             with stage_timer("ocr", len(ocr_pages)):
                 self._run_page_ocr(ocr_pages, page_images, model_infos)
+
+        # ②b checkbox detection (reference: batch_analyze.py:208-219 —
+        # per-page morphological detect, dets carry the tick glyph)
+        if self.checkbox_enable:
+            from ..utils.checkbox import detect_checkboxes
+
+            for i in range(n):
+                for res in detect_checkboxes(page_images[i]):
+                    x0, y0, x1, y1 = res["bbox"]
+                    model_infos[i]["layout_dets"].append(
+                        {
+                            "category_id": CategoryId.CheckBox,
+                            "poly": _quad_poly(x0, y0, x1, y1),
+                            "score": 0.9,
+                            "checkbox": "☑" if res["checked"] else "☐",
+                        }
+                    )
 
         # ③ formulas
         if self.formula_enable and self.formula_model is not None:

@@ -41,3 +41,24 @@ def test_circle_detection_and_unwrap():
     assert abs(cx - 100) < 12 and abs(cy - 100) < 12 and abs(r - 80) < 15
     strip = unwrap_circular_text(img, cx, cy, r)
     assert strip.shape[1] > strip.shape[0]  # a wide strip
+
+
+def test_checkbox_dets_in_scheduler():
+    import cv2
+    import numpy as np
+
+    from rapiddoc_tpu.pipeline.scheduler import DocumentAnalyzer
+    from rapiddoc_tpu.types import CategoryId
+
+    img = np.full((200, 300, 3), 255, np.uint8)
+    cv2.rectangle(img, (50, 50), (80, 80), (0, 0, 0), 2)       # empty box
+    cv2.rectangle(img, (120, 50), (150, 80), (0, 0, 0), 2)     # checked box
+    cv2.line(img, (124, 54), (146, 76), (0, 0, 0), 3)
+    cv2.line(img, (146, 54), (124, 76), (0, 0, 0), 3)
+    an = DocumentAnalyzer(checkbox_enable=True)
+    infos = an.analyze_pages([img], ["txt"], [None])
+    cb = [d for d in infos[0]["layout_dets"]
+          if d["category_id"] == CategoryId.CheckBox]
+    assert len(cb) >= 2
+    glyphs = {d["checkbox"] for d in cb}
+    assert "☑" in glyphs and "☐" in glyphs
