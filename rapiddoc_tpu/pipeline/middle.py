@@ -124,6 +124,62 @@ def result_to_middle_json(
             info = make_page_info([], page_idx_offset + i, w, h, [])
         middle["pdf_info"].append(info)
 
+    _merge_formula_numbers(middle["pdf_info"])
     para_split(middle["pdf_info"])
     cross_page_table_merge(middle["pdf_info"])
     return middle
+
+
+def _block_text(block: dict) -> str:
+    return " ".join(
+        span.get("content", "")
+        for line in block.get("lines", [])
+        for span in line.get("spans", [])
+    ).strip()
+
+
+def _merge_formula_numbers(pdf_info: list[dict]) -> None:
+    """Fold formula_number blocks into the adjacent interline equation as
+    a LaTeX \\tag{...}; orphans demote to text (reference:
+    model_json_to_middle_json.py:240-292 _optimize_formula_number_blocks)."""
+    for page in pdf_info:
+        blocks = page.get("preproc_blocks", [])
+        out = []
+        for idx, block in enumerate(blocks):
+            if block.get("type") != BlockType.FORMULA_NUMBER:
+                out.append(block)
+                continue
+            tag = _block_text(block).strip("()（）[] ")
+            neighbors = []
+            if idx > 0:
+                neighbors.append(blocks[idx - 1])
+            if idx + 1 < len(blocks) and (
+                idx + 2 >= len(blocks)
+                or blocks[idx + 2].get("type") != BlockType.FORMULA_NUMBER
+            ):
+                neighbors.append(blocks[idx + 1])
+            merged = False
+            if tag:
+                for nb in neighbors:
+                    if nb.get("type") != BlockType.INTERLINE_EQUATION:
+                        continue
+                    span = next(
+                        (
+                            s
+                            for ln in nb.get("lines", [])
+                            for s in ln.get("spans", [])
+                            if s.get("type") == ContentType.INTERLINE_EQUATION
+                            and s.get("content")
+                        ),
+                        None,
+                    )
+                    if span is not None:
+                        span["content"] = f"{span['content']}\\tag{{{tag}}}"
+                        merged = True
+                        break
+            if merged:
+                continue
+            if tag:  # orphan number with text: keep it as a text block
+                block["type"] = BlockType.TEXT
+                out.append(block)
+        page["preproc_blocks"] = out

@@ -237,8 +237,35 @@ class DocumentAnalyzer:
         page_images: Sequence[np.ndarray],
         model_infos: list[dict],
     ) -> None:
-        """Full-page OCR: det boxes become Text dets + OcrText spans."""
-        images = [page_images[i] for i in page_idxs]
+        """Full-page OCR: det boxes become Text dets + OcrText spans.
+
+        Formula regions are painted white before text detection so the
+        detector does not fragment equations into spurious text lines
+        (reference: analyze_utils.py:82-103 _apply_mask_boxes_to_image).
+        """
+        formula_cats = (
+            CategoryId.InterlineEquation_Layout,
+            CategoryId.InterlineEquation_YOLO,
+            CategoryId.InlineEquation,
+        )
+        images = []
+        for i in page_idxs:
+            img = page_images[i]
+            boxes = [
+                det["poly"]
+                for det in model_infos[i]["layout_dets"]
+                if det["category_id"] in formula_cats
+            ]
+            if boxes:
+                img = img.copy()
+                h, w = img.shape[:2]
+                for poly in boxes:
+                    x0 = max(int(min(poly[0::2])), 0)
+                    y0 = max(int(min(poly[1::2])), 0)
+                    x1 = min(int(max(poly[0::2])) + 1, w)
+                    y1 = min(int(max(poly[1::2])) + 1, h)
+                    img[y0:y1, x0:x1] = 255
+            images.append(img)
         det_results = self.ocr.detector(images)
         crops: list[np.ndarray] = []
         owners: list[tuple[int, np.ndarray, float]] = []

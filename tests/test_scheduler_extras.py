@@ -62,3 +62,64 @@ def test_checkbox_dets_in_scheduler():
     assert len(cb) >= 2
     glyphs = {d["checkbox"] for d in cb}
     assert "☑" in glyphs and "☐" in glyphs
+
+
+def test_formula_number_tag_merge():
+    from rapiddoc_tpu.pipeline.middle import _merge_formula_numbers
+    from rapiddoc_tpu.types import BlockType, ContentType
+
+    eq_span = {"type": ContentType.INTERLINE_EQUATION, "content": "E=mc^2"}
+    pages = [{
+        "preproc_blocks": [
+            {"type": BlockType.INTERLINE_EQUATION,
+             "lines": [{"spans": [eq_span]}], "bbox": [0, 0, 100, 20]},
+            {"type": BlockType.FORMULA_NUMBER,
+             "lines": [{"spans": [{"type": ContentType.TEXT,
+                                   "content": "(1)"}]}],
+             "bbox": [110, 0, 130, 20]},
+            {"type": BlockType.FORMULA_NUMBER,
+             "lines": [{"spans": [{"type": ContentType.TEXT,
+                                   "content": "orphan-5"}]}],
+             "bbox": [110, 50, 170, 70]},
+        ]
+    }]
+    _merge_formula_numbers(pages)
+    blocks = pages[0]["preproc_blocks"]
+    assert eq_span["content"] == "E=mc^2\\tag{1}"
+    # merged number block removed; orphan demoted to text
+    assert [b["type"] for b in blocks] == [
+        BlockType.INTERLINE_EQUATION, BlockType.TEXT,
+    ]
+
+
+def test_ocr_masks_formula_regions():
+    import numpy as np
+
+    from rapiddoc_tpu.pipeline.scheduler import DocumentAnalyzer
+    from rapiddoc_tpu.types import CategoryId
+
+    captured = {}
+
+    class SpyDet:
+        def __call__(self, images):
+            captured["images"] = images
+            from rapiddoc_tpu.models.ocr.engine import DetResult
+            return [DetResult(np.zeros((0, 4, 2)), np.zeros(0))
+                    for _ in images]
+
+    class SpyOcr:
+        detector = SpyDet()
+        recognizer = staticmethod(lambda crops, **kw: [])
+        drop_score = 0.5
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    an = DocumentAnalyzer(ocr_system=SpyOcr())
+    infos = [{"layout_dets": [{
+        "category_id": CategoryId.InterlineEquation_YOLO,
+        "poly": [10, 10, 50, 10, 50, 30, 10, 30], "score": 1.0,
+    }]}]
+    an._run_page_ocr([0], [img], infos)
+    masked = captured["images"][0]
+    assert masked[20, 30, 0] == 255  # formula region painted white
+    assert masked[60, 60, 0] == 0    # rest untouched
+    assert img[20, 30, 0] == 0       # original page not mutated
