@@ -40,6 +40,11 @@ class TableConfig:
     use_cls_model: bool = False  # heuristic until trained cls weights exist
     wireless_max_len: int = 256
     use_img2table: bool = True  # OpenCV ruling-line fallback for wired
+    # run BOTH structure models and arbitrate (reference:
+    # rapid_table.py use_compare_table + select_best_table_model)
+    use_compare_table: bool = False
+    # rotate portrait crops whose text is vertical before recognition
+    detect_rotation: bool = True
 
 
 class TableRecognizer:
@@ -97,6 +102,15 @@ class TableRecognizer:
         """Table crops -> HTML strings."""
         if not crops:
             return []
+        if self.config.detect_rotation and self.ocr is not None:
+            from .select import detect_table_rotation
+
+            detector = getattr(self.ocr, "detector", None)
+            crops = [
+                np.ascontiguousarray(np.rot90(c, 3))
+                if detect_table_rotation(c, detector) else c
+                for c in crops
+            ]
         if self.wired is None:
             kinds = ["wireless"] * len(crops)
         elif self.wireless is None:
@@ -108,6 +122,14 @@ class TableRecognizer:
         results = [""] * len(crops)
         wired_idx = [i for i, k in enumerate(kinds) if k == "wired"]
         wireless_idx = [i for i, k in enumerate(kinds) if k == "wireless"]
+        compare = (
+            self.config.use_compare_table
+            and self.wired is not None
+            and self.wireless is not None
+        )
+        if compare:
+            wired_idx = list(range(len(crops)))
+            wireless_idx = list(range(len(crops)))
         for i in wired_idx:
             results[i] = self._predict_wired(crops[i])
         if wireless_idx:
@@ -116,8 +138,25 @@ class TableRecognizer:
                 max_len=self.config.wireless_max_len,
             )
             for i, (structure, bboxes) in zip(wireless_idx, structures):
-                results[i] = self._fill_text(crops[i], structure, bboxes)
+                wireless_html = self._fill_text(crops[i], structure, bboxes)
+                if compare and i in set(wired_idx):
+                    from .select import select_best_table_html
+
+                    ocr_texts = self._ocr_texts(crops[i])
+                    results[i] = select_best_table_html(
+                        ocr_texts, results[i], wireless_html
+                    )
+                else:
+                    results[i] = wireless_html
         return results
+
+    def _ocr_texts(self, crop: np.ndarray) -> list[str]:
+        if self.ocr is None:
+            return []
+        try:
+            return [it["text"] for it in self.ocr([crop])[0]]
+        except Exception:
+            return []
 
     # ------------------------------------------------------------- wired
 
@@ -176,6 +215,8 @@ class TableRecognizer:
                      "text": it["text"]}
                 )
         assignments = match_ocr_to_cells(cell_boxes, items)
+        from .select import normalize_cell_text
+
         out = []
         for idxs in assignments:
             frags = [items[i]["text"] for i in idxs]
@@ -183,7 +224,7 @@ class TableRecognizer:
             if frags and all(
                 all(ord(c) > 0x2E80 for c in f) for f in frags if f
             ):
-                out.append("".join(frags))
+                out.append(normalize_cell_text("".join(frags)))
             else:
-                out.append(" ".join(frags))
+                out.append(normalize_cell_text(" ".join(frags)))
         return out
