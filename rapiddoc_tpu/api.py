@@ -104,6 +104,7 @@ class RapidDoc:
         image_output_mode: str = "url",
         preload_model: bool = False,
         pdf_pages_batch: int = 64,
+        checkpoint_dir: str | Path | None = None,
     ) -> None:
         self.layout_config = layout_config or {}
         self.ocr_config = ocr_config or {}
@@ -124,6 +125,7 @@ class RapidDoc:
             raise ValueError("image_output_mode must be 'url' or 'data_uri'")
         self.image_output_mode = image_output_mode
         self.pdf_pages_batch = pdf_pages_batch
+        self.checkpoint_dir = checkpoint_dir
         if preload_model:
             self.warmup()
 
@@ -246,6 +248,11 @@ class RapidDoc:
         # pool; here one prefetch thread hides it under device time)
         from concurrent.futures import ThreadPoolExecutor
 
+        from .utils.checkpoint import resolve_checkpoint
+
+        ckpt = resolve_checkpoint(
+            self.checkpoint_dir, pdf_bytes, parse_method, dpi, window
+        )
         starts = list(range(0, n_pages, window))
         with ThreadPoolExecutor(max_workers=1) as pool:
             future = pool.submit(render_window, starts[0]) if starts else None
@@ -253,11 +260,18 @@ class RapidDoc:
                 w_imgs, w_text, w_boxes, dims = future.result()
                 if wi + 1 < len(starts):
                     future = pool.submit(render_window, starts[wi + 1])
-                arrays = [np.asarray(im.convert("RGB")) for im in w_imgs]
-                w_modes = [parse_method] * len(w_imgs)
-                infos = stack.analyzer.analyze_pages(
-                    arrays, w_modes, w_text, w_boxes, [scale] * len(w_imgs)
-                )
+                infos = ckpt.load(start) if ckpt is not None else None
+                if infos is None:
+                    arrays = [np.asarray(im.convert("RGB")) for im in w_imgs]
+                    w_modes = [parse_method] * len(w_imgs)
+                    infos = stack.analyzer.analyze_pages(
+                        arrays, w_modes, w_text, w_boxes, [scale] * len(w_imgs)
+                    )
+                    if ckpt is not None:
+                        ckpt.save(start, infos)
+                else:
+                    logger.info("window %d resumed from checkpoint", start)
+                    w_modes = [parse_method] * len(w_imgs)
                 all_model_infos.extend(infos)
                 page_imgs.extend(w_imgs)
                 text_dicts.extend(w_text)

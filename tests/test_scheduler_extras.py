@@ -123,3 +123,40 @@ def test_ocr_masks_formula_regions():
     assert masked[20, 30, 0] == 255  # formula region painted white
     assert masked[60, 60, 0] == 0    # rest untouched
     assert img[20, 30, 0] == 0       # original page not mutated
+
+
+def test_window_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from rapiddoc_tpu.utils.checkpoint import WindowCheckpoint, checkpoint_key
+
+    key = checkpoint_key(b"pdfbytes", "txt", 200, 64)
+    ck = WindowCheckpoint(tmp_path, key)
+    infos = [{"layout_dets": [{
+        "category_id": 1, "poly": np.array([0.0, 1, 2, 3, 4, 5, 6, 7]),
+        "score": np.float32(0.9),
+    }]}]
+    assert ck.load(0) is None
+    ck.save(0, infos)
+    loaded = ck.load(0)
+    assert loaded[0]["layout_dets"][0]["poly"] == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert abs(loaded[0]["layout_dets"][0]["score"] - 0.9) < 1e-6
+    # different options -> different key
+    assert checkpoint_key(b"pdfbytes", "ocr", 200, 64) != key
+
+
+def test_parse_resumes_from_checkpoint(tmp_path):
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import RapidDoc, pdfio
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((40, 90), "checkpoint page", fill="black")
+    pdf = pdfio.images_to_pdf([img])
+    eng = RapidDoc(formula_enable=False, table_enable=False,
+                   parse_method="txt", checkpoint_dir=tmp_path)
+    out1 = eng(pdf)
+    files = list(tmp_path.rglob("win_*.json"))
+    assert files, "checkpoint written"
+    out2 = eng(pdf)  # second run loads the window from disk
+    assert out2.markdown == out1.markdown
