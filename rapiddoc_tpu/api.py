@@ -52,6 +52,9 @@ class RapidDocOutput:
     images: dict[str, bytes] = field(default_factory=dict)
     middle_json: dict[str, Any] | None = None
     content_list_json: list[Any] | None = None
+    # per-stage {total_s, items, calls, ms_per_item} (render/layout/ocr/
+    # formula/table/assembly), cumulative for this process
+    stage_report: dict[str, dict] | None = None
 
     def __iter__(self):
         yield self.markdown
@@ -317,11 +320,18 @@ class RapidDoc:
         if self.default_md_writer is not None:
             self.default_md_writer.write_string(f"{name}.md", markdown)
 
+        report = GLOBAL_TRACER.report()
+        if report:
+            logger.info(
+                "stage ms/page: %s",
+                {k: v["ms_per_item"] for k, v in report.items()},
+            )
         return RapidDocOutput(
             markdown=markdown,
             images=images,
             middle_json=middle_json,
             content_list_json=content_list,
+            stage_report=report,
         )
 
     @staticmethod

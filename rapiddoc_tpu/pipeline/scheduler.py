@@ -29,6 +29,27 @@ def _quad_poly(x0: float, y0: float, x1: float, y1: float) -> list[float]:
     return [x0, y0, x1, y0, x1, y1, x0, y1]
 
 
+def _rec_with_fallback(recognizer, crops, **kw):
+    """Batch rec with failure isolation: a whole-batch exception retries
+    per-crop; a per-crop failure yields an empty low-score result
+    (reference: analyze_utils.py:252-274 batch -> one-by-one ->
+    LowScoreText)."""
+    from ..models.ocr.engine import RecResult
+
+    try:
+        return recognizer(crops, **kw)
+    except Exception:
+        logger.exception("rec batch failed; retrying per crop")
+    out = []
+    for crop in crops:
+        try:
+            out.extend(recognizer([crop], **kw))
+        except Exception:
+            logger.exception("rec failed for a single crop; marking low-score")
+            out.append(RecResult("", 0.0))
+    return out
+
+
 def _rotate_dets_back(dets: list[dict], angle: int, rot_w: int, rot_h: int) -> None:
     """Map det polys from rotated-image coords back to the original page.
 
@@ -275,7 +296,7 @@ class DocumentAnalyzer:
             for quad, score in zip(det.boxes, det.scores):
                 crops.append(crop_quad(page_images[page_i], quad))
                 owners.append((page_i, quad, float(score)))
-        rec_results = self.ocr.recognizer(crops)
+        rec_results = _rec_with_fallback(self.ocr.recognizer, crops)
         for (page_i, quad, det_score), rec in zip(owners, rec_results):
             x0, y0 = float(quad[:, 0].min()), float(quad[:, 1].min())
             x1, y1 = float(quad[:, 0].max()), float(quad[:, 1].max())
@@ -327,7 +348,7 @@ class DocumentAnalyzer:
                 owners.append((page_i, det))
         if not crops:
             return
-        results = self.ocr.recognizer(crops)
+        results = _rec_with_fallback(self.ocr.recognizer, crops)
         for (page_i, det), rec in zip(owners, results):
             if not rec.text:
                 continue
