@@ -131,11 +131,28 @@ def build_analyzer(
         build_table_model(configs.get("table")) if table_enable else None
     )
     checkbox_cfg = configs.get("checkbox") or {}
+    orientation = None
+    from ..config import env_bool
+
+    if env_bool("USE_DOC_ORIENTATION_CLASSIFY") or os.environ.get(
+        "USE_DOC_ORIENTATION_CLASSIFY", ""
+    ).lower() in ("1", "true", "yes"):
+        # reference gate: USE_DOC_ORIENTATION_CLASSIFY env
+        # (config_reader.py:78-133); classifier is cheap, random-init safe
+        try:
+            from .orientation.engine import OrientationClassifier
+
+            orientation = OrientationClassifier(
+                _load_variables(get_models_dir() / "orientation_cls.npz")
+            )
+        except Exception:
+            orientation = None
     return DocumentAnalyzer(
         layout_model=layout,
         ocr_system=ocr,
         formula_model=formula if formula_enable else None,
         table_model=table if table_enable else None,
+        orientation_model=orientation,
         formula_enable=formula_enable,
         table_enable=table_enable,
         checkbox_enable=checkbox_cfg.get(

@@ -45,6 +45,9 @@ class TableConfig:
     use_compare_table: bool = False
     # rotate portrait crops whose text is vertical before recognition
     detect_rotation: bool = True
+    # focused per-cell OCR retry on blank wired cells (reference:
+    # rapid_table.py:36,99 enable_blank_cell_rec, default off)
+    enable_blank_cell_rec: bool = False
 
 
 class TableRecognizer:
@@ -94,6 +97,13 @@ class TableRecognizer:
             TableConfig(
                 strategy=configs.get("strategy", "unet_slanet_plus"),
                 use_cls_model=variables["cls"] is not None,
+                wireless_max_len=configs.get("wireless_max_len", 256),
+                use_img2table=configs.get("use_img2table", True),
+                use_compare_table=configs.get("use_compare_table", False),
+                detect_rotation=configs.get("detect_rotation", True),
+                enable_blank_cell_rec=configs.get(
+                    "enable_blank_cell_rec", False
+                ),
             ),
             variables=variables,
         )
@@ -171,7 +181,35 @@ class TableRecognizer:
         if not cell_boxes:
             return ""
         texts = self._cell_texts(crop, cell_boxes)
+        if self.config.enable_blank_cell_rec and self.ocr is not None:
+            texts = self._retry_blank_cells(crop, cell_boxes, texts)
         return build_html_from_grid(grid, texts)
+
+    def _retry_blank_cells(
+        self, crop: np.ndarray, cell_boxes: list[list[float]],
+        texts: list[str],
+    ) -> list[str]:
+        """Focused OCR on cells the page-level pass left empty."""
+        h, w = crop.shape[:2]
+        for k, (box, text) in enumerate(zip(cell_boxes, texts)):
+            if text.strip():
+                continue
+            x0, y0, x1, y1 = (max(int(box[0]), 0), max(int(box[1]), 0),
+                              min(int(box[2]) + 1, w), min(int(box[3]) + 1, h))
+            if x1 - x0 < 4 or y1 - y0 < 4:
+                continue
+            cell = crop[y0:y1, x0:x1]
+            try:
+                items = self.ocr([cell])[0]
+            except Exception:
+                continue
+            if items:
+                from .select import normalize_cell_text
+
+                texts[k] = normalize_cell_text(
+                    " ".join(it["text"] for it in items)
+                )
+        return texts
 
     def _fill_text(
         self, crop: np.ndarray, structure: list[str], bboxes: list[list[float]]

@@ -160,3 +160,14 @@ def test_parse_resumes_from_checkpoint(tmp_path):
     assert files, "checkpoint written"
     out2 = eng(pdf)  # second run loads the window from disk
     assert out2.markdown == out1.markdown
+
+
+def test_orientation_gate(monkeypatch):
+    from rapiddoc_tpu.models import registry
+
+    monkeypatch.setenv("USE_DOC_ORIENTATION_CLASSIFY", "true")
+    an = registry.build_analyzer(formula_enable=False, table_enable=False)
+    assert an.orientation_model is not None
+    monkeypatch.delenv("USE_DOC_ORIENTATION_CLASSIFY")
+    an2 = registry.build_analyzer(formula_enable=False, table_enable=False)
+    assert an2.orientation_model is None

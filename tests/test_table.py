@@ -148,3 +148,26 @@ def test_img2table_opencv_extract():
     assert max(g[0] for g in grid) == 2 and max(g[1] for g in grid) == 2
     blank = np.full((300, 400, 3), 255, np.uint8)
     assert opencv_table_extract(blank) == ([], [])
+
+
+def test_blank_cell_retry():
+    from rapiddoc_tpu.models.table.engine import TableConfig, TableRecognizer
+
+    calls = []
+
+    class FakeOcr:
+        def __call__(self, imgs, **kw):
+            calls.append(imgs[0].shape)
+            return [[{"box": [[1, 1], [20, 1], [20, 10], [1, 10]],
+                      "text": "found"}]]
+
+    rec = TableRecognizer(
+        TableConfig(strategy="unet", enable_blank_cell_rec=True,
+                    detect_rotation=False),
+        ocr_system=FakeOcr(),
+    )
+    texts = rec._retry_blank_cells(
+        np.full((100, 100, 3), 255, np.uint8),
+        [[10, 10, 60, 40]], [""],
+    )
+    assert texts == ["found"]
