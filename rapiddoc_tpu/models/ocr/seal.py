@@ -60,6 +60,7 @@ class SealOCR:
         self.text_system = text_system
 
     def __call__(self, crop: np.ndarray) -> str:
+        self._debug_dump(crop)
         texts: list[str] = []
         circle = detect_circle(crop)
         if circle is not None:
@@ -82,3 +83,28 @@ class SealOCR:
             flat = self.text_system([crop])[0]
             texts.extend(item["text"] for item in flat)
         return " ".join(t for t in texts if t)
+
+    _dump_n = 0
+
+    def _debug_dump(self, crop: np.ndarray) -> None:
+        """Dump seal crops for visual QA when RAPIDDOC_SEAL_OCR_DEBUG[_DIR]
+        / MINERU_SEAL_OCR_DEBUG[_DIR] is set (reference:
+        rapid_ocr.py:164-223 seal debug dumps)."""
+        import os
+
+        target = None
+        for prefix in ("RAPIDDOC_", "MINERU_"):
+            target = os.environ.get(f"{prefix}SEAL_OCR_DEBUG_DIR") or target
+            if not target and os.environ.get(f"{prefix}SEAL_OCR_DEBUG"):
+                target = "/tmp/rapiddoc_seal_debug"
+        if not target:
+            return
+        try:
+            os.makedirs(target, exist_ok=True)
+            cv2.imwrite(
+                os.path.join(target, f"seal_{SealOCR._dump_n:04d}.png"),
+                cv2.cvtColor(crop, cv2.COLOR_RGB2BGR),
+            )
+            SealOCR._dump_n += 1
+        except Exception:
+            pass
