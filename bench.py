@@ -55,10 +55,19 @@ def _bench_jax() -> float:
 
     @jax.jit
     def det_fwd(v, x):
+        # packed readback, matching TextDetector's det_apply: full-res
+        # threshold bitmap packed to bits + 2x uint8 prob for box scoring
         x = det_normalize_device(x).astype(jnp.bfloat16)
         prob = det.apply(v, x).astype(jnp.float32)
-        # uint8 prob map readback (matches TextDetector's det_apply)
-        return jnp.round(jnp.clip(prob, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        prob = jnp.clip(prob[..., 0], 0.0, 1.0)
+        b, h, w = prob.shape
+        bits = (prob > 0.3).astype(jnp.uint8).reshape(b, h, w // 8, 8)
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+        packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+        prob8 = jnp.round(
+            prob.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4)) * 255.0
+        ).astype(jnp.uint8)
+        return {"bits": packed, "prob8": prob8}
 
     @jax.jit
     def rec_fwd(v, x):

@@ -90,16 +90,31 @@ class TextDetector:
         self.post_params = post_params or DBPostParams()
         self.limit_side_len = limit_side_len
         self.limit_type = limit_type
+        thresh = self.post_params.thresh
+
         def det_apply(v, x):
-            # quantize the full-res prob map to uint8 on device: DB
-            # thresholds (0.3/0.5) need far less than 1/255 resolution and
-            # the device->host readback shrinks 4x
+            # device->host readback is the det bottleneck on a tunneled
+            # chip (~10 MB/s for fresh buffers): ship (a) the exact
+            # full-res threshold bitmap PACKED TO BITS (8x smaller than
+            # uint8) for contour extraction, and (b) a 2x-downsampled
+            # uint8 prob map for box scoring (a box's mean prob is
+            # insensitive to 2x pooling) — ~10x less readback than the
+            # full float32 map with identical detected geometry
             import jax.numpy as jnp
 
-            prob = self.model.apply(v, x)
-            return jnp.round(
-                jnp.clip(prob.astype(jnp.float32), 0.0, 1.0) * 255.0
+            prob = self.model.apply(v, x).astype(jnp.float32)
+            prob = jnp.clip(prob[..., 0], 0.0, 1.0)  # (B, H, W)
+            b, h, w = prob.shape
+            bits = (prob > thresh).astype(jnp.uint8).reshape(b, h, w // 8, 8)
+            weights = jnp.asarray(
+                [128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8
+            )
+            packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+            prob_small = jnp.round(
+                prob.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+                * 255.0
             ).astype(jnp.uint8)
+            return {"bits": packed, "prob8": prob_small}
 
         self.session = JaxSession(
             det_apply,
@@ -127,20 +142,35 @@ class TextDetector:
         for (bh, bw), idxs in groups.items():
             batch_imgs = [pad_image_to(prepped[i], bh, bw) for i in idxs]
             outs = self.session.run_batched(batch_imgs)
-            for i, prob in zip(idxs, outs):
+            for i, out in zip(idxs, outs):
                 src_h, src_w, rh, rw = metas[i]
-                boxes, scores = None, None
-                prob2d = prob[..., 0]
                 # crop bucket padding, then scale boxes back to source pixels
+                prob2d = self._reconstruct_prob(out)
                 boxes, scores = self._post(prob2d, src_h, src_w, rh, rw)
                 results[i] = DetResult(boxes, scores)
         return results  # type: ignore[return-value]
 
+    def _reconstruct_prob(self, out) -> np.ndarray:
+        """Rebuild a prob map from the packed device output: the bitmap
+        reproduces the exact full-res thresholding; the 2x uint8 map
+        supplies the values box scoring averages over."""
+        if isinstance(out, np.ndarray):  # legacy full map
+            return out[..., 0] if out.ndim == 3 else out
+        bits, prob8 = out["bits"], out["prob8"]
+        h, w8 = bits.shape
+        bitmap = np.unpackbits(bits, axis=1, count=w8 * 8).astype(bool)
+        prob = cv2.resize(
+            prob8, (w8 * 8, h), interpolation=cv2.INTER_NEAREST
+        ).astype(np.float32) / 255.0
+        t = self.post_params.thresh
+        # force host thresholding to agree with the device bitmap
+        return np.where(
+            bitmap, np.maximum(prob, t + 1e-3), np.minimum(prob, t - 1e-3)
+        )
+
     def _post(self, prob2d, src_h, src_w, rh, rw):
         from .pre_post import db_postprocess
 
-        if prob2d.dtype == np.uint8:
-            prob2d = prob2d.astype(np.float32) / 255.0
         return db_postprocess(
             prob2d, src_h, src_w, valid_h=rh, valid_w=rw, params=self.post_params
         )
