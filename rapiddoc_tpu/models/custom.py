@@ -39,12 +39,23 @@ class CustomOCRAdapter:
 
 
 def resolve_custom(configs: dict | None, stage: str):
-    """Pull a custom model out of a per-stage config dict."""
+    """Pull a custom model out of a per-stage config dict. The string
+    shorthand "paddleocr_vl" builds the remote VL client from env
+    (reference: model/custom/paddleocr_vl/)."""
     if not configs:
         return None
     model = configs.get("custom_model")
     if model is None:
         return None
+    if model == "paddleocr_vl":
+        from .vl import build_vl_model
+
+        model = build_vl_model(stage)
+        if model is None:
+            raise ValueError(
+                "paddleocr_vl requested but PADDLEOCRVL_API_BASE is not set"
+            )
+        return model
     if not hasattr(model, "batch_predict"):
         raise TypeError(
             f"{stage} custom_model must implement batch_predict (see "
