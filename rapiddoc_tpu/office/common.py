@@ -84,7 +84,30 @@ class OfficeResult:
 
     def to_content_list(self) -> list[dict]:
         items = []
-        for b in self.blocks:
+        caption_for: dict[int, tuple[str, int]] = {}
+        # caption-pattern text adjacent to an image/table attaches to it
+        # (reference: backend/office/office_magic_model.py caption
+        # classification + two-layer body/caption grouping)
+        for i, b in enumerate(self.blocks):
+            if b.type != "text" or not _CAPTION_RE.match(b.text.strip()):
+                continue
+            for j in (i - 1, i + 1):
+                if 0 <= j < len(self.blocks) and self.blocks[j].type in (
+                    "image", "table"
+                ) and self.blocks[j].page_idx == b.page_idx:
+                    caption_for[i] = (
+                        "img_caption"
+                        if self.blocks[j].type == "image"
+                        else "table_caption",
+                        j,
+                    )
+                    break
+        pending: dict[int, list[tuple[str, str]]] = {}
+        for i, (key, j) in caption_for.items():
+            pending.setdefault(j, []).append((key, self.blocks[i].text))
+        for i, b in enumerate(self.blocks):
+            if i in caption_for:
+                continue
             if b.type == "title":
                 items.append(
                     {"type": ContentType.TEXT, "text": b.text, "text_level": b.level,
@@ -94,11 +117,17 @@ class OfficeResult:
                 items.append({"type": ContentType.TEXT, "text": b.text,
                               "page_idx": b.page_idx})
             elif b.type == "table":
-                items.append({"type": ContentType.TABLE, "table_body": b.html,
-                              "page_idx": b.page_idx})
+                item = {"type": ContentType.TABLE, "table_body": b.html,
+                        "page_idx": b.page_idx}
+                for key, text in pending.get(i, []):
+                    item.setdefault(key, []).append(text)
+                items.append(item)
             elif b.type == "image":
-                items.append({"type": ContentType.IMAGE, "img_path": b.image_name,
-                              "page_idx": b.page_idx})
+                item = {"type": ContentType.IMAGE, "img_path": b.image_name,
+                        "page_idx": b.page_idx}
+                for key, text in pending.get(i, []):
+                    item.setdefault(key, []).append(text)
+                items.append(item)
             elif b.type == "equation":
                 items.append({"type": ContentType.EQUATION, "text": b.text,
                               "text_format": "latex", "page_idx": b.page_idx})
@@ -209,6 +238,11 @@ class OfficeResult:
             "_backend": "office",
             "_version_name": __version__,
         }
+
+
+_CAPTION_RE = __import__("re").compile(
+    r"^(图|表|圖|Figure|Fig\.?|Table|Chart|Diagram)\s*\d", __import__("re").I
+)
 
 
 def esc(text: str) -> str:

@@ -64,3 +64,22 @@ def test_xlsx_chart_in_blocks():
         res = xlsx_to_blocks(f.read())
     tables = [b for b in res.blocks if b.type == "table"]
     assert len(tables) >= 2  # data sheet + chartsheet chart
+
+
+def test_office_caption_grouping():
+    from rapiddoc_tpu.office.common import OfficeResult
+
+    r = OfficeResult()
+    r.add_text("intro paragraph")
+    r.add_image("fig1.png", b"\x89PNG")
+    r.add_text("Figure 1: an example chart")
+    r.add_text("more body text")
+    r.add_text("表 2 统计数据")
+    r.add_table("<table><tr><td>x</td></tr></table>")
+    items = r.to_content_list()
+    img = next(i for i in items if i["type"] == "image")
+    assert img["img_caption"] == ["Figure 1: an example chart"]
+    tbl = next(i for i in items if i["type"] == "table")
+    assert tbl["table_caption"] == ["表 2 统计数据"]
+    texts = [i["text"] for i in items if i["type"] == "text"]
+    assert "Figure 1: an example chart" not in texts
