@@ -79,20 +79,26 @@ def _bench_jax() -> float:
 
     def run_once():
         # phase 1: enqueue everything (transfer/compute pipeline on device)
-        handles = []
-        for i in range(0, PAGES, det_bs):
-            handles.append(
-                det_fwd(det_vars, jnp.asarray(det_batch[i : i + det_bs]))
-            )
-        for i in range(0, len(rec_batch), rec_bs):
-            handles.append(
-                rec_fwd(rec_vars, jnp.asarray(rec_batch[i : i + rec_bs]))
-            )
-        # phase 2: results come back to the host (as the pipeline would
-        # for DB postprocess / CTC text mapping)
-        return [
-            jax.tree.map(np.asarray, h) for h in handles
+        det_handles = [
+            det_fwd(det_vars, jnp.asarray(det_batch[i : i + det_bs]))
+            for i in range(0, PAGES, det_bs)
         ]
+        rec_handles = [
+            rec_fwd(rec_vars, jnp.asarray(rec_batch[i : i + rec_bs]))
+            for i in range(0, len(rec_batch), rec_bs)
+        ]
+        # phase 2: concatenate on device, fetch once per stage — the
+        # host<->device roundtrip is paid twice total, not per batch
+        # (mirrors JaxSession.run_batched)
+        det_out = {
+            k: np.asarray(jnp.concatenate([h[k] for h in det_handles]))
+            for k in det_handles[0]
+        }
+        rec_out = [
+            np.asarray(jnp.concatenate([h[j] for h in rec_handles]))
+            for j in range(len(rec_handles[0]))
+        ]
+        return det_out, rec_out
 
     run_once()  # compile
     tic = time.perf_counter()

@@ -173,6 +173,22 @@ class JaxSession:
         for i in range(0, len(images), max_b):
             chunk = np.stack(images[i : i + max_b], axis=0)
             handles.append(self.dispatch(chunk))
+        # single fetch: slice each chunk to its true n and concatenate on
+        # device, so the host<->device roundtrip latency is paid once,
+        # not once per chunk
+        if len(handles) > 1:
+            trees = [out for out, _ in handles]
+            ns = [n for _, n in handles]
+            treedef = jax.tree.structure(trees[0])
+            if all(jax.tree.structure(t) == treedef for t in trees[1:]):
+                leaves_per = [jax.tree.leaves(t) for t in trees]
+                merged = [
+                    jnp.concatenate(
+                        [lv[k][:n] for lv, n in zip(leaves_per, ns)], axis=0
+                    )
+                    for k in range(len(leaves_per[0]))
+                ]
+                handles = [(jax.tree.unflatten(treedef, merged), sum(ns))]
         outs: list[Any] = []
         for handle in handles:
             out = self.fetch(handle)

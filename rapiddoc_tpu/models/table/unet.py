@@ -85,32 +85,44 @@ def extract_cells_from_mask(
 
 
 def cells_to_grid(cells: list[list[float]]) -> list[tuple[int, int, int, int]]:
-    """Assign logical (row, col, rowspan, colspan) to cell boxes."""
+    """Assign logical (row, col, rowspan, colspan) to cell boxes.
+
+    Row/column boundaries are clustered with tolerances adaptive to the
+    median cell size (reference role: rapid_table_self/table_structure/
+    utils_table_recover.py logical row/col recovery); a cell's span is
+    one plus the number of interior boundaries it crosses.
+    """
     if not cells:
         return []
-    ys = sorted(set(round(c[1]) for c in cells))
-    xs = sorted(set(round(c[0]) for c in cells))
+    widths = sorted(c[2] - c[0] for c in cells)
+    heights = sorted(c[3] - c[1] for c in cells)
+    med_w = widths[len(widths) // 2]
+    med_h = heights[len(heights) // 2]
+    tol_x = max(6.0, med_w * 0.3)
+    tol_y = max(6.0, med_h * 0.3)
 
-    def cluster(vals: list[int], tol: int = 8) -> list[int]:
-        out: list[int] = []
-        for v in vals:
-            if not out or v - out[-1] > tol:
-                out.append(v)
-        return out
+    def cluster(vals: list[float], tol: float) -> list[float]:
+        out: list[list[float]] = []
+        for v in sorted(vals):
+            if not out or v - out[-1][-1] > tol:
+                out.append([v])
+            else:
+                out[-1].append(v)
+        return [sum(g) / len(g) for g in out]
 
-    row_edges = cluster(ys)
-    col_edges = cluster(xs)
+    row_edges = cluster([c[1] for c in cells], tol_y)
+    col_edges = cluster([c[0] for c in cells], tol_x)
 
-    def nearest(edges: list[int], v: float) -> int:
+    def nearest(edges: list[float], v: float) -> int:
         return min(range(len(edges)), key=lambda i: abs(edges[i] - v))
 
     grid = []
     for x0, y0, x1, y1 in cells:
         r = nearest(row_edges, y0)
         c = nearest(col_edges, x0)
-        heights = [e for e in row_edges if y0 - 4 < e < y1 - 4]
-        widths = [e for e in col_edges if x0 - 4 < e < x1 - 4]
-        grid.append((r, c, max(1, len(heights)), max(1, len(widths))))
+        inner_rows = [e for e in row_edges if y0 + tol_y < e < y1 - tol_y * 0.5]
+        inner_cols = [e for e in col_edges if x0 + tol_x < e < x1 - tol_x * 0.5]
+        grid.append((r, c, 1 + len(inner_rows), 1 + len(inner_cols)))
     return grid
 
 

@@ -171,3 +171,21 @@ def test_blank_cell_retry():
         [[10, 10, 60, 40]], [""],
     )
     assert texts == ["found"]
+
+
+def test_cells_to_grid_spans_and_jitter():
+    from rapiddoc_tpu.models.table.unet import cells_to_grid
+
+    # 2x2 grid with a header row spanning both columns; jittered edges
+    cells = [
+        [10.0, 10.0, 210.0, 50.0],     # header spans both cols
+        [11.0, 52.0, 108.0, 90.0],     # r1c0 (jittered +1/-2)
+        [112.0, 51.0, 210.0, 91.0],    # r1c1
+        [10.0, 93.0, 110.0, 130.0],    # r2c0
+        [111.0, 92.0, 209.0, 131.0],   # r2c1
+    ]
+    grid = cells_to_grid(cells)
+    assert grid[0] == (0, 0, 1, 2)  # colspan 2
+    assert grid[1][:2] == (1, 0) and grid[2][:2] == (1, 1)
+    assert grid[3][:2] == (2, 0) and grid[4][:2] == (2, 1)
+    assert all(g[2] == 1 and g[3] == 1 for g in grid[1:])
