@@ -202,8 +202,19 @@ class TextRecognizer:
                 jax.random.PRNGKey(seed), np.zeros((1, 48, 80, 3), np.float32)
             )
         self.drop_score = drop_score
+        def rec_apply(v, x):
+            import os
+
+            if os.environ.get("RAPIDDOC_NO_FUSED_CTC"):
+                return ctc_greedy_decode(self.model.apply(v, x))
+            from ...ops.ctc_head import ctc_head_decode
+
+            seq = self.model.apply(v, x, features_only=True)
+            head = v["params"]["head"]
+            return ctc_head_decode(seq, head["kernel"], head["bias"])
+
         self.session = JaxSession(
-            lambda v, x: ctc_greedy_decode(self.model.apply(v, x)),
+            rec_apply,
             variables,
             bucket_spec,
             name="ocr_rec",

@@ -60,7 +60,9 @@ class SVTRRec(nn.Module):
     local_kernel: int = 7
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, features_only: bool = False
+    ) -> jax.Array:
         feat = PPLCNetV4(det=False, model_size=self.model_size, name="backbone")(x)
         feat = LightSVTRNeck(
             self.dims, self.depth, mlp_ratio=self.mlp_ratio,
@@ -68,6 +70,11 @@ class SVTRRec(nn.Module):
         )(feat)
         b, h, w, c = feat.shape
         seq = feat.reshape(b, h * w, c)  # h == 1 after backbone pooling
+        if features_only:
+            # caller fuses the vocab projection + argmax in a pallas
+            # kernel (ops/ctc_head.py) so the (B,T,18710) logits never
+            # materialize in HBM
+            return seq
         logits = nn.Dense(self.num_classes, name="head")(seq)
         return logits
 
