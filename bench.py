@@ -71,8 +71,14 @@ def _bench_jax() -> float:
 
     @jax.jit
     def rec_fwd(v, x):
+        # production path: pallas fused head (ops/ctc_head.py) — the
+        # (B,T,18710) logits never materialize in HBM
+        from rapiddoc_tpu.ops.ctc_head import ctc_head_decode
+
         x = rec_normalize_device(x).astype(jnp.bfloat16)
-        return ctc_greedy_decode(rec.apply(v, x))
+        seq = rec.apply(v, x, features_only=True)
+        head = v["params"]["head"]
+        return ctc_head_decode(seq, head["kernel"], head["bias"])
 
     det_bs = min(8, PAGES)
     rec_bs = min(64, len(rec_batch))

@@ -221,8 +221,44 @@ class RapidDoc:
         parse_modes: list[str] = []
 
         def render_window(start: int):
-            """Render one window of pages (host work, overlappable)."""
+            """Render one window of pages (host work, overlappable).
+
+            Large windows fan out across a process pool (the pure-Python
+            rasterizer is GIL-bound; reference: pdf_image_tools.py:56-155
+            process-pool render) with a serial fallback."""
             idxs = list(range(start, min(start + window, n_pages)))
+            from .pdfio.parallel_render import (
+                concurrency_enabled,
+                render_pages_parallel,
+            )
+
+            if concurrency_enabled(len(idxs)):
+                try:
+                    with stage_timer("render", len(idxs)):
+                        items = render_pages_parallel(
+                            pdf_bytes, idxs, dpi, parse_method == "txt"
+                        )
+                    w_imgs, w_text, w_boxes, dims = [], [], [], []
+                    for item in items:
+                        if item is None:
+                            w_imgs.append(
+                                Image.new("RGB", (int(612 * scale),
+                                                  int(792 * scale)), "white")
+                            )
+                            w_text.append(None)
+                            w_boxes.append([])
+                            dims.append((612.0, 792.0))
+                        else:
+                            img, size, tdict, boxes = item
+                            w_imgs.append(img)
+                            w_text.append(tdict)
+                            w_boxes.append(boxes)
+                            dims.append(size)
+                    return w_imgs, w_text, w_boxes, dims
+                except Exception:
+                    logger.exception(
+                        "parallel render failed; falling back to serial"
+                    )
             w_imgs, w_text, w_boxes, dims = [], [], [], []
             with stage_timer("render", len(idxs)):
                 for i in idxs:

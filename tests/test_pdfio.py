@@ -104,3 +104,34 @@ def test_classify_demo():
 def test_loadable_page_indices():
     data = open(os.path.join(DEMO, "demo3.pdf"), "rb").read()
     assert pdfio.loadable_page_indices(data) == list(range(10))
+
+
+def test_parallel_render(monkeypatch):
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.pdfio.parallel_render import (
+        concurrency_enabled,
+        render_pages_parallel,
+    )
+
+    import os
+
+    monkeypatch.setenv("RAPIDDOC_PDF_CONCURRENCY_ENABLED", "0")
+    assert not concurrency_enabled(64)  # env kill switch
+    monkeypatch.setenv("RAPIDDOC_PDF_CONCURRENCY_ENABLED", "1")
+    assert not concurrency_enabled(4)  # small windows stay serial
+    assert concurrency_enabled(64) == ((os.cpu_count() or 1) >= 2)
+
+    imgs = []
+    for i in range(3):
+        im = Image.new("RGB", (200, 150), "white")
+        ImageDraw.Draw(im).text((20, 60), f"page {i}", fill="black")
+        imgs.append(im)
+    pdf = pdfio.images_to_pdf(imgs)
+    out = render_pages_parallel(pdf, [0, 1, 2], dpi=72, want_text=False)
+    assert len(out) == 3
+    for item in out:
+        assert item is not None
+        img, size, tdict, boxes = item
+        assert img.size[0] > 0 and size[0] > 0
