@@ -75,17 +75,35 @@ _MAGIC = [
 
 def guess_suffix_by_bytes(data: bytes) -> str | None:
     """Sniff a file's type from content (Magika-role replacement)."""
+    if not data:
+        return None
     for magic, suffix in _MAGIC:
         if data[: len(magic)] == magic:
             return suffix
     if data[:4] == b"PK\x03\x04":
+        # zip entry names are stored uncompressed, but the OOXML marker
+        # dirs aren't guaranteed inside the first bytes — read the real
+        # name list when possible
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as z:
+                names = z.namelist()
+            if any(n.startswith("word/") for n in names):
+                return "docx"
+            if any(n.startswith("ppt/") for n in names):
+                return "pptx"
+            if any(n.startswith("xl/") for n in names):
+                return "xlsx"
+        except zipfile.BadZipFile:
+            pass
         head = data[:8192]
-        if b"word/" in head:
-            return "docx"
-        if b"ppt/" in head:
-            return "pptx"
-        if b"xl/" in head:
-            return "xlsx"
+        for marker, suffix in (
+            (b"word/", "docx"), (b"ppt/", "pptx"), (b"xl/", "xlsx")
+        ):
+            if marker in head:
+                return suffix
         return "zip"
     # texty content?
     sample = data[:2048]
