@@ -17,10 +17,11 @@ import time
 
 import numpy as np
 
-PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "16"))
-CROPS_PER_PAGE = int(os.environ.get("RAPIDDOC_BENCH_CROPS", "24"))
-DET_HW = (960, 704)
-REC_HW = (48, 320)
+TINY = bool(os.environ.get("RAPIDDOC_BENCH_TINY"))
+PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "16"))
+CROPS_PER_PAGE = int(os.environ.get("RAPIDDOC_BENCH_CROPS", "4" if TINY else "24"))
+DET_HW = (192, 192) if TINY else (960, 704)
+REC_HW = (48, 80) if TINY else (48, 320)
 
 
 def _bench_jax() -> float:

@@ -82,7 +82,8 @@ def _h_r(el) -> str:
 def _h_f(el) -> str:
     num = _child(el, "num")
     den = _child(el, "den")
-    bar = _val(_child(el, "fPr") or el, "type") if _child(el, "fPr") is not None else None
+    fpr = _child(el, "fPr")
+    bar = _val(fpr if fpr is not None else el, "type") if fpr is not None else None
     n = _walk(num) if num is not None else ""
     d = _walk(den) if den is not None else ""
     if bar == "lin":

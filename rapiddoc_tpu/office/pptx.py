@@ -35,7 +35,9 @@ def _shape_xy(sp) -> tuple[int, int]:
 def _shape_text(sp) -> list[str]:
     """Paragraph texts of a shape."""
     out = []
-    txbody = sp.find(f"{{{P}}}txBody") or sp.find(f"{{{A}}}txBody")
+    txbody = sp.find(f"{{{P}}}txBody")
+    if txbody is None:
+        txbody = sp.find(f"{{{A}}}txBody")
     if txbody is None:
         return out
     for para in txbody.findall(f"{{{A}}}p"):

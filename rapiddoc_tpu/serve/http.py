@@ -165,6 +165,20 @@ def make_app():
 
     app = web.Application(client_max_size=256 * 1024 * 1024)
     app.add_routes(routes)
+
+    @web.middleware
+    async def gzip_middleware(request, handler):
+        # reference serves gzip-compressed responses (docker/app.py
+        # GZipMiddleware); aiohttp enables per-response compression
+        resp = await handler(request)
+        if (
+            "gzip" in request.headers.get("Accept-Encoding", "")
+            and resp.content_type in ("application/json", "text/html")
+        ):
+            resp.enable_compression()
+        return resp
+
+    app.middlewares.append(gzip_middleware)
     return app
 
 
