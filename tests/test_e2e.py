@@ -112,3 +112,29 @@ def test_xycut_two_columns():
     order = sort_boxes_reading_order(boxes)
     assert order[0] == 0
     assert order.index(1) < order.index(2) < order.index(3) < order.index(4)
+
+
+REF_TEST_PDF = "/root/reference/tests/unittest/pdfs/test.pdf"
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_TEST_PDF),
+                    reason="reference test fixture unavailable")
+def test_reference_ci_fixture(engine):
+    """The reference CI gate's document (reference:
+    tests/unittest/test_e2e.py assert_content fuzzy-golden checks),
+    driven through the txt pipeline."""
+    out = engine(REF_TEST_PDF)
+    md = out.markdown
+    # caption goldens (reference checks fuzz.ratio > 90 on these)
+    assert "Figure Caption" in md
+    assert "Table Caption" in md
+    # body-text golden
+    assert "Wharton School of the University of Pennsylvania" in md
+    # structural variety: images cut + multiple block types present
+    assert len(out.images) >= 1
+    types = {
+        b["type"]
+        for p in out.middle_json["pdf_info"]
+        for b in p["preproc_blocks"]
+    }
+    assert {"image", "text"} <= types
