@@ -187,12 +187,18 @@ class FormulaRecognizer:
             groups.setdefault(bucket, []).append(i)
         out: list[str] = [""] * len(crops)
         fn = self._decode_fn(max_len)
+        # dispatch all shape buckets before fetching any result — decodes
+        # of different buckets pipeline on the device stream
+        handles = []
         for bucket, idxs in groups.items():
             batch = np.stack([prepped[i] for i in idxs])
-            tokens, lengths = fn(
-                self.variables["encoder"], self.variables["decoder"],
-                self.variables["mem_proj"], jnp.asarray(batch),
+            handles.append(
+                (idxs, fn(
+                    self.variables["encoder"], self.variables["decoder"],
+                    self.variables["mem_proj"], jnp.asarray(batch),
+                ))
             )
+        for idxs, (tokens, lengths) in handles:
             tokens = np.asarray(tokens)
             lengths = np.asarray(lengths)
             for j, i in enumerate(idxs):
