@@ -140,8 +140,10 @@ class TableRecognizer:
         if compare:
             wired_idx = list(range(len(crops)))
             wireless_idx = list(range(len(crops)))
-        for i in wired_idx:
-            results[i] = self._predict_wired(crops[i])
+        if wired_idx:
+            wired_structs = self.wired.batch([crops[i] for i in wired_idx])
+            for i, (cell_boxes, grid) in zip(wired_idx, wired_structs):
+                results[i] = self._finish_wired(crops[i], cell_boxes, grid)
         if wireless_idx:
             structures = self.wireless(
                 [crops[i] for i in wireless_idx],
@@ -172,6 +174,11 @@ class TableRecognizer:
 
     def _predict_wired(self, crop: np.ndarray) -> str:
         cell_boxes, grid = self.wired(crop)
+        return self._finish_wired(crop, cell_boxes, grid)
+
+    def _finish_wired(
+        self, crop: np.ndarray, cell_boxes: list, grid: list
+    ) -> str:
         if not cell_boxes and self.config.use_img2table:
             # model-free ruling-line fallback (reference:
             # rapid_table.py:219-249 img2table path)
