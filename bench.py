@@ -34,7 +34,7 @@ def _bench_jax() -> float:
     import jax.numpy as jnp
 
     from rapiddoc_tpu.models.ocr.det import DBNet
-    from rapiddoc_tpu.models.ocr.rec import SVTRRec, ctc_greedy_decode
+    from rapiddoc_tpu.models.ocr.rec import SVTRRec
     from rapiddoc_tpu.models.ocr.pre_post import (
         det_normalize_device,
         rec_normalize_device,
@@ -70,16 +70,24 @@ def _bench_jax() -> float:
         ).astype(jnp.uint8)
         return {"bits": packed, "prob8": prob8}
 
+    on_tpu = jax.default_backend() == "tpu"
+
     @jax.jit
     def rec_fwd(v, x):
-        # production path: pallas fused head (ops/ctc_head.py) — the
-        # (B,T,18710) logits never materialize in HBM
-        from rapiddoc_tpu.ops.ctc_head import ctc_head_decode
-
+        # production path on TPU: pallas fused head (ops/ctc_head.py) —
+        # the (B,T,18710) logits never materialize in HBM. Off-TPU the
+        # interpreter-mode kernel is too slow to benchmark; use the
+        # plain head there.
         x = rec_normalize_device(x).astype(jnp.bfloat16)
-        seq = rec.apply(v, x, features_only=True)
-        head = v["params"]["head"]
-        return ctc_head_decode(seq, head["kernel"], head["bias"])
+        if on_tpu:
+            from rapiddoc_tpu.ops.ctc_head import ctc_head_decode
+
+            seq = rec.apply(v, x, features_only=True)
+            head = v["params"]["head"]
+            return ctc_head_decode(seq, head["kernel"], head["bias"])
+        from rapiddoc_tpu.models.ocr.rec import ctc_greedy_decode
+
+        return ctc_greedy_decode(rec.apply(v, x))
 
     det_bs = min(8, PAGES)
     rec_bs = min(64, len(rec_batch))

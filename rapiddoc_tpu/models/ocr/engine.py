@@ -205,7 +205,14 @@ class TextRecognizer:
         def rec_apply(v, x):
             import os
 
-            if os.environ.get("RAPIDDOC_NO_FUSED_CTC"):
+            # the fused pallas head pays off on TPU; off-TPU it would run
+            # in the (slow) interpreter except for tiny vocabularies, so
+            # fall back to the plain head there
+            use_fused = (
+                not os.environ.get("RAPIDDOC_NO_FUSED_CTC")
+                and (jax.default_backend() == "tpu" or n_cls <= 4096)
+            )
+            if not use_fused:
                 return ctc_greedy_decode(self.model.apply(v, x))
             from ...ops.ctc_head import ctc_head_decode
 

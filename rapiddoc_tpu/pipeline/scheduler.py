@@ -324,43 +324,6 @@ class DocumentAnalyzer:
                 }
             )
 
-    def run_region_ocr(
-        self,
-        page_images: Sequence[np.ndarray],
-        model_infos: list[dict],
-        scales: Sequence[float],
-    ) -> None:
-        """OCR inside layout-detected text regions (layout-model mode)."""
-        # collected regions cropped from pages, bucket-batched by the engine
-        from ..models.ocr.engine import crop_quad
-
-        crops = []
-        owners = []
-        for page_i, info in enumerate(model_infos):
-            for det in info["layout_dets"]:
-                if det["category_id"] != CategoryId.Text or det.get("text"):
-                    continue
-                x0, y0, _, _, x1, y1, _, _ = det["poly"]
-                quad = np.array(
-                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32
-                )
-                crops.append(crop_quad(page_images[page_i], quad))
-                owners.append((page_i, det))
-        if not crops:
-            return
-        results = _rec_with_fallback(self.ocr.recognizer, crops)
-        for (page_i, det), rec in zip(owners, results):
-            if not rec.text:
-                continue
-            model_infos[page_i]["layout_dets"].append(
-                {
-                    "category_id": CategoryId.OcrText,
-                    "poly": det["poly"],
-                    "score": rec.score,
-                    "text": rec.text,
-                }
-            )
-
     # --------------------------------------------------- formula/table
 
     def _run_formulas(self, page_images, model_infos) -> None:
