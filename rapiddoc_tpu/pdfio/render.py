@@ -84,6 +84,7 @@ class PageRasterizer(ContentInterpreter):
         self.draw = ImageDraw.Draw(self.canvas, "RGBA")
         self.fontbank = _FontBank()
         self._font_covers: dict[tuple[int, str], bool] = {}
+        self._glyph_cache: dict[tuple, tuple] = {}
 
     # ---------------------------------------------------------------- public
 
@@ -135,9 +136,37 @@ class PageRasterizer(ContentInterpreter):
             return
         rotation = math.degrees(math.atan2(b, a)) % 360.0
         if rotation < 0.5 or rotation > 359.5:
-            self.draw.text((e, f), text, font=face, fill=color, anchor="ls")
+            self._draw_cached(text, face, color, (e, f))
         else:
             self._draw_rotated(text, face, color, (e, f), rotation)
+
+    def _draw_cached(self, text, face, color, origin) -> None:
+        """Glyph-tile cache: FreeType renders each (face, text, color)
+        once; repeats paste the cached RGBA tile (per-char rendering is
+        ~75% of page raster time without this)."""
+        key = (id(face), text, color)
+        entry = self._glyph_cache.get(key)
+        if entry is None:
+            try:
+                bbox = face.getbbox(text, anchor="ls")
+            except Exception:
+                bbox = None
+            if not bbox:
+                return
+            w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+            if w <= 0 or h <= 0 or w > 2048 or h > 2048:
+                return
+            tile = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+            ImageDraw.Draw(tile).text(
+                (-bbox[0], -bbox[1]), text, font=face, fill=color, anchor="ls"
+            )
+            if len(self._glyph_cache) > 20000:
+                self._glyph_cache.clear()
+            entry = (tile, bbox[0], bbox[1])
+            self._glyph_cache[key] = entry
+        tile, dx, dy = entry
+        x, y = origin
+        self.canvas.paste(tile, (int(x + dx), int(y + dy)), tile)
 
     def _pick_face(self, font: Font, text: str, px: float):
         key = (id(font), text[:1])
