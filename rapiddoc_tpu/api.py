@@ -264,10 +264,14 @@ class RapidDoc:
                 for i in idxs:
                     try:
                         page = doc.get_page(i)
-                        img = pdfio.render_page(page, dpi=dpi)
-                        tdict = (
-                            pdfio.get_page(page) if parse_method == "txt" else None
-                        )
+                        if parse_method == "txt":
+                            # one interpreter pass yields raster + text
+                            from .pdfio.render import render_page_with_text
+
+                            img, tdict = render_page_with_text(page, dpi=dpi)
+                        else:
+                            img = pdfio.render_page(page, dpi=dpi)
+                            tdict = None
                         boxes = image_placements(page)
                         dims.append(page.size)
                     except Exception:

@@ -256,6 +256,40 @@ def render_page(page: PdfPage, dpi: int = 200) -> Image.Image:
     return PageRasterizer(page, scale=dpi / 72.0).render()
 
 
+class _RenderAndExtract(PageRasterizer):
+    """One content-stream pass producing both the raster and the char
+    records (txt-mode pages previously interpreted every stream twice)."""
+
+    def __init__(self, page: PdfPage, scale: float):
+        super().__init__(page, scale)
+        self.chars: list[dict] = []
+
+    def on_show_char(self, code, text, trm, advance, font) -> None:
+        from .text import record_char
+
+        record_char(self.chars, self.gs, code, text, trm, advance, font)
+        super().on_show_char(code, text, trm, advance, font)
+
+
+def render_page_with_text(
+    page: PdfPage, dpi: int = 200
+) -> tuple[Image.Image, dict]:
+    """(raster, native-text page dict) from a single interpreter pass.
+    The text dict matches text.get_page (top-left page points)."""
+    from .text import build_page_dict
+
+    scale = dpi / 72.0
+    r = _RenderAndExtract(page, scale)
+    img = r.render()
+    # char geometry was recorded at raster scale; back to page points
+    inv = 1.0 / scale
+    for ch in r.chars:
+        ch["bbox"] = [v * inv for v in ch["bbox"]]
+        ch["origin"] = [v * inv for v in ch["origin"]]
+        ch["size"] *= inv
+    return img, build_page_dict(page, r.chars)
+
+
 def render_pdf_page(pdf_bytes: bytes, index: int, dpi: int = 200) -> Image.Image:
     doc = PdfDocument(pdf_bytes)
     return render_page(doc.get_page(index), dpi=dpi)

@@ -41,43 +41,52 @@ class TextExtractor(ContentInterpreter):
     def on_show_char(
         self, code: int, text: str, trm: Matrix, advance: float, font: Font
     ) -> None:
-        if self.gs.render_mode == 3 and not text:
-            return
-        a, b, c, d, e, f = trm
-        # glyph-space unit vectors in device space
-        asc, desc = font.ascent, font.descent
-        w0 = advance / (self.gs.font_size or 1.0) if self.gs.font_size else 0.0
-        # corners of the advance box in text space: (0,desc)-(w,asc)
-        fs = 1.0  # trm already includes font size
-        wadv = advance
-        pts = [
-            mat_apply(trm, 0.0, desc),
-            mat_apply(trm, 0.0, asc),
-        ]
-        # advance is along baseline in *unscaled* text space times fs; in trm
-        # space x axis is scaled by fs*h, so advance in text-space x units:
-        if self.gs.font_size:
-            adv_text = advance / (self.gs.font_size * (self.gs.h_scale or 1.0))
-        else:
-            adv_text = 0.0
-        pts.append(mat_apply(trm, adv_text, desc))
-        pts.append(mat_apply(trm, adv_text, asc))
-        xs = [p[0] for p in pts]
-        ys = [p[1] for p in pts]
-        rotation = math.degrees(math.atan2(b, a)) % 360.0
-        size = math.hypot(c, d)  # vertical extent scale == effective font size
-        self.chars.append(
-            {
-                "char": text,
-                "code": code,
-                "bbox": [min(xs), min(ys), max(xs), max(ys)],
-                "origin": list(mat_apply(trm, 0.0, 0.0)),
-                "rotation": rotation,
-                "size": size,
-                "font": font.base_font,
-                "cid": font.is_cid,
-            }
-        )
+        record_char(self.chars, self.gs, code, text, trm, advance, font)
+
+
+def record_char(
+    chars: list[dict], gs, code: int, text: str, trm: Matrix,
+    advance: float, font: Font,
+) -> None:
+    """Append one char record (shared by the text-only extractor and the
+    fused render+text pass)."""
+    if gs.render_mode == 3 and not text:
+        return
+    a, b, c, d, e, f = trm
+    # glyph-space unit vectors in device space
+    asc, desc = font.ascent, font.descent
+    w0 = advance / (gs.font_size or 1.0) if gs.font_size else 0.0
+    # corners of the advance box in text space: (0,desc)-(w,asc)
+    fs = 1.0  # trm already includes font size
+    wadv = advance
+    pts = [
+        mat_apply(trm, 0.0, desc),
+        mat_apply(trm, 0.0, asc),
+    ]
+    # advance is along baseline in *unscaled* text space times fs; in trm
+    # space x axis is scaled by fs*h, so advance in text-space x units:
+    if gs.font_size:
+        adv_text = advance / (gs.font_size * (gs.h_scale or 1.0))
+    else:
+        adv_text = 0.0
+    pts.append(mat_apply(trm, adv_text, desc))
+    pts.append(mat_apply(trm, adv_text, asc))
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    rotation = math.degrees(math.atan2(b, a)) % 360.0
+    size = math.hypot(c, d)  # vertical extent scale == effective font size
+    chars.append(
+        {
+            "char": text,
+            "code": code,
+            "bbox": [min(xs), min(ys), max(xs), max(ys)],
+            "origin": list(mat_apply(trm, 0.0, 0.0)),
+            "rotation": rotation,
+            "size": size,
+            "font": font.base_font,
+            "cid": font.is_cid,
+        }
+    )
 
 
 def _dedup_chars(chars: list[dict]) -> list[dict]:
@@ -231,7 +240,12 @@ def get_page(page: PdfPage) -> dict[str, Any]:
         extractor.run(page_base_ctm(page))
     except Exception:
         pass
-    chars = _dedup_chars(extractor.chars)
+    return build_page_dict(page, extractor.chars)
+
+
+def build_page_dict(page: PdfPage, raw_chars: list[dict]) -> dict[str, Any]:
+    """Char records (page points) -> the page text-structure dict."""
+    chars = _dedup_chars(raw_chars)
     spans = _group_spans(chars)
     lines = _group_lines(spans)
     blocks = _group_blocks(lines)
