@@ -197,11 +197,16 @@ class LayoutDetector:
         results = []
         for i, img in enumerate(images):
             h, w = img.shape[:2]
+            masks = None
+            if "masks_bits" in outs:
+                # unpack the device bitmask (Nq, H/8, ceil(W/8)*8 bits)
+                bits = outs["masks_bits"][i]
+                # grid is square (input_size/8), so true W == grid H
+                masks = np.unpackbits(bits, axis=-1)[..., : bits.shape[1]]
             results.append(
                 self._postprocess(
                     outs["scores"][i], outs["labels"][i], outs["boxes"][i],
-                    w, h,
-                    masks=outs["masks"][i] if "masks" in outs else None,
+                    w, h, masks=masks,
                 )
             )
         return results

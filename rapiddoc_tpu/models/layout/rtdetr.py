@@ -384,5 +384,17 @@ class RTDETR(nn.Module):
             mask_logits = jnp.einsum(
                 "bqc,bhwc->bqhw", q_emb, pix.astype(q_emb.dtype)
             )
-            out["masks"] = mask_logits  # (B, Nq, H/8, W/8)
+            # bit-pack the thresholded masks on device: the float mask
+            # stack is ~48 MB per 8-page batch and device->host readback
+            # is the bottleneck on a tunneled chip; polygons only need
+            # the binary mask (sigmoid(x) > .5 == x > 0)
+            b, nq, mh, mw = mask_logits.shape
+            pad_w = (-mw) % 8
+            bits = (mask_logits > 0).astype(jnp.uint8)
+            if pad_w:
+                bits = jnp.pad(bits, ((0, 0), (0, 0), (0, 0), (0, pad_w)))
+            bits = bits.reshape(b, nq, mh, (mw + pad_w) // 8, 8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            out["masks_bits"] = jnp.sum(bits * weights, axis=-1,
+                                        dtype=jnp.uint8)
         return out
