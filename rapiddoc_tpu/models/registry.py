@@ -53,14 +53,20 @@ def save_variables(variables, path: Path) -> None:
     np.savez(str(path), **flat)
 
 
-def build_ocr_system(configs: dict | None = None):
+def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
     from .ocr.engine import TextDetector, TextRecognizer, TextSystem
 
     if os.environ.get("RAPIDDOC_DISABLE_OCR"):
         return None
     models_dir = get_models_dir()
     det_vars = _load_variables(models_dir / "ocr_det_v6_small.npz")
-    rec_vars = _load_variables(models_dir / "ocr_rec_v6_small.npz")
+    # the v6-small dict covers ch+en; other langs use per-lang rec
+    # checkpoints when converted (reference: per-lang rapidocr models)
+    rec_vars = None
+    if lang not in ("ch", "en", "", None):
+        rec_vars = _load_variables(models_dir / f"ocr_rec_{lang}.npz")
+    if rec_vars is None:
+        rec_vars = _load_variables(models_dir / "ocr_rec_v6_small.npz")
     cfg = configs or {}
     det = TextDetector(
         det_vars,
@@ -122,7 +128,7 @@ def build_analyzer(
         configs.get("layout")
     )
     ocr = resolve_custom(configs.get("ocr"), "ocr") or build_ocr_system(
-        configs.get("ocr")
+        configs.get("ocr"), lang=lang
     )
     formula = resolve_custom(configs.get("formula"), "formula") or (
         build_formula_model(configs.get("formula")) if formula_enable else None
