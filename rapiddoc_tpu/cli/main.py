@@ -33,8 +33,13 @@ from ..types import MakeMode
 @click.option("--draw-layout", is_flag=True, help="Emit *_layout.pdf debug overlay")
 @click.option("--html", "emit_html", is_flag=True, help="Also emit .html")
 @click.option("--docx", "emit_docx", is_flag=True, help="Also emit .docx")
+@click.option("--checkbox", "checkbox_enable", is_flag=True,
+              help="Detect checkboxes (☐/☑ glyphs in output)")
+@click.option("--checkpoint-dir", default=None,
+              help="Per-window resume checkpoints directory")
 def main(inputs, output_dir, method, lang, formula, table, md_mode,
-         start_page, end_page, draw_layout, emit_html, emit_docx):
+         start_page, end_page, draw_layout, emit_html, emit_docx,
+         checkbox_enable, checkpoint_dir):
     """Parse PDF/image/Office documents into Markdown + JSON."""
     from ..api import RapidDoc
 
@@ -44,6 +49,8 @@ def main(inputs, output_dir, method, lang, formula, table, md_mode,
         formula_enable=formula,
         table_enable=table,
         make_md_mode=md_mode,
+        checkbox_config={"checkbox_enable": True} if checkbox_enable else None,
+        checkpoint_dir=checkpoint_dir,
     )
     out_root = Path(output_dir)
     for path in inputs:
