@@ -52,6 +52,9 @@ class RapidDocOutput:
     images: dict[str, bytes] = field(default_factory=dict)
     middle_json: dict[str, Any] | None = None
     content_list_json: list[Any] | None = None
+    # raw per-page model output ({"layout_dets": [...]} each), the
+    # reference's *_model.json (None for office docs)
+    model_json: list[dict] | None = None
     # per-stage {total_s, items, calls, ms_per_item} (render/layout/ocr/
     # formula/table/assembly), cumulative for this process
     stage_report: dict[str, dict] | None = None
@@ -371,6 +374,7 @@ class RapidDoc:
             images=images,
             middle_json=middle_json,
             content_list_json=content_list,
+            model_json=all_model_infos,
             stage_report=report,
         )
 

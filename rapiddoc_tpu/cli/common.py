@@ -86,6 +86,11 @@ def do_parse(
                            default=str),
                 encoding="utf-8",
             )
+        if f_dump_model_output and out.model_json is not None:
+            (doc_dir / f"{name}_model.json").write_text(
+                json.dumps(out.model_json, ensure_ascii=False, default=str),
+                encoding="utf-8",
+            )
         for rel, blob in out.images.items():
             target = doc_dir / rel
             target.parent.mkdir(parents=True, exist_ok=True)

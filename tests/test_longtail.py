@@ -202,3 +202,23 @@ def test_webui_preview_inlines_images():
     md = "![fig](images/x.png)"
     html = render_preview_html(md, {"images/x.png": b"\x89PNG fake"})
     assert "data:image/png;base64," in html
+
+
+def test_do_parse_model_json(tmp_path):
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import do_parse, pdfio
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((30, 80), "model json", fill="black")
+    pdf = pdfio.images_to_pdf([img])
+    src = tmp_path / "m.pdf"
+    src.write_bytes(pdf)
+    do_parse(
+        tmp_path / "out", ["m"], [pdf], parse_method="txt",
+        formula_enable=False, table_enable=False, f_dump_model_output=True,
+    )
+    import json
+
+    model = json.loads((tmp_path / "out" / "m" / "m_model.json").read_text())
+    assert isinstance(model, list) and "layout_dets" in model[0]
