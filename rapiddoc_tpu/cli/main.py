@@ -7,7 +7,6 @@ do_parse outputs: md / middle / content_list / model json / debug pdfs).
 from __future__ import annotations
 
 import json
-import sys
 from pathlib import Path
 
 import click

@@ -13,7 +13,6 @@ sequence lengths, early exit when every sequence has emitted EOS.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -9,7 +9,6 @@ lax.while_loop per (image-bucket, length-bucket) pair.
 """
 from __future__ import annotations
 
-import math
 import re
 from dataclasses import dataclass
 from pathlib import Path

@@ -10,7 +10,6 @@ label->CategoryId maps from rapid_doc/model/layout/rapid_layout.py:131).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from pathlib import Path
 
 import cv2
 import jax

@@ -11,8 +11,6 @@ gathers so XLA keeps everything on-device.
 """
 from __future__ import annotations
 
-import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,6 @@ from __future__ import annotations
 
 import html as html_mod
 from dataclasses import dataclass, field
-from typing import Any
 
 from ..types import BlockType, ContentType, MakeMode
 from ..version import __version__

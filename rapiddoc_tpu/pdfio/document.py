@@ -11,7 +11,7 @@ import re
 from functools import lru_cache
 from typing import Any, Iterator
 
-from .cos import Name, ObjectParser, Ref, Stream
+from .cos import ObjectParser, Ref, Stream
 from .filters import decode_stream
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")

@@ -7,7 +7,6 @@ rapid_doc/cli/common.py:58 convert_pdf_bytes_to_bytes_by_pypdfium2).
 from __future__ import annotations
 
 import io
-import zlib
 from typing import Any, Iterable
 
 from PIL import Image

@@ -13,7 +13,7 @@ structural fallback keeps the pipeline end-to-end runnable:
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import numpy as np
 

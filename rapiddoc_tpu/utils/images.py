@@ -44,7 +44,7 @@ def cut_span_images(
 ) -> None:
     """Crop & save image/table/interline-equation span images, setting
     span['image_path'] in place. image_writer: DataWriter-like with write()."""
-    from ..types import BlockType, ContentType
+    from ..types import ContentType
 
     def handle_span(span: dict) -> None:
         if span.get("type") in (

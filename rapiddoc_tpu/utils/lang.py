@@ -10,7 +10,6 @@ which OCR dictionary family applies) and file sniffing is magic-byte based.
 from __future__ import annotations
 
 import re
-import unicodedata
 from collections import Counter
 
 _SCRIPT_RANGES = [
