@@ -138,3 +138,28 @@ def test_text_system_word_boxes(text_system):
                 assert len(w["poly"]) == 4
                 xs = [p[0] for p in w["poly"]]
                 assert max(xs) <= 301 and min(xs) >= -1
+
+
+def test_recompile_count_is_bucket_bound():
+    """SURVEY hard part #2: recompiles stay O(buckets), not O(inputs)."""
+    import jax.numpy as jnp
+
+    from rapiddoc_tpu.engine.buckets import BucketSpec
+    from rapiddoc_tpu.engine.session import JaxSession
+
+    spec = BucketSpec(heights=(32,), widths=(32, 64), batch_sizes=(2, 4))
+    sess = JaxSession(
+        lambda v, x: x.mean(axis=(1, 2, 3)), {}, spec, name="probe",
+        multi_device=False,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        w = int(rng.choice([32, 64]))
+        n = int(rng.integers(1, 5))
+        batch = rng.integers(0, 255, (n, 32, w, 3), np.uint8)
+        sess(batch)
+    # 2 widths x 2 batch buckets = at most 4 programs for 20 calls
+    assert sess.stats.compiles <= 4
+    assert sess.stats.calls == 20
