@@ -57,3 +57,45 @@ def test_v3_fallback_path():
     ]
     out = sort_and_group_blocks(blocks, 600, 800)
     assert out[0]["bbox"][1] == 50 and out[1]["bbox"][1] == 200
+
+
+def test_figure_mid_column_does_not_break_column():
+    """A figure inside the left column must not pull right-column blocks
+    ahead of the remaining left-column text."""
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    left_top = _blk(50, 100, 280, 280)
+    figure = _blk(60, 300, 270, 460)     # narrow figure inside left col
+    left_bot = _blk(50, 480, 280, 700)
+    right = [_blk(320, 100 + i * 210, 550, 290 + i * 210) for i in range(3)]
+    blocks = [right[0], left_bot, figure, right[2], left_top, right[1]]
+    order = sort_blocks_v3(blocks, 600, 800)
+    pos = {id(blocks[i]): k for k, i in enumerate(order)}
+    assert pos[id(left_top)] < pos[id(figure)] < pos[id(left_bot)]
+    assert pos[id(left_bot)] < pos[id(right[0])]
+
+
+def test_three_column_layout():
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    cols = []
+    for c in range(3):
+        x0 = 30 + c * 190
+        cols.append([_blk(x0, 80 + r * 240, x0 + 160, 300 + r * 240)
+                     for r in range(3)])
+    blocks = [b for col in cols for b in col]
+    import random
+
+    rng = random.Random(0)
+    shuffled = blocks[:]
+    rng.shuffle(shuffled)
+    order = sort_blocks_v3(shuffled, 600, 800)
+    seq = [shuffled[i] for i in order]
+    pos = {id(b): k for k, b in enumerate(seq)}
+    for c in range(3):
+        # within-column order
+        for a, b in zip(cols[c], cols[c][1:]):
+            assert pos[id(a)] < pos[id(b)]
+        # whole column precedes the next
+        if c < 2:
+            assert pos[id(cols[c][-1])] < pos[id(cols[c + 1][0])]
