@@ -138,8 +138,12 @@ class RapidDoc:
     # -------------------------------------------------------------- warmup
 
     def warmup(self, lang: str | None = None, formula_enable: bool | None = None,
-               table_enable: bool | None = None) -> None:
-        ModelStack.get(
+               table_enable: bool | None = None, precompile: bool = False) -> None:
+        """Build the model stack; with `precompile`, also run dummy
+        batches so the common XLA programs compile before the first
+        request (first compile on TPU takes minutes — a serving process
+        should pay that at startup, not on a user's document)."""
+        stack = ModelStack.get(
             lang or self.lang,
             self.formula_enable if formula_enable is None else formula_enable,
             self.table_enable if table_enable is None else table_enable,
@@ -151,6 +155,17 @@ class RapidDoc:
                 "checkbox": self.checkbox_config,
             },
         )
+        if not precompile:
+            return
+        an = stack.analyzer
+        blank = np.full((1056, 816, 3), 255, np.uint8)  # letter @ ~100dpi-ish
+        try:
+            if an.layout_model is not None:
+                an.layout_model.batch_predict([blank] * 8)
+            if an.ocr is not None:
+                an.ocr([blank])
+        except Exception:
+            logger.exception("warmup precompile failed (continuing)")
 
     # ---------------------------------------------------------------- call
 
