@@ -183,8 +183,16 @@ def make_app():
 
 
 def main(host: str = "0.0.0.0", port: int = 8000):
+    import os
+
     from aiohttp import web
 
+    if os.environ.get("RAPIDDOC_SERVE_WARMUP"):
+        # pay model build + XLA compiles at startup, not on first request
+        from ..api import RapidDoc
+
+        logger.info("warmup: building + precompiling the model stack ...")
+        RapidDoc().warmup(precompile=True)
     web.run_app(make_app(), host=host, port=port)
 
 

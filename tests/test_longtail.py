@@ -222,3 +222,38 @@ def test_do_parse_model_json(tmp_path):
 
     model = json.loads((tmp_path / "out" / "m" / "m_model.json").read_text())
     assert isinstance(model, list) and "layout_dets" in model[0]
+
+
+def test_http_zip_response():
+    import asyncio
+    import io
+    import zipfile
+
+    aiohttp = pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.serve.http import make_app
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((30, 80), "zip test", fill="black")
+    pdf = pdfio.images_to_pdf([img])
+
+    async def scenario():
+        app = make_app()
+        async with TestClient(TestServer(app)) as client:
+            form = aiohttp.FormData()
+            form.add_field("file", pdf, filename="z.pdf",
+                           content_type="application/pdf")
+            form.add_field("parse_method", '"txt"')
+            form.add_field("return_format", "zip")
+            resp = await client.post("/file_parse", data=form)
+            assert resp.status == 200
+            blob = await resp.read()
+            with zipfile.ZipFile(io.BytesIO(blob)) as z:
+                names = z.namelist()
+            assert "z.md" in names and "z_middle.json" in names
+            assert "z_content_list.json" in names
+
+    asyncio.run(scenario())
