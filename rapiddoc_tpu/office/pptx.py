@@ -79,6 +79,32 @@ def _table_to_html(tbl) -> str:
     return "<table>" + "".join(rows) + "</table>"
 
 
+def _shape_wh(sp) -> tuple[int, int]:
+    xfrm = sp.find(f".//{{{A}}}xfrm")
+    if xfrm is not None:
+        ext = xfrm.find(f"{{{A}}}ext")
+        if ext is not None:
+            try:
+                return int(ext.get("cx", "0")), int(ext.get("cy", "0"))
+            except ValueError:
+                pass
+    return 0, 0
+
+
+def _sort_shapes(items: list[tuple]) -> list[tuple]:
+    """Reading order for slide shapes via XY-cut over their boxes
+    (reference: rapid_doc/model/pptx/xycut_pp_sorter.py); items are
+    (y, x, w, h, kind, payload) falling back to (y, x) sort when any
+    extent is unknown."""
+    if len(items) < 2 or any(it[2] <= 0 or it[3] <= 0 for it in items):
+        return sorted(items, key=lambda it: (it[0], it[1]))
+    from ..reading_order.xycut import sort_boxes_reading_order
+
+    boxes = [[it[1], it[0], it[1] + it[2], it[0] + it[3]] for it in items]
+    order = sort_boxes_reading_order(boxes)
+    return [items[i] for i in order]
+
+
 def pptx_to_blocks(data: bytes) -> OfficeResult:
     result = OfficeResult()
     with zipfile.ZipFile(io.BytesIO(data)) as z:
@@ -113,33 +139,36 @@ def pptx_to_blocks(data: bytes) -> OfficeResult:
                     if not texts:
                         continue
                     y, x = _shape_xy(el)
+                    w, h = _shape_wh(el)
                     kind = "title" if _is_title(el) else "text"
-                    items.append((y, x, kind, texts))
+                    items.append((y, x, w, h, kind, texts))
                 elif el.tag == f"{{{P}}}graphicFrame":
                     y, x = _shape_xy(el)
+                    w, h = _shape_wh(el)
                     tbl = el.find(f".//{{{A}}}tbl")
                     if tbl is not None:
-                        items.append((y, x, "table", _table_to_html(tbl)))
+                        items.append((y, x, w, h, "table", _table_to_html(tbl)))
                     else:
                         from .chart import chart_part_to_html, find_chart_refs
 
                         for chart_path in find_chart_refs(el, rels):
                             html = chart_part_to_html(z, chart_path)
                             if html:
-                                items.append((y, x, "table", html))
+                                items.append((y, x, w, h, "table", html))
                 elif el.tag == f"{{{P}}}pic":
                     y, x = _shape_xy(el)
+                    w, h = _shape_wh(el)
                     blip = el.find(f".//{{{A}}}blip")
                     if blip is not None:
                         rid = blip.get(q("r:embed"))
                         target = rels.get(rid)
                         if target and target in z.namelist():
                             items.append(
-                                (y, x, "image",
+                                (y, x, w, h, "image",
                                  (os.path.basename(target), z.read(target)))
                             )
-            items.sort(key=lambda it: (it[0], it[1]))
-            for _, _, kind, payload in items:
+            items = _sort_shapes(items)
+            for _, _, _, _, kind, payload in items:
                 if kind == "title":
                     result.add_title(payload[0], level=1, page=page_idx)
                     for extra in payload[1:]:

@@ -83,3 +83,22 @@ def test_office_caption_grouping():
     assert tbl["table_caption"] == ["表 2 统计数据"]
     texts = [i["text"] for i in items if i["type"] == "text"]
     assert "Figure 1: an example chart" not in texts
+
+
+def test_pptx_shape_xycut_order():
+    from rapiddoc_tpu.office.pptx import _sort_shapes
+
+    # EMU-ish units; two columns of two shapes
+    lt = (100, 100, 400, 300, "text", ["left top"])
+    lb = (500, 100, 400, 300, "text", ["left bottom"])
+    rt = (100, 600, 400, 300, "text", ["right top"])
+    rb = (500, 600, 400, 300, "text", ["right bottom"])
+    out = _sort_shapes([rb, lt, rt, lb])
+    texts = [it[5][0] for it in out]
+    assert texts.index("left top") < texts.index("left bottom")
+    assert texts.index("right top") < texts.index("right bottom")
+    assert texts.index("left bottom") < texts.index("right top")
+    # unknown extents fall back to (y, x)
+    out2 = _sort_shapes([(200, 0, 0, 0, "text", ["b"]),
+                         (100, 0, 0, 0, "text", ["a"])])
+    assert [it[5][0] for it in out2] == ["a", "b"]
