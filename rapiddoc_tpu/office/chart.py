@@ -96,12 +96,14 @@ def chart_xml_to_html(chart_xml: bytes) -> str:
         for plot in root.iter(_c(plot_tag)):
             for ser in plot.findall(_c("ser")):
                 name = _series_name(ser)
-                cats = _cache_points(
-                    ser.find(_c("cat")) or ser.find(_c("xVal"))
-                )
-                vals = _cache_points(
-                    ser.find(_c("val")) or ser.find(_c("yVal"))
-                )
+                cat_el = ser.find(_c("cat"))
+                if cat_el is None:
+                    cat_el = ser.find(_c("xVal"))
+                val_el = ser.find(_c("val"))
+                if val_el is None:
+                    val_el = ser.find(_c("yVal"))
+                cats = _cache_points(cat_el)
+                vals = _cache_points(val_el)
                 if ser.find(_c("xVal")) is not None:
                     scatter = True
                 if vals:

@@ -89,10 +89,11 @@ def test_pptx_shape_xycut_order():
     from rapiddoc_tpu.office.pptx import _sort_shapes
 
     # EMU-ish units; two columns of two shapes
-    lt = (100, 100, 400, 300, "text", ["left top"])
-    lb = (500, 100, 400, 300, "text", ["left bottom"])
-    rt = (100, 600, 400, 300, "text", ["right top"])
-    rb = (500, 600, 400, 300, "text", ["right bottom"])
+    # wide column gutter (x gap 300 > y gap 50) -> column-first read
+    lt = (100, 100, 400, 250, "text", ["left top"])
+    lb = (400, 100, 400, 250, "text", ["left bottom"])
+    rt = (100, 800, 400, 250, "text", ["right top"])
+    rb = (400, 800, 400, 250, "text", ["right bottom"])
     out = _sort_shapes([rb, lt, rt, lb])
     texts = [it[5][0] for it in out]
     assert texts.index("left top") < texts.index("left bottom")
