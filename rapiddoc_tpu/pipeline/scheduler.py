@@ -183,7 +183,13 @@ class DocumentAnalyzer:
         if self.table_enable and self.table_model is not None:
             self._run_tables(page_images, model_infos)
 
-        # ⑤ seal OCR inside seal-labeled regions
+        # ⑤ leftover text recovery: layout Text regions the page-level
+        # det missed entirely get a focused rec pass (reference:
+        # model_json_to_middle_json.py:376-421 _post_process_ocr)
+        if self.ocr is not None and self.layout_model is not None:
+            self._recover_missed_text(page_images, model_infos)
+
+        # ⑥ seal OCR inside seal-labeled regions
         if self.ocr is not None:
             self._run_seals(page_images, model_infos)
 
@@ -194,6 +200,57 @@ class DocumentAnalyzer:
                 _rotate_dets_back(model_infos[i]["layout_dets"], angle, w, h)
 
         return model_infos
+
+    def _recover_missed_text(self, page_images, model_infos) -> None:
+        from ..models.ocr.engine import crop_quad
+
+        crops, owners = [], []
+        for page_i, info in enumerate(model_infos):
+            dets = info["layout_dets"]
+            ocr_boxes = [
+                d["poly"] for d in dets
+                if d["category_id"] in (CategoryId.OcrText,
+                                        CategoryId.LowScoreText)
+            ]
+            for det in dets:
+                if det["category_id"] != CategoryId.Text or det.get("text"):
+                    continue
+                poly = det["poly"]
+                box = [min(poly[0::2]), min(poly[1::2]),
+                       max(poly[0::2]), max(poly[1::2])]
+                covered = any(
+                    B.overlap_ratio(
+                        [min(p[0::2]), min(p[1::2]),
+                         max(p[0::2]), max(p[1::2])], box
+                    ) > 0.05
+                    for p in ocr_boxes
+                )
+                if covered:
+                    continue
+                if box[2] - box[0] < 8 or box[3] - box[1] < 6:
+                    continue
+                quad = np.array(
+                    [[box[0], box[1]], [box[2], box[1]],
+                     [box[2], box[3]], [box[0], box[3]]], np.float32,
+                )
+                crop = crop_quad(page_images[page_i], quad)
+                if crop.size:
+                    crops.append(crop)
+                    owners.append((page_i, det))
+        if not crops:
+            return
+        results = _rec_with_fallback(self.ocr.recognizer, crops)
+        for (page_i, det), rec in zip(owners, results):
+            if not rec.text:
+                continue
+            model_infos[page_i]["layout_dets"].append(
+                {
+                    "category_id": CategoryId.OcrText,
+                    "poly": list(det["poly"]),
+                    "score": rec.score,
+                    "text": rec.text,
+                }
+            )
 
     def _run_seals(self, page_images, model_infos) -> None:
         from ..models.ocr.seal import SealOCR

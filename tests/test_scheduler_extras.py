@@ -171,3 +171,37 @@ def test_orientation_gate(monkeypatch):
     monkeypatch.delenv("USE_DOC_ORIENTATION_CLASSIFY")
     an2 = registry.build_analyzer(formula_enable=False, table_enable=False)
     assert an2.orientation_model is None
+
+
+def test_missed_text_recovery():
+    import numpy as np
+
+    from rapiddoc_tpu.models.ocr.engine import DetResult, RecResult
+    from rapiddoc_tpu.pipeline.scheduler import DocumentAnalyzer
+    from rapiddoc_tpu.types import CategoryId
+
+    class StubLayout:
+        def batch_predict(self, images):
+            return [[{"category_id": CategoryId.Text,
+                      "poly": [10, 10, 200, 10, 200, 60, 10, 60],
+                      "score": 0.9}] for _ in images]
+
+    class StubOcr:
+        drop_score = 0.5
+
+        class detector:  # finds nothing on the page
+            def __call__(self, images):
+                return [DetResult(np.zeros((0, 4, 2)), np.zeros(0))
+                        for _ in images]
+        detector = detector()
+
+        @staticmethod
+        def recognizer(crops, **kw):
+            return [RecResult("recovered", 0.95) for _ in crops]
+
+    an = DocumentAnalyzer(layout_model=StubLayout(), ocr_system=StubOcr())
+    img = np.full((100, 300, 3), 255, np.uint8)
+    infos = an.analyze_pages([img], ["ocr"], [None])
+    recovered = [d for d in infos[0]["layout_dets"]
+                 if d["category_id"] == CategoryId.OcrText]
+    assert recovered and recovered[0]["text"] == "recovered"
