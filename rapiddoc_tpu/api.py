@@ -109,7 +109,7 @@ class RapidDoc:
         image_dir_name: str = "images",
         image_output_mode: str = "url",
         preload_model: bool = False,
-        pdf_pages_batch: int = 64,
+        pdf_pages_batch: int | None = None,
         checkpoint_dir: str | Path | None = None,
     ) -> None:
         self.layout_config = layout_config or {}
@@ -130,7 +130,10 @@ class RapidDoc:
         if image_output_mode not in ("url", "data_uri"):
             raise ValueError("image_output_mode must be 'url' or 'data_uri'")
         self.image_output_mode = image_output_mode
-        self.pdf_pages_batch = pdf_pages_batch
+        self.pdf_pages_batch = (
+            pdf_pages_batch if pdf_pages_batch is not None
+            else get_processing_window_size()
+        )
         self.checkpoint_dir = checkpoint_dir
         if preload_model:
             self.warmup()
