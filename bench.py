@@ -116,10 +116,13 @@ def _bench_jax() -> float:
         return det_out, rec_out
 
     run_once()  # compile
-    tic = time.perf_counter()
-    run_once()
-    dt = time.perf_counter() - tic
-    return PAGES / dt
+    # best-of-3: the tunneled chip is shared, single runs are noisy
+    best = float("inf")
+    for _ in range(3):
+        tic = time.perf_counter()
+        run_once()
+        best = min(best, time.perf_counter() - tic)
+    return PAGES / best
 
 
 def _bench_torch_reference() -> float | None:
