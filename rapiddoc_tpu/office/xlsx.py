@@ -153,7 +153,38 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
                 result.add_table(html, page=page_idx)
             for chart_html in _sheet_charts(z, path):
                 result.add_table(chart_html, page=page_idx)
+            for img_name, blob in _sheet_pictures(z, path):
+                result.add_image(f"s{page_idx}_{img_name}", blob,
+                                 page=page_idx)
     return result
+
+
+def _sheet_pictures(
+    z: zipfile.ZipFile, sheet_path: str
+) -> list[tuple[str, bytes]]:
+    """Pictures anchored on a worksheet via its drawing part (sheet rels
+    -> drawing -> a:blip r:embed -> media)."""
+    from .docx import _load_rels
+
+    out: list[tuple[str, bytes]] = []
+    rels = _load_rels(z, sheet_path)
+    a_ns = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    r_id = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+            "relationships}embed")
+    for target in rels.values():
+        if "drawings/" not in target or target not in z.namelist():
+            continue
+        drawing_rels = _load_rels(z, target)
+        try:
+            droot = ET.fromstring(z.read(target))
+        except ET.ParseError:
+            continue
+        for blip in droot.iter(f"{{{a_ns}}}blip"):
+            rid = blip.get(r_id)
+            media = drawing_rels.get(rid)
+            if media and media in z.namelist():
+                out.append((media.rsplit("/", 1)[-1], z.read(media)))
+    return out
 
 
 def _sheet_charts(z: zipfile.ZipFile, sheet_path: str) -> list[str]:
