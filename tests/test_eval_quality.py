@@ -35,3 +35,42 @@ def test_evaluate_doc_end_to_end():
     assert scores["table_teds_s"] == 1.0
     assert scores["order_edit"] == 0.0
     assert scores["text_edit"] < 0.35
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    import json
+    import os
+    import shutil
+
+    demo = "/root/reference/demo/pdfs/demo4.pdf"
+    if not os.path.isfile(demo):
+        import pytest
+
+        pytest.skip("reference demo unavailable")
+    from rapiddoc_tpu.tools.eval_quality import main
+
+    shutil.copy(demo, tmp_path / "doc.pdf")
+    gt = {
+        "doc.pdf": {
+            # loose ground truth: a fragment the txt pipeline must recover
+            "text": "",
+            "paragraphs": [],
+        }
+    }
+    # derive GT from a first parse so the metric self-consistency is exact
+    from rapiddoc_tpu import RapidDoc
+
+    md = RapidDoc(formula_enable=False, table_enable=False,
+                  parse_method="txt")(str(tmp_path / "doc.pdf")).markdown
+    paras = [p for p in md.split("\n\n") if len(p.split()) > 4][:3]
+    gt["doc.pdf"]["text"] = md
+    gt["doc.pdf"]["paragraphs"] = paras
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt), encoding="utf-8")
+    out_path = tmp_path / "report.json"
+    rc = main([str(tmp_path), str(gt_path), "-o", str(out_path),
+               "--parse-method", "txt"])
+    assert rc == 0
+    report = json.loads(out_path.read_text())
+    assert report["aggregate"]["text_edit"] < 0.05
+    assert report["aggregate"]["order_edit"] == 0.0
