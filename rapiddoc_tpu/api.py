@@ -396,6 +396,131 @@ class RapidDoc:
             stage_report=report,
         )
 
+    # -------------------------------------------------------- batch parse
+
+    def parse_batch(self, inputs: Iterable) -> list[RapidDocOutput]:
+        """Parse many documents with pages super-batched ACROSS documents
+        (reference: pipeline_analyze.py:135-213 — pages of all docs flow
+        into shared MINERU_MIN_BATCH_INFERENCE_SIZE batches so small
+        documents don't waste device batch slots). Office documents take
+        their model-free path individually."""
+        from .config import env_int
+
+        items = list(inputs)
+        outputs: list[RapidDocOutput | None] = [None] * len(items)
+        docs: list[tuple[int, bytes, str]] = []  # (slot, pdf_bytes, mode)
+        for slot, item in enumerate(items):
+            pdf_bytes, name, kind = self._normalize_input(item)
+            if kind == "office":
+                from .office.analyze import office_parse
+
+                outputs[slot] = office_parse(
+                    pdf_bytes, name, make_md_mode=self.make_md_mode
+                )
+                continue
+            mode = self.parse_method
+            if mode == "auto":
+                mode = pdfio.classify_pdf(pdf_bytes)
+            docs.append((slot, pdf_bytes, mode))
+        if not docs:
+            return [o for o in outputs if o is not None] if all(
+                o is not None for o in outputs
+            ) else outputs  # type: ignore[return-value]
+
+        stack = ModelStack.get(
+            self.lang, self.formula_enable, self.table_enable,
+            {
+                "layout": self.layout_config,
+                "ocr": self.ocr_config,
+                "formula": self.formula_config,
+                "table": self.table_config,
+                "checkbox": self.checkbox_config,
+            },
+        )
+        dpi = get_pdf_render_dpi()
+        scale = dpi / 72.0
+        super_batch = max(
+            self.pdf_pages_batch, env_int("MIN_BATCH_INFERENCE_SIZE", 384)
+        )
+
+        opened = [(slot, pdfio.open_pdf(b), b, mode) for slot, b, mode in docs]
+        tasks = [
+            (k, page_i)
+            for k, (_, doc, _, _) in enumerate(opened)
+            for page_i in range(len(doc))
+        ]
+        per_doc: dict[int, dict[int, tuple]] = {k: {} for k in range(len(opened))}
+        for c0 in range(0, len(tasks), super_batch):
+            chunk = tasks[c0 : c0 + super_batch]
+            imgs, modes, tdicts, boxes_l, keys = [], [], [], [], []
+            for k, page_i in chunk:
+                _, doc, _, mode = opened[k]
+                try:
+                    page = doc.get_page(page_i)
+                    if mode == "txt":
+                        from .pdfio.render import render_page_with_text
+
+                        img, tdict = render_page_with_text(page, dpi=dpi)
+                    else:
+                        img = pdfio.render_page(page, dpi=dpi)
+                        tdict = None
+                    boxes = image_placements(page)
+                    dims = page.size
+                except Exception:
+                    logger.exception("page %d failed to render", page_i)
+                    img = Image.new(
+                        "RGB", (int(612 * scale), int(792 * scale)), "white"
+                    )
+                    tdict, boxes, dims = None, [], (612.0, 792.0)
+                imgs.append(img)
+                modes.append(mode)
+                tdicts.append(tdict)
+                boxes_l.append(boxes)
+                keys.append((k, page_i, dims))
+            arrays = [np.asarray(im.convert("RGB")) for im in imgs]
+            infos = stack.analyzer.analyze_pages(
+                arrays, modes, tdicts, boxes_l, [scale] * len(arrays)
+            )
+            for (k, page_i, dims), info, img, tdict in zip(
+                keys, infos, imgs, tdicts
+            ):
+                per_doc[k][page_i] = (info, dims, img, tdict)
+
+        for k, (slot, doc, _, mode) in enumerate(opened):
+            pages = [per_doc[k][i] for i in sorted(per_doc[k])]
+            mem_writer = MemoryDataWriter(self.image_dir_name)
+            middle_json = result_to_middle_json(
+                [p[0] for p in pages],
+                [p[1] for p in pages],
+                [scale] * len(pages),
+                page_imgs=[p[2] for p in pages],
+                page_text_dicts=[p[3] for p in pages],
+                parse_mode=mode,
+                image_writer=mem_writer,
+            )
+            img_prefix = self.image_dir_name
+            markdown = union_make(
+                middle_json["pdf_info"], self.make_md_mode, img_prefix
+            )
+            content_list = union_make(
+                middle_json["pdf_info"], MakeMode.CONTENT_LIST, img_prefix
+            )
+            images = {
+                f"{self.image_dir_name}/{n}": v
+                for n, v in mem_writer.data.items()
+            }
+            if self.image_output_mode == "data_uri":
+                markdown = self._embed_data_uris(markdown, images)
+            outputs[slot] = RapidDocOutput(
+                markdown=markdown,
+                images=images,
+                middle_json=middle_json,
+                content_list_json=content_list,
+                model_json=[p[0] for p in pages],
+                stage_report=GLOBAL_TRACER.report(),
+            )
+        return outputs  # type: ignore[return-value]
+
     @staticmethod
     def _embed_data_uris(markdown: str, images: dict[str, bytes]) -> str:
         def repl(m: re.Match) -> str:

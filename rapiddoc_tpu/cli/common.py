@@ -56,21 +56,44 @@ def do_parse(
     langs = list(p_lang_list or ["ch"] * len(pdf_bytes_list))
     out_root = Path(output_dir)
     results = []
-    for name, data, lang in zip(pdf_file_names, pdf_bytes_list, langs):
-        engine = RapidDoc(
-            parse_method=parse_method,
-            lang=lang,
-            formula_enable=formula_enable,
-            table_enable=table_enable,
-            make_md_mode=f_make_md_mode,
-        )
+    batch_inference = bool(kwargs.get("batch_inference")) and len(
+        pdf_bytes_list
+    ) > 1
+    sliced: list[bytes] = []
+    for data in pdf_bytes_list:
         if data[:5].lstrip()[:4] == b"%PDF" and (
             start_page_id or end_page_id is not None
         ):
             data = convert_pdf_bytes_to_bytes_by_pages(
                 data, start_page_id, end_page_id
             )
-        out = engine(data)
+        sliced.append(data)
+    batched_outs = None
+    if batch_inference:
+        # pages of all documents share device batches (reference
+        # super-batching); langs must agree for a shared model stack
+        engine = RapidDoc(
+            parse_method=parse_method,
+            lang=langs[0],
+            formula_enable=formula_enable,
+            table_enable=table_enable,
+            make_md_mode=f_make_md_mode,
+        )
+        batched_outs = engine.parse_batch(sliced)
+    for di, (name, data, lang) in enumerate(
+        zip(pdf_file_names, sliced, langs)
+    ):
+        if batched_outs is not None:
+            out = batched_outs[di]
+        else:
+            engine = RapidDoc(
+                parse_method=parse_method,
+                lang=lang,
+                formula_enable=formula_enable,
+                table_enable=table_enable,
+                make_md_mode=f_make_md_mode,
+            )
+            out = engine(data)
         doc_dir = out_root / name
         doc_dir.mkdir(parents=True, exist_ok=True)
         if f_dump_md:

@@ -138,3 +138,20 @@ def test_reference_ci_fixture(engine):
         for b in p["preproc_blocks"]
     }
     assert {"image", "text"} <= types
+
+
+@needs_demo
+def test_parse_batch_cross_document(engine):
+    """Pages of several documents share device batches (reference
+    super-batching, pipeline_analyze.py:135-213); outputs must match the
+    single-document path."""
+    docs = [
+        os.path.join(DEMO, "pdfs", "demo4.pdf"),
+        os.path.join(DEMO, "docx", "demo1-docx.docx"),  # office mixes in
+        os.path.join(DEMO, "pdfs", "示例7-研究报告.pdf"),
+    ]
+    outs = engine.parse_batch(docs)
+    assert len(outs) == 3
+    singles = [engine(d) for d in docs]
+    for batched, single in zip(outs, singles):
+        assert batched.markdown == single.markdown

@@ -257,3 +257,22 @@ def test_http_zip_response():
             assert "z_content_list.json" in names
 
     asyncio.run(scenario())
+
+
+def test_do_parse_batch_inference(tmp_path):
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import do_parse, pdfio
+
+    pdfs = []
+    for i in range(2):
+        img = Image.new("RGB", (300, 200), "white")
+        ImageDraw.Draw(img).text((30, 80), f"batch doc {i}", fill="black")
+        pdfs.append(pdfio.images_to_pdf([img]))
+    results = do_parse(
+        tmp_path, ["a", "b"], pdfs, parse_method="txt",
+        formula_enable=False, table_enable=False, batch_inference=True,
+    )
+    assert len(results) == 2
+    assert (tmp_path / "a" / "a.md").exists()
+    assert (tmp_path / "b" / "b.md").exists()
