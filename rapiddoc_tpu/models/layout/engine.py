@@ -102,6 +102,10 @@ class LayoutConfig:
     markdown_ignore_labels: frozenset = frozenset(DEFAULT_ABANDON_LABELS)
     # V3 irregular-region masks -> polygon_points on dets
     with_masks: bool = True
+    # per-class confidence overrides (reference: pp_doclayout
+    # post_process.py per-class threshold table); falls back to
+    # conf_threshold for unlisted labels
+    class_thresholds: dict | None = None
 
 
 def mask_to_polygon(
@@ -213,7 +217,18 @@ class LayoutDetector:
     def _postprocess(self, scores, labels, boxes_cxcywh, src_w, src_h,
                      masks=None) -> list[dict]:
         cfg = self.config
-        mask = scores > cfg.conf_threshold
+        if cfg.class_thresholds:
+            thresh = np.array(
+                [
+                    cfg.class_thresholds.get(
+                        self.labels[int(l)], cfg.conf_threshold
+                    )
+                    for l in labels
+                ]
+            )
+            mask = scores > thresh
+        else:
+            mask = scores > cfg.conf_threshold
         if not mask.any():
             return []
         scores = scores[mask]

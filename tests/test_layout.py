@@ -87,3 +87,27 @@ def test_layout_masks_output(tiny_layout):
     for d in dets:
         for x, y in d.get("polygon_points") or []:
             assert 0 <= x <= 200 and 0 <= y <= 200
+
+
+def test_per_class_thresholds(tiny_layout):
+    import copy
+
+    from rapiddoc_tpu.models.layout.engine import LayoutConfig
+
+    scores = np.array([0.6, 0.6, 0.95])
+    labels = np.array([0, 1, 1])
+    boxes = np.array(  # disjoint boxes so NMS keeps all survivors
+        [[0.2, 0.2, 0.1, 0.1], [0.5, 0.5, 0.1, 0.1], [0.8, 0.8, 0.1, 0.1]],
+        np.float32,
+    )
+    cfg = LayoutConfig(conf_threshold=0.5,
+                       class_thresholds={"algorithm": 0.9})
+    det = copy.copy(tiny_layout)
+    det.config = cfg
+    # label index 1 == "algorithm" in the alphabetical label list
+    assert det.labels[1] == "algorithm"
+    out = det._postprocess(scores, labels, boxes, 100, 100)
+    kept = {(d["original_label"], round(d["score"], 2)) for d in out}
+    assert ("abstract", 0.6) in kept       # default threshold applies
+    assert ("algorithm", 0.95) in kept     # above per-class 0.9
+    assert ("algorithm", 0.6) not in kept  # below per-class 0.9
