@@ -182,7 +182,21 @@ class LayoutDetector:
             # without trained weights a random detector is worse than the
             # structural fallback (native text / OCR det drive the layout)
             raise FileNotFoundError("layout checkpoint missing")
-        return cls(variables)
+        cfg = LayoutConfig(
+            conf_threshold=configs.get("conf_threshold", 0.5),
+            class_thresholds=configs.get("class_thresholds"),
+            with_masks=configs.get("with_masks", True),
+        )
+        if configs.get("markdown_ignore_labels") is not None:
+            cfg = LayoutConfig(
+                conf_threshold=cfg.conf_threshold,
+                class_thresholds=cfg.class_thresholds,
+                with_masks=cfg.with_masks,
+                markdown_ignore_labels=frozenset(
+                    configs["markdown_ignore_labels"]
+                ),
+            )
+        return cls(variables, config=cfg)
 
     def batch_predict(self, images: list[np.ndarray]) -> list[list[dict]]:
         """images: uint8 RGB arrays. Returns per-image layout_dets
