@@ -58,6 +58,28 @@ def _style_headings(z: zipfile.ZipFile) -> dict[str, int]:
     return out
 
 
+_MC_FALLBACK = (
+    "{http://schemas.openxmlformats.org/markup-compatibility/2006}Fallback"
+)
+
+
+def _textbox_contents(el) -> list:
+    """w:txbxContent descendants, excluding mc:Fallback duplicates."""
+    out: list = []
+
+    def walk(node):
+        for c in node:
+            if c.tag == _MC_FALLBACK:
+                continue
+            if c.tag == q("w:txbxContent"):
+                out.append(c)
+            else:
+                walk(c)
+
+    walk(el)
+    return out
+
+
 def _para_text(p, rels: dict[str, str]) -> str:
     """Concatenate run text, tabs, breaks and hyperlinks of a paragraph."""
     parts: list[str] = []
@@ -73,6 +95,14 @@ def _para_text(p, rels: dict[str, str]) -> str:
                         parts.append("\t")
                     elif sub.tag in (q("w:br"), q("w:cr")):
                         parts.append("\n")
+                # text boxes ride inside run-level drawings (reference:
+                # docx_converter textbox handling); mc:Fallback mirrors
+                # mc:Choice content and must be skipped to avoid doubles
+                for txbx in _textbox_contents(child):
+                    for inner_p in txbx.findall(q("w:p")):
+                        inner = _para_text(inner_p, rels)
+                        if inner.strip():
+                            parts.append(inner.strip() + "\n")
             elif tag == q("w:hyperlink"):
                 rid = child.get(q("r:id"))
                 text_before = len(parts)

@@ -155,3 +155,10 @@ def test_parse_batch_cross_document(engine):
     singles = [engine(d) for d in docs]
     for batched, single in zip(outs, singles):
         assert batched.markdown == single.markdown
+
+
+@needs_demo
+def test_docx_textboxes(engine):
+    out = engine(os.path.join(DEMO, "docx", "textbox.docx"))
+    # 16 flowchart textboxes must surface (previously only 162 chars did)
+    assert len(out.markdown) > 1500
