@@ -162,3 +162,13 @@ def test_docx_textboxes(engine):
     out = engine(os.path.join(DEMO, "docx", "textbox.docx"))
     # 16 flowchart textboxes must surface (previously only 162 chars did)
     assert len(out.markdown) > 1500
+
+
+@needs_demo
+def test_cjk_thesis_template(engine):
+    out = engine(os.path.join(DEMO, "pdfs", "示例1-论文模板.pdf"))
+    assert len(out.middle_json["pdf_info"]) == 14
+    md = out.markdown
+    assert "摘要" in md and "关键字" in md
+    assert len(md) > 5000
+    assert len(out.images) >= 1
