@@ -249,11 +249,25 @@ class TextRecognizer:
         for i, wb in enumerate(buckets):
             groups.setdefault(wb, []).append(i)
         results: list[RecResult | None] = [None] * len(crops)
+        # dispatch every width-bucket group before fetching any — groups
+        # pipeline on the device stream instead of serializing roundtrips
+        max_b = self.session.bucket_spec.max_batch()
+        pending = []
         for wb, idxs in groups.items():
             # sort by true aspect so padded tails cluster (cache-friendly)
             idxs = sorted(idxs, key=lambda i: crops[i].shape[1] / max(crops[i].shape[0], 1))
             batch = [rec_resize(crops[i], wb) for i in idxs]  # uint8
-            outs = self.session.run_batched(batch)
+            handles = [
+                self.session.dispatch(np.stack(batch[j : j + max_b]))
+                for j in range(0, len(batch), max_b)
+            ]
+            pending.append((wb, idxs, handles))
+        for wb, idxs, handles in pending:
+            outs = []
+            for handle in handles:
+                fetched = self.session.fetch(handle)
+                for j in range(len(fetched[0])):
+                    outs.append(tuple(leaf[j] for leaf in fetched))
             for i, (ids, probs) in zip(idxs, outs):
                 valid_t = max(1, int(math.ceil(
                     min(wb, crops[i].shape[1] * 48 / max(crops[i].shape[0], 1)) / 8
