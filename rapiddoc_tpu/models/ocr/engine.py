@@ -139,9 +139,26 @@ class TextDetector:
         spec = self.session.bucket_spec
         groups = group_by_bucket([(m[2], m[3]) for m in metas], spec)
         results: list[DetResult | None] = [None] * len(images)
+        # dispatch every resolution group before fetching any (groups
+        # pipeline on the device stream)
+        max_b = spec.max_batch()
+        pending = []
         for (bh, bw), idxs in groups.items():
             batch_imgs = [pad_image_to(prepped[i], bh, bw) for i in idxs]
-            outs = self.session.run_batched(batch_imgs)
+            handles = [
+                self.session.dispatch(np.stack(batch_imgs[j : j + max_b]))
+                for j in range(0, len(batch_imgs), max_b)
+            ]
+            pending.append((idxs, handles))
+        for idxs, handles in pending:
+            outs = []
+            for handle in handles:
+                fetched = self.session.fetch(handle)
+                leaves, treedef = jax.tree.flatten(fetched)
+                for j in range(len(leaves[0])):
+                    outs.append(
+                        jax.tree.unflatten(treedef, [lf[j] for lf in leaves])
+                    )
             for i, out in zip(idxs, outs):
                 src_h, src_w, rh, rw = metas[i]
                 # crop bucket padding, then scale boxes back to source pixels
