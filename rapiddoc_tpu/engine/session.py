@@ -151,6 +151,20 @@ class JaxSession:
         out, n = handle
         return jax.tree.map(lambda a: np.asarray(a[:n]), out)
 
+    @classmethod
+    def fetch_rows(cls, handles: Sequence[tuple[Any, int]]) -> list[Any]:
+        """Fetch several dispatch() handles and split them into per-row
+        pytrees (callers dispatch all groups first, then fetch here)."""
+        outs: list[Any] = []
+        for handle in handles:
+            fetched = cls.fetch(handle)
+            leaves, treedef = jax.tree.flatten(fetched)
+            for j in range(len(leaves[0])):
+                outs.append(
+                    jax.tree.unflatten(treedef, [lf[j] for lf in leaves])
+                )
+        return outs
+
     def __call__(self, batch_nhwc: np.ndarray) -> Any:
         """Run the forward pass on an already-bucketed NHWC batch.
 
@@ -189,13 +203,7 @@ class JaxSession:
                     for k in range(len(leaves_per[0]))
                 ]
                 handles = [(jax.tree.unflatten(treedef, merged), sum(ns))]
-        outs: list[Any] = []
-        for handle in handles:
-            out = self.fetch(handle)
-            leaves, treedef = jax.tree.flatten(out)
-            for j in range(len(leaves[0])):
-                outs.append(jax.tree.unflatten(treedef, [lf[j] for lf in leaves]))
-        return outs
+        return self.fetch_rows(handles)
 
 
 def pad_image_to(

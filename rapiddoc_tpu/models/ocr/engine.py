@@ -151,14 +151,7 @@ class TextDetector:
             ]
             pending.append((idxs, handles))
         for idxs, handles in pending:
-            outs = []
-            for handle in handles:
-                fetched = self.session.fetch(handle)
-                leaves, treedef = jax.tree.flatten(fetched)
-                for j in range(len(leaves[0])):
-                    outs.append(
-                        jax.tree.unflatten(treedef, [lf[j] for lf in leaves])
-                    )
+            outs = self.session.fetch_rows(handles)
             for i, out in zip(idxs, outs):
                 src_h, src_w, rh, rw = metas[i]
                 # crop bucket padding, then scale boxes back to source pixels
@@ -280,11 +273,7 @@ class TextRecognizer:
             ]
             pending.append((wb, idxs, handles))
         for wb, idxs, handles in pending:
-            outs = []
-            for handle in handles:
-                fetched = self.session.fetch(handle)
-                for j in range(len(fetched[0])):
-                    outs.append(tuple(leaf[j] for leaf in fetched))
+            outs = self.session.fetch_rows(handles)
             for i, (ids, probs) in zip(idxs, outs):
                 valid_t = max(1, int(math.ceil(
                     min(wb, crops[i].shape[1] * 48 / max(crops[i].shape[0], 1)) / 8
