@@ -51,6 +51,67 @@ def _named_bytes(data: bytes, filename: str):
     return data
 
 
+def _parse_batch_bytes(files: list[tuple[str, bytes]], options: dict) -> list[dict]:
+    """Multi-file request: pages super-batched across documents
+    (RapidDoc.parse_batch)."""
+    from ..api import RapidDoc
+
+    engine = RapidDoc(
+        parse_method=options.get("parse_method", "auto"),
+        lang=options.get("lang", "ch"),
+        formula_enable=options.get("formula_enable", True),
+        table_enable=options.get("table_enable", True),
+        layout_config=options.get("layout_config") or {},
+        ocr_config=options.get("ocr_config") or {},
+        formula_config=options.get("formula_config") or {},
+        table_config=options.get("table_config") or {},
+    )
+    outs = engine.parse_batch([data for _, data in files])
+    return [
+        {
+            "markdown": out.markdown,
+            "middle_json": out.middle_json,
+            "content_list": out.content_list_json,
+            "images": out.images,
+            "filename": name,
+        }
+        for (name, _), out in zip(files, outs)
+    ]
+
+
+def _zip_response(results: list[dict]):
+    """Zip archive: one directory per document (single doc at top level)."""
+    from aiohttp import web
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for result in results:
+            name = result["filename"].rsplit(".", 1)[0]
+            prefix = f"{name}/" if len(results) > 1 else ""
+            z.writestr(f"{prefix}{name}.md", result["markdown"])
+            z.writestr(
+                f"{prefix}{name}_middle.json",
+                json.dumps(result["middle_json"], ensure_ascii=False,
+                           default=str),
+            )
+            z.writestr(
+                f"{prefix}{name}_content_list.json",
+                json.dumps(result["content_list"], ensure_ascii=False,
+                           default=str),
+            )
+            for rel, blob in result["images"].items():
+                z.writestr(prefix + rel, blob)
+    archive = results[0]["filename"].rsplit(".", 1)[0] if len(results) == 1 \
+        else "results"
+    return web.Response(
+        body=buf.getvalue(),
+        content_type="application/zip",
+        headers={
+            "Content-Disposition": f'attachment; filename="{archive}.zip"'
+        },
+    )
+
+
 def make_app():
     from aiohttp import web
 
@@ -71,9 +132,10 @@ def make_app():
         """Webui endpoint: parse + server-rendered markdown preview."""
         from .webui import render_preview_html
 
-        file_bytes, filename, options, _ = await _read_multipart(request)
-        if file_bytes is None:
+        files, options, _ = await _read_multipart(request)
+        if not files:
             return web.json_response({"error": "no file uploaded"}, status=400)
+        filename, file_bytes = files[0]
         loop = asyncio.get_running_loop()
         try:
             result = await loop.run_in_executor(
@@ -93,20 +155,23 @@ def make_app():
         )
 
     async def _read_multipart(request):
-        """-> (file_bytes, filename, options, return_zip); file_bytes is
-        None when no file part was present or the form was malformed."""
+        """-> (files [(name, bytes)...], options, return_zip); files is
+        empty when no file part was present or the form was malformed.
+        Multiple `file`/`files` parts are accepted (reference:
+        docker/app.py multi-file /file_parse)."""
         try:
             reader = await request.multipart()
         except (ValueError, AssertionError):
-            return None, "document", {}, False
-        file_bytes = None
-        filename = "document"
+            return [], {}, False
+        files: list[tuple[str, bytes]] = []
         options: dict = {}
         return_zip = False
         async for part in reader:
             if part.name in ("file", "files"):
-                filename = part.filename or filename
-                file_bytes = await part.read(decode=False)
+                files.append(
+                    (part.filename or f"document{len(files)}",
+                     await part.read(decode=False))
+                )
             elif part.name == "return_format":
                 return_zip = (await part.text()) == "zip"
             else:
@@ -115,47 +180,29 @@ def make_app():
                     options[part.name] = json.loads(text)
                 except json.JSONDecodeError:
                     options[part.name] = text
-        return file_bytes, filename, options, return_zip
+        return files, options, return_zip
 
     @routes.post("/file_parse")
     async def file_parse(request):
-        file_bytes, filename, options, return_zip = await _read_multipart(
-            request
-        )
-        if file_bytes is None:
+        files, options, return_zip = await _read_multipart(request)
+        if not files:
             return web.json_response({"error": "no file uploaded"}, status=400)
         loop = asyncio.get_running_loop()
         try:
-            result = await loop.run_in_executor(
-                _executor, _parse_bytes, file_bytes, filename, options
-            )
+            if len(files) > 1:
+                results = await loop.run_in_executor(
+                    _executor, _parse_batch_bytes, files, options
+                )
+            else:
+                results = [await loop.run_in_executor(
+                    _executor, _parse_bytes, files[0][1], files[0][0], options
+                )]
         except Exception as e:
             logger.exception("parse failed")
             return web.json_response({"error": str(e)}, status=500)
-        if return_zip:
-            buf = io.BytesIO()
-            name = filename.rsplit(".", 1)[0]
-            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-                z.writestr(f"{name}.md", result["markdown"])
-                z.writestr(
-                    f"{name}_middle.json",
-                    json.dumps(result["middle_json"], ensure_ascii=False,
-                               default=str),
-                )
-                z.writestr(
-                    f"{name}_content_list.json",
-                    json.dumps(result["content_list"], ensure_ascii=False,
-                               default=str),
-                )
-                for rel, blob in result["images"].items():
-                    z.writestr(rel, blob)
-            return web.Response(
-                body=buf.getvalue(),
-                content_type="application/zip",
-                headers={
-                    "Content-Disposition": f'attachment; filename="{name}.zip"'
-                },
-            )
+        if len(results) > 1 or return_zip:
+            return _zip_response(results)
+        result = results[0]
         import base64
 
         result["images"] = {

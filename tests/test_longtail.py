@@ -276,3 +276,39 @@ def test_do_parse_batch_inference(tmp_path):
     assert len(results) == 2
     assert (tmp_path / "a" / "a.md").exists()
     assert (tmp_path / "b" / "b.md").exists()
+
+
+def test_http_multi_file_batch():
+    import asyncio
+    import io
+    import zipfile
+
+    aiohttp = pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.serve.http import make_app
+
+    pdfs = []
+    for i in range(2):
+        img = Image.new("RGB", (300, 200), "white")
+        ImageDraw.Draw(img).text((30, 80), f"multi {i}", fill="black")
+        pdfs.append(pdfio.images_to_pdf([img]))
+
+    async def scenario():
+        app = make_app()
+        async with TestClient(TestServer(app)) as client:
+            form = aiohttp.FormData()
+            for i, pdf in enumerate(pdfs):
+                form.add_field("files", pdf, filename=f"doc{i}.pdf",
+                               content_type="application/pdf")
+            form.add_field("parse_method", '"txt"')
+            resp = await client.post("/file_parse", data=form)
+            assert resp.status == 200
+            assert resp.content_type == "application/zip"
+            with zipfile.ZipFile(io.BytesIO(await resp.read())) as z:
+                names = z.namelist()
+            assert "doc0/doc0.md" in names and "doc1/doc1.md" in names
+
+    asyncio.run(scenario())
