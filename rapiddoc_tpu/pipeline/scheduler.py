@@ -50,6 +50,68 @@ def _rec_with_fallback(recognizer, crops, **kw):
     return out
 
 
+import re as _re
+
+_PAGE_NO_RE = _re.compile(
+    r"^[\s\-–—·.]*(第?\s*\d{1,4}\s*(页|頁)?|[ivxlcIVXLC]{1,6})"
+    r"[\s\-–—·./]*(共?\s*\d{1,4}\s*(页|頁)?)?$"
+)
+_DIGITS_RE = _re.compile(r"\d+")
+
+
+def _block_edge_pos(block: dict, page_h: float) -> str | None:
+    """'top' / 'bottom' when a text block hugs the page margin."""
+    y0, y1 = block["bbox"][1], block["bbox"][3]
+    if y1 < page_h * 0.08:
+        return "top"
+    if y0 > page_h * 0.92:
+        return "bottom"
+    return None
+
+
+def _block_text(block: dict) -> str:
+    return " ".join(ln.get("text", "") for ln in block.get("lines", [])).strip()
+
+
+def decoration_texts(text_dicts) -> set[str]:
+    """Digit-normalized texts of edge blocks repeating on >= 3 pages (or
+    half the batch) — running headers/footers. The model-free stand-in
+    for the layout model's header/footer labels."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    pages = 0
+    for td in text_dicts:
+        if not td:
+            continue
+        pages += 1
+        h = float(td.get("height") or 0)
+        if not h:
+            continue
+        for block in td.get("blocks", []):
+            if _block_edge_pos(block, h) is None:
+                continue
+            text = _block_text(block)
+            if text and len(text) <= 80:
+                counts[_DIGITS_RE.sub("#", text)] += 1
+    need = min(3, max(2, pages // 2)) if pages >= 2 else 2
+    return {t for t, c in counts.items() if c >= need}
+
+
+def _looks_like_page_decoration(
+    block: dict, page_h: float, repeated: set[str]
+) -> bool:
+    """Page numbers (regex) or cross-page-repeating edge blocks."""
+    if _block_edge_pos(block, page_h) is None:
+        return False
+    text = _block_text(block)
+    if not text:
+        return False
+    if len(text) <= 12 and _PAGE_NO_RE.match(text):
+        return True
+    return _DIGITS_RE.sub("#", text) in repeated
+
+
 def _rotate_dets_back(dets: list[dict], angle: int, rot_w: int, rot_h: int) -> None:
     """Map det polys from rotated-image coords back to the original page.
 
@@ -141,6 +203,7 @@ class DocumentAnalyzer:
             for i, dets in enumerate(layout_results):
                 model_infos[i]["layout_dets"].extend(dets)
         else:
+            repeated = decoration_texts(text_dicts)
             for i in range(n):
                 self._fallback_layout(
                     model_infos[i],
@@ -148,6 +211,7 @@ class DocumentAnalyzer:
                     text_dicts[i],
                     image_boxes_per_page[i],
                     scales[i],
+                    repeated,
                 )
 
         # ② collect OCR regions for ocr-mode pages
@@ -282,14 +346,23 @@ class DocumentAnalyzer:
         text_dict: dict | None,
         image_boxes: list[list[float]] | None,
         scale: float,
+        repeated_decorations: set[str] | None = None,
     ) -> None:
         dets = model_info["layout_dets"]
         if parse_mode == "txt" and text_dict is not None:
+            page_h = float(text_dict.get("height") or 0)
             for block in text_dict.get("blocks", []):
                 x0, y0, x1, y1 = (v * scale for v in block["bbox"])
+                cat = CategoryId.Text
+                if page_h and _looks_like_page_decoration(
+                    block, page_h, repeated_decorations or set()
+                ):
+                    # page numbers / running headers become discarded
+                    # blocks (the layout model would label header/footer)
+                    cat = CategoryId.Abandon
                 dets.append(
                     {
-                        "category_id": CategoryId.Text,
+                        "category_id": cat,
                         "poly": _quad_poly(x0, y0, x1, y1),
                         "score": 1.0,
                     }

@@ -205,3 +205,34 @@ def test_missed_text_recovery():
     recovered = [d for d in infos[0]["layout_dets"]
                  if d["category_id"] == CategoryId.OcrText]
     assert recovered and recovered[0]["text"] == "recovered"
+
+
+def test_page_decoration_detection():
+    from rapiddoc_tpu.pipeline.scheduler import (
+        _looks_like_page_decoration,
+        decoration_texts,
+    )
+
+    def blk(y0, y1, text):
+        return {"bbox": [100, y0, 500, y1], "lines": [{"text": text}]}
+
+    # page number at the bottom edge
+    assert _looks_like_page_decoration(blk(950, 960, "3"), 1000, set())
+    assert _looks_like_page_decoration(blk(950, 960, "第 3 页 / 共 9 页"),
+                                       1000, set())
+    # body text near the bottom is kept
+    assert not _looks_like_page_decoration(
+        blk(950, 960, "conclusion paragraph text"), 1000, set())
+    # repeating running header across pages
+    tds = [
+        {"height": 1000, "blocks": [blk(20, 40, f"ACME Quarterly {i}"),
+                                    blk(400, 420, "body")]}
+        for i in range(4)
+    ]
+    rep = decoration_texts(tds)
+    assert "ACME Quarterly #" in rep
+    assert _looks_like_page_decoration(blk(20, 40, "ACME Quarterly 2"),
+                                       1000, rep)
+    # one-off top block is not a decoration
+    assert not _looks_like_page_decoration(blk(20, 40, "Document Title"),
+                                           1000, rep)
