@@ -107,7 +107,7 @@ def _looks_like_page_decoration(
     text = _block_text(block)
     if not text:
         return False
-    if len(text) <= 12 and _PAGE_NO_RE.match(text):
+    if len(text) <= 16 and _PAGE_NO_RE.match(text):
         return True
     return _DIGITS_RE.sub("#", text) in repeated
 
