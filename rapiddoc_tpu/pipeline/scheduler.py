@@ -13,6 +13,7 @@ structural fallback keeps the pipeline end-to-end runnable:
 """
 from __future__ import annotations
 
+import re as _re
 from typing import Sequence
 
 import numpy as np
@@ -49,8 +50,6 @@ def _rec_with_fallback(recognizer, crops, **kw):
             out.append(RecResult("", 0.0))
     return out
 
-
-import re as _re
 
 _PAGE_NO_RE = _re.compile(
     r"^[\s\-–—·.]*(第?\s*\d{1,4}\s*(页|頁)?|[ivxlcIVXLC]{1,6})"
