@@ -108,10 +108,17 @@ class TableRecognizer:
             variables=variables,
         )
 
-    def batch_predict(self, crops: list[np.ndarray]) -> list[str]:
-        """Table crops -> HTML strings."""
+    def batch_predict(
+        self, crops: list[np.ndarray],
+        mfd_items: list[list[tuple[list[float], str]]] | None = None,
+    ) -> list[str]:
+        """Table crops -> HTML strings. `mfd_items[i]` carries recognized
+        formulas inside crop i as (bbox-in-crop, latex); they join the
+        OCR items for cell assignment (reference: rapid_table.py:180-213
+        in-table formula injection)."""
         if not crops:
             return []
+        self._mfd = mfd_items or [[] for _ in crops]
         if self.config.detect_rotation and self.ocr is not None:
             from .select import detect_table_rotation
 
@@ -143,14 +150,18 @@ class TableRecognizer:
         if wired_idx:
             wired_structs = self.wired.batch([crops[i] for i in wired_idx])
             for i, (cell_boxes, grid) in zip(wired_idx, wired_structs):
-                results[i] = self._finish_wired(crops[i], cell_boxes, grid)
+                results[i] = self._finish_wired(
+                    crops[i], cell_boxes, grid, self._mfd[i]
+                )
         if wireless_idx:
             structures = self.wireless(
                 [crops[i] for i in wireless_idx],
                 max_len=self.config.wireless_max_len,
             )
             for i, (structure, bboxes) in zip(wireless_idx, structures):
-                wireless_html = self._fill_text(crops[i], structure, bboxes)
+                wireless_html = self._fill_text(
+                    crops[i], structure, bboxes, self._mfd[i]
+                )
                 if compare and i in set(wired_idx):
                     from .select import select_best_table_html
 
@@ -174,10 +185,11 @@ class TableRecognizer:
 
     def _predict_wired(self, crop: np.ndarray) -> str:
         cell_boxes, grid = self.wired(crop)
-        return self._finish_wired(crop, cell_boxes, grid)
+        return self._finish_wired(crop, cell_boxes, grid, [])
 
     def _finish_wired(
-        self, crop: np.ndarray, cell_boxes: list, grid: list
+        self, crop: np.ndarray, cell_boxes: list, grid: list,
+        mfd: list | None = None,
     ) -> str:
         if not cell_boxes and self.config.use_img2table:
             # model-free ruling-line fallback (reference:
@@ -187,7 +199,7 @@ class TableRecognizer:
             cell_boxes, grid = opencv_table_extract(crop)
         if not cell_boxes:
             return ""
-        texts = self._cell_texts(crop, cell_boxes)
+        texts = self._cell_texts(crop, cell_boxes, mfd or [])
         if self.config.enable_blank_cell_rec and self.ocr is not None:
             texts = self._retry_blank_cells(crop, cell_boxes, texts)
         return build_html_from_grid(grid, texts)
@@ -219,26 +231,34 @@ class TableRecognizer:
         return texts
 
     def _fill_text(
-        self, crop: np.ndarray, structure: list[str], bboxes: list[list[float]]
+        self, crop: np.ndarray, structure: list[str],
+        bboxes: list[list[float]], mfd: list | None = None,
     ) -> str:
         if not structure:
             return ""
-        texts = self._cell_texts(crop, bboxes) if bboxes else []
+        texts = self._cell_texts(crop, bboxes, mfd or []) if bboxes else []
         return html_from_structure_tokens(structure, texts)
 
     def _cell_texts(
-        self, crop: np.ndarray, cell_boxes: list[list[float]]
+        self, crop: np.ndarray, cell_boxes: list[list[float]],
+        mfd: list | None = None,
     ) -> list[str]:
         """OCR the table crop and distribute text into cells. Prefers
         word-level boxes so one OCR line straddling a cell border splits
         correctly (reference: analyze_utils.py:491-527 word-box table
-        fill with line-level fallback)."""
-        if self.ocr is None or not cell_boxes:
+        fill with line-level fallback). Recognized in-table formulas join
+        the item list as $latex$."""
+        if not cell_boxes:
+            return []
+        if self.ocr is None and not mfd:
             return [""] * len(cell_boxes)
-        try:
-            ocr_out = self.ocr([crop], return_word_boxes=True)[0]
-        except TypeError:  # custom OCR without word-box support
-            ocr_out = self.ocr([crop])[0]
+        if self.ocr is None:
+            ocr_out = []
+        else:
+            try:
+                ocr_out = self.ocr([crop], return_word_boxes=True)[0]
+            except TypeError:  # custom OCR without word-box support
+                ocr_out = self.ocr([crop])[0]
         items = []
         for it in ocr_out:
             if it.get("words"):
@@ -259,6 +279,8 @@ class TableRecognizer:
                               max(p[1] for p in it["box"])],
                      "text": it["text"]}
                 )
+        for box, latex in mfd or []:
+            items.append({"bbox": list(box), "text": f"${latex}$"})
         assignments = match_ocr_to_cells(cell_boxes, items)
         from .select import normalize_cell_text
 

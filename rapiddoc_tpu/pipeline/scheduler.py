@@ -480,22 +480,53 @@ class DocumentAnalyzer:
             det["latex"] = latex
 
     def _run_tables(self, page_images, model_infos) -> None:
+        formula_cats = (
+            CategoryId.InterlineEquation_Layout,
+            CategoryId.InterlineEquation_YOLO,
+            CategoryId.InlineEquation,
+        )
         regions = []
         owners = []
+        mfd_items: list[list[tuple[list[float], str]]] = []
         for page_i, info in enumerate(model_infos):
+            formulas = [
+                d for d in info["layout_dets"]
+                if d["category_id"] in formula_cats and d.get("latex")
+            ]
             for det in info["layout_dets"]:
                 if det["category_id"] == CategoryId.TableBody and not det.get("html"):
                     x0, y0, _, _, x1, y1, _, _ = det["poly"]
                     crop = page_images[page_i][
                         max(int(y0), 0) : int(y1) + 1, max(int(x0), 0) : int(x1) + 1
                     ]
-                    if crop.size:
-                        regions.append(crop)
-                        owners.append(det)
+                    if not crop.size:
+                        continue
+                    regions.append(crop)
+                    owners.append(det)
+                    # recognized formulas inside this table, in crop coords
+                    # (reference: rapid_table.py:180-213 in-table formula
+                    # injection via mfd_res)
+                    inside = []
+                    for f in formulas:
+                        fx0 = min(f["poly"][0::2])
+                        fy0 = min(f["poly"][1::2])
+                        fx1 = max(f["poly"][0::2])
+                        fy1 = max(f["poly"][1::2])
+                        if fx0 >= x0 and fy0 >= y0 and fx1 <= x1 and fy1 <= y1:
+                            inside.append(
+                                ([fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0],
+                                 f["latex"])
+                            )
+                    mfd_items.append(inside)
         if not regions:
             return
         with stage_timer("table", len(regions)):
-            htmls = self.table_model.batch_predict(regions)
+            try:
+                htmls = self.table_model.batch_predict(
+                    regions, mfd_items=mfd_items
+                )
+            except TypeError:  # custom table model without mfd support
+                htmls = self.table_model.batch_predict(regions)
         for det, html in zip(owners, htmls):
             if html:
                 det["html"] = html

@@ -189,3 +189,18 @@ def test_cells_to_grid_spans_and_jitter():
     assert grid[1][:2] == (1, 0) and grid[2][:2] == (1, 1)
     assert grid[3][:2] == (2, 0) and grid[4][:2] == (2, 1)
     assert all(g[2] == 1 and g[3] == 1 for g in grid[1:])
+
+
+def test_in_table_formula_injection():
+    from rapiddoc_tpu.models.table.engine import TableConfig, TableRecognizer
+
+    rec = TableRecognizer(
+        TableConfig(strategy="unet", detect_rotation=False)
+    )
+    texts = rec._cell_texts(
+        np.full((100, 200, 3), 255, np.uint8),
+        [[0, 0, 100, 50], [100, 0, 200, 50]],
+        mfd=[([110.0, 10.0, 190.0, 40.0], "x^2+y^2")],
+    )
+    assert texts[0] == ""
+    assert texts[1] == "$x^2+y^2$"
