@@ -183,10 +183,6 @@ class TableRecognizer:
 
     # ------------------------------------------------------------- wired
 
-    def _predict_wired(self, crop: np.ndarray) -> str:
-        cell_boxes, grid = self.wired(crop)
-        return self._finish_wired(crop, cell_boxes, grid, [])
-
     def _finish_wired(
         self, crop: np.ndarray, cell_boxes: list, grid: list,
         mfd: list | None = None,
