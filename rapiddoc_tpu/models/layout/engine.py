@@ -183,15 +183,19 @@ class LayoutDetector:
             # structural fallback (native text / OCR det drive the layout)
             raise FileNotFoundError("layout checkpoint missing")
         cfg = LayoutConfig(
+            model_size=configs.get("model_size", "B4"),
+            input_size=configs.get("input_size", 800),
+            num_queries=configs.get("num_queries", 300),
+            dec_layers=configs.get("dec_layers", 6),
             conf_threshold=configs.get("conf_threshold", 0.5),
             class_thresholds=configs.get("class_thresholds"),
             with_masks=configs.get("with_masks", True),
         )
         if configs.get("markdown_ignore_labels") is not None:
-            cfg = LayoutConfig(
-                conf_threshold=cfg.conf_threshold,
-                class_thresholds=cfg.class_thresholds,
-                with_masks=cfg.with_masks,
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
                 markdown_ignore_labels=frozenset(
                     configs["markdown_ignore_labels"]
                 ),
