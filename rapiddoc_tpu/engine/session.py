@@ -23,6 +23,31 @@ from .buckets import BucketSpec
 logger = get_logger("rapiddoc_tpu.engine")
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Opt-in (RAPIDDOC_XLA_CACHE_DIR=<dir>): persist compiled XLA
+    programs across processes — the bucket set is closed, so a warm
+    cache turns process start into cache hits. Opt-in rather than
+    default because tunneled/virtualized backends may not honor the
+    cache (measured no benefit under axon)."""
+    import os
+
+    target = os.environ.get("RAPIDDOC_XLA_CACHE_DIR")
+    if not target or target in ("0", "off", "none"):
+        return
+    try:
+        os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0
+        )
+    except Exception:  # older jax or read-only fs: cache is best-effort
+        logger.debug("persistent compile cache unavailable", exc_info=True)
+
+
+_enable_persistent_compile_cache()
+
+
 @dataclass
 class SessionStats:
     compiles: int = 0
