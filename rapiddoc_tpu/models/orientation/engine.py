@@ -39,7 +39,10 @@ class OrientationClassifier:
         self.variables = variables
         self._fwd = jax.jit(
             lambda v, x: jax.nn.softmax(
-                self.model.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32),
+                self.model.apply(
+                    v,
+                    (x.astype(jnp.float32) / 255.0).astype(jnp.bfloat16),
+                ).astype(jnp.float32),
                 axis=-1,
             )
         )
@@ -47,13 +50,20 @@ class OrientationClassifier:
     def __call__(self, imgs: list[np.ndarray]) -> list[int]:
         if not imgs:
             return []
+        # uint8 transfer, batch padded to a power of two so recompiles
+        # stay O(log max-batch), not O(distinct counts)
         batch = np.stack(
-            [
-                cv2.resize(im, (self.INPUT, self.INPUT)).astype(np.float32) / 255.0
-                for im in imgs
-            ]
+            [cv2.resize(im, (self.INPUT, self.INPUT)) for im in imgs]
         )
-        probs = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))
+        n = len(imgs)
+        nb = 1
+        while nb < n:
+            nb *= 2
+        if nb != n:
+            batch = np.concatenate(
+                [batch, np.zeros((nb - n, *batch.shape[1:]), batch.dtype)]
+            )
+        probs = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))[:n]
         return [ANGLES[int(p.argmax())] for p in probs]
 
 
