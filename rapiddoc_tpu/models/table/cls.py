@@ -43,7 +43,10 @@ class TableClassifier:
         self.variables = variables
         self._fwd = jax.jit(
             lambda v, x: jax.nn.softmax(
-                self.model.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32),
+                self.model.apply(
+                    v,
+                    (x.astype(jnp.float32) / 255.0).astype(jnp.bfloat16),
+                ).astype(jnp.float32),
                 axis=-1,
             )
         )
@@ -52,13 +55,20 @@ class TableClassifier:
         """Returns 'wired' | 'wireless' per table crop."""
         if not imgs:
             return []
+        # uint8 transfer, power-of-two batch buckets (same discipline as
+        # the orientation classifier)
         batch = np.stack(
-            [
-                cv2.resize(im, (self.INPUT, self.INPUT)).astype(np.float32) / 255.0
-                for im in imgs
-            ]
+            [cv2.resize(im, (self.INPUT, self.INPUT)) for im in imgs]
         )
-        probs = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))
+        n = len(imgs)
+        nb = 1
+        while nb < n:
+            nb *= 2
+        if nb != n:
+            batch = np.concatenate(
+                [batch, np.zeros((nb - n, *batch.shape[1:]), batch.dtype)]
+            )
+        probs = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))[:n]
         return ["wired" if p[0] >= p[1] else "wireless" for p in probs]
 
 
