@@ -266,9 +266,10 @@ class SLANetStructure:
     def _compiled(self):
         if self._fn is None:
             def run(bb_vars, neck_vars, fk_vars, step_vars, images):
-                feats = self.backbone.apply(
-                    bb_vars, images.astype(jnp.bfloat16)
-                )
+                # uint8 in; ImageNet normalize on device
+                x = images.astype(jnp.float32) / 255.0
+                x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+                feats = self.backbone.apply(bb_vars, x.astype(jnp.bfloat16))
                 fea_map = self.neck.apply(neck_vars, feats)
                 b, h, w, c = fea_map.shape
                 fea = fea_map.reshape(b, h * w, c).astype(jnp.float32)
@@ -282,13 +283,12 @@ class SLANetStructure:
         return self._fn
 
     def _preprocess(self, img: np.ndarray) -> np.ndarray:
+        """uint8 padded canvas; normalization happens on device."""
         h, w = img.shape[:2]
         ratio = IMG_SIZE / max(h, w)
         rw, rh = max(1, int(w * ratio)), max(1, int(h * ratio))
-        resized = cv2.resize(img, (rw, rh)).astype(np.float32) / 255.0
-        resized = (resized - IMAGENET_MEAN) / IMAGENET_STD
-        out = np.zeros((IMG_SIZE, IMG_SIZE, 3), np.float32)
-        out[:rh, :rw] = resized
+        out = np.zeros((IMG_SIZE, IMG_SIZE, 3), np.uint8)
+        out[:rh, :rw] = cv2.resize(img, (rw, rh))
         return out
 
     def __call__(

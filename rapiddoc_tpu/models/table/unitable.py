@@ -146,9 +146,8 @@ class UniTableStructure:
     def _compiled(self, max_len: int):
         if self._fn is None:
             def run(enc_vars, dec_vars, mem_vars, images):
-                memory = self.encoder.apply(
-                    enc_vars, images.astype(jnp.bfloat16)
-                ).astype(jnp.float32)
+                x = (images.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+                memory = self.encoder.apply(enc_vars, x).astype(jnp.float32)
                 mask = jnp.ones(memory.shape[:2], bool)
                 return greedy_decode(
                     self.decoder, dec_vars, self.mem_proj, mem_vars, memory,
@@ -165,11 +164,8 @@ class UniTableStructure:
         if not imgs:
             return []
         batch = np.stack(
-            [
-                cv2.resize(im, (IMG_SIZE, IMG_SIZE)).astype(np.float32) / 255.0
-                for im in imgs
-            ]
-        )
+            [cv2.resize(im, (IMG_SIZE, IMG_SIZE)) for im in imgs]
+        )  # uint8; /255 happens on device
         fn = self._compiled(max_len)
         tokens, lengths = fn(
             self.variables["encoder"], self.variables["decoder"],
