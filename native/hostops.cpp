@@ -126,4 +126,25 @@ int nms(const double* boxes, const double* scores, int n,
   return kept;
 }
 
+// Levenshtein distance over uint32 code points (unicode-safe).
+// Used by the TEDS metric and the quality-eval harness, where cell/body
+// texts make the O(n*m) DP the hot loop.
+int64_t levenshtein_u32(const uint32_t* a, int64_t na,
+                        const uint32_t* b, int64_t nb) {
+  if (na == 0) return nb;
+  if (nb == 0) return na;
+  std::vector<int64_t> prev(nb + 1), cur(nb + 1);
+  for (int64_t j = 0; j <= nb; ++j) prev[j] = j;
+  for (int64_t i = 1; i <= na; ++i) {
+    cur[0] = i;
+    const uint32_t ca = a[i - 1];
+    for (int64_t j = 1; j <= nb; ++j) {
+      const int64_t sub = prev[j - 1] + (ca != b[j - 1] ? 1 : 0);
+      cur[j] = std::min({prev[j] + 1, cur[j - 1] + 1, sub});
+    }
+    std::swap(prev, cur);
+  }
+  return prev[nb];
+}
+
 }  // extern "C"

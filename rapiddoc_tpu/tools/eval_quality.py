@@ -34,6 +34,11 @@ def normalized_edit_distance(a: str, b: str) -> float:
         return 0.0
     if not a or not b:
         return 1.0
+    from ..utils.native import levenshtein as _native_lev
+
+    d = _native_lev(a, b)
+    if d is not None:
+        return d / max(len(a), len(b))
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]

@@ -60,6 +60,13 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
         ctypes.c_void_p,
     ]
+    try:
+        lib.levenshtein_u32.restype = ctypes.c_int64
+        lib.levenshtein_u32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+    except AttributeError:  # stale .so without the symbol
+        pass
     _lib = lib
     return _lib
 
@@ -120,3 +127,18 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> list[int
         keep.ctypes.data_as(ctypes.c_void_p),
     )
     return keep[:n].tolist()
+
+
+def levenshtein(a: str, b: str) -> int | None:
+    """Edit distance via the native kernel; None -> caller's python path."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "levenshtein_u32"):
+        return None
+    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    return int(
+        lib.levenshtein_u32(
+            aa.ctypes.data if len(aa) else None, len(aa),
+            bb.ctypes.data if len(bb) else None, len(bb),
+        )
+    )

@@ -89,6 +89,11 @@ def _levenshtein(a: str, b: str) -> int:
         return len(b)
     if not b:
         return len(a)
+    from .native import levenshtein as _native_lev
+
+    d = _native_lev(a, b)
+    if d is not None:
+        return d
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
