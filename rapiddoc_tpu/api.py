@@ -182,6 +182,9 @@ class RapidDoc:
             inputs = bytes(inputs)
         if isinstance(inputs, (str, bytes, Path)):
             return self._parse_single(inputs, output_dir, **overrides)
+        if output_dir is None and not overrides:
+            # multi-document calls batch pages across documents by default
+            return self.parse_batch(inputs)
         return [self._parse_single(item, output_dir, **overrides) for item in inputs]
 
     def _parse_single(
