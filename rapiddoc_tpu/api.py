@@ -406,7 +406,9 @@ class RapidDoc:
         (reference: pipeline_analyze.py:135-213 — pages of all docs flow
         into shared MINERU_MIN_BATCH_INFERENCE_SIZE batches so small
         documents don't waste device batch slots). Office documents take
-        their model-free path individually."""
+        their model-free path individually. Note: per-window
+        checkpointing and writer fan-out apply to the single-document
+        path only; use __call__ per document when those are needed."""
         from .config import env_int
 
         items = list(inputs)
