@@ -135,3 +135,52 @@ def test_parallel_render(monkeypatch):
         assert item is not None
         img, size, tdict, boxes = item
         assert img.size[0] > 0 and size[0] > 0
+
+
+def test_filters_roundtrip():
+    import zlib
+
+    from rapiddoc_tpu.pdfio.filters import (
+        ascii85_decode,
+        ascii_hex_decode,
+        flate_decode,
+        lzw_decode,
+        run_length_decode,
+    )
+
+    payload = b"rapiddoc filter roundtrip \x00\x01\xff" * 7
+    assert flate_decode(zlib.compress(payload), {}) == payload
+    assert ascii_hex_decode(payload.hex().encode() + b">", {}) == payload
+    import base64
+
+    a85 = base64.a85encode(payload) + b"~>"
+    assert ascii85_decode(a85, {}) == payload
+    # RunLength: encode trivially as literal runs of <=128 bytes
+    rl = b""
+    for i in range(0, len(payload), 120):
+        chunk = payload[i : i + 120]
+        rl += bytes([len(chunk) - 1]) + chunk
+    rl += b"\x80"
+    assert run_length_decode(rl, {}) == payload
+
+
+def test_png_predictor_paths():
+    import zlib
+
+    import numpy as np
+
+    from rapiddoc_tpu.pdfio.filters import flate_decode
+
+    # PNG Up-filter rows: row_len 4, 3 rows
+    rows = np.array(
+        [[10, 20, 30, 40], [11, 21, 31, 41], [12, 22, 32, 42]], np.uint8
+    )
+    enc = b""
+    prev = np.zeros(4, np.uint8)
+    for r in rows:
+        enc += b"\x02" + bytes((r - prev) & 0xFF)
+        prev = r
+    params = {"Predictor": 15, "Columns": 4, "Colors": 1,
+              "BitsPerComponent": 8}
+    out = flate_decode(zlib.compress(enc), params)
+    assert out == rows.tobytes()
