@@ -144,7 +144,6 @@ def test_filters_roundtrip():
         ascii85_decode,
         ascii_hex_decode,
         flate_decode,
-        lzw_decode,
         run_length_decode,
     )
 
