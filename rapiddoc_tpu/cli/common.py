@@ -109,6 +109,21 @@ def do_parse(
                            default=str),
                 encoding="utf-8",
             )
+        if (f_draw_layout_bbox or f_draw_span_bbox) and data[:5].lstrip()[
+            :4
+        ] == b"%PDF":
+            from ..utils.draw import debug_pdfs_from_output
+
+            overlays = debug_pdfs_from_output(
+                data, out.middle_json,
+                layout=f_draw_layout_bbox, spans=f_draw_span_bbox,
+            )
+            if "layout" in overlays:
+                (doc_dir / f"{name}_layout.pdf").write_bytes(
+                    overlays["layout"]
+                )
+            if "span" in overlays:
+                (doc_dir / f"{name}_span.pdf").write_bytes(overlays["span"])
         if f_dump_model_output and out.model_json is not None:
             (doc_dir / f"{name}_model.json").write_text(
                 json.dumps(out.model_json, ensure_ascii=False, default=str),

@@ -80,6 +80,14 @@ def main(inputs, output_dir, method, lang, formula, table, md_mode,
             target = doc_dir / rel
             target.parent.mkdir(parents=True, exist_ok=True)
             target.write_bytes(blob)
+        if draw_layout and data[:5].lstrip()[:4] == b"%PDF":
+            from ..utils.draw import debug_pdfs_from_output
+
+            overlays = debug_pdfs_from_output(data, out.middle_json)
+            if "layout" in overlays:
+                (doc_dir / f"{name}_layout.pdf").write_bytes(
+                    overlays["layout"]
+                )
         if emit_html:
             from ..utils.markdown_convert import markdown_to_html
 

@@ -76,6 +76,36 @@ def draw_spans_on_page(
     return img
 
 
+def debug_pdfs_from_output(
+    pdf_bytes: bytes,
+    middle_json: dict,
+    *,
+    layout: bool = True,
+    spans: bool = False,
+    dpi: int = 96,
+) -> dict[str, bytes]:
+    """Re-render the source pages and emit annotated debug PDFs
+    (reference: cli/common.py:188-194 — *_layout.pdf / *_span.pdf visual
+    QA artifacts). Returns {"layout": bytes?, "span": bytes?}."""
+    from .. import pdfio
+
+    pdf_info = (middle_json or {}).get("pdf_info") or []
+    if not pdf_info or not (layout or spans):
+        return {}
+    doc = pdfio.open_pdf(pdf_bytes)
+    n = min(len(doc), len(pdf_info))
+    imgs = [pdfio.render_page(doc.get_page(i), dpi=dpi) for i in range(n)]
+    scale = dpi / 72.0
+    out: dict[str, bytes] = {}
+    if layout:
+        out["layout"] = render_debug_pdf(imgs, pdf_info[:n], scale, "layout")
+    if spans:
+        out["span"] = render_debug_pdf(
+            [im.copy() for im in imgs], pdf_info[:n], scale, "span"
+        )
+    return out
+
+
 def render_debug_pdf(
     page_imgs: list[Image.Image],
     pdf_info: list[dict],

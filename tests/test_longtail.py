@@ -312,3 +312,22 @@ def test_http_multi_file_batch():
             assert "doc0/doc0.md" in names and "doc1/doc1.md" in names
 
     asyncio.run(scenario())
+
+
+def test_do_parse_draw_overlays(tmp_path):
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import do_parse, pdfio
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((30, 80), "overlay target", fill="black")
+    pdf = pdfio.images_to_pdf([img])
+    do_parse(
+        tmp_path, ["d"], [pdf], parse_method="txt",
+        formula_enable=False, table_enable=False,
+        f_draw_layout_bbox=True, f_draw_span_bbox=True,
+    )
+    layout_pdf = (tmp_path / "d" / "d_layout.pdf").read_bytes()
+    span_pdf = (tmp_path / "d" / "d_span.pdf").read_bytes()
+    assert layout_pdf[:4] == b"%PDF" and span_pdf[:4] == b"%PDF"
+    assert len(pdfio.open_pdf(layout_pdf)) == 1
