@@ -346,6 +346,11 @@ class RapidDoc:
                 page_dims.extend(dims)
                 scales.extend([scale] * len(w_imgs))
 
+        originals_per_page = None
+        if self.image_config.get("extract_original_image"):
+            # reference image_config: image spans matching an embedded
+            # image keep the ORIGINAL pixels (docs/analyze_param.md)
+            originals_per_page = _collect_original_images(doc, n_pages)
         with stage_timer("assembly", n_pages):
             middle_json = result_to_middle_json(
                 all_model_infos,
@@ -355,6 +360,8 @@ class RapidDoc:
                 page_text_dicts=text_dicts,
                 parse_mode=parse_method,
                 image_writer=image_writer,
+                originals_per_page=originals_per_page,
+                image_config=self.image_config,
             )
 
         img_prefix = self.image_dir_name
@@ -608,6 +615,25 @@ def _legacy_office_to_modern(data: bytes, suffix: str) -> bytes:
         )
         out = Path(tmp) / f"input.{target}"
         return out.read_bytes()
+
+
+def _collect_original_images(doc, n_pages: int):
+    """Per page: (bbox in page units, decoded PIL) for embedded images."""
+    from .pdfio.images import xobject_to_pil
+    from .pdfio.placements import original_image_streams
+
+    out = []
+    for i in range(n_pages):
+        items = []
+        try:
+            for bbox, stream in original_image_streams(doc.get_page(i)):
+                img = xobject_to_pil(doc, stream)
+                if img is not None:
+                    items.append((bbox, img.convert("RGB")))
+        except Exception:
+            logger.exception("original image extraction failed on page %d", i)
+        out.append(items)
+    return out
 
 
 def stage_report() -> dict:

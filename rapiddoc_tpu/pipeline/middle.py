@@ -59,6 +59,8 @@ def page_to_page_info(
     page_text_dict: dict | None = None,
     parse_mode: str = "ocr",
     image_writer=None,
+    originals=None,
+    original_iou_thresh: float = 0.9,
 ) -> dict | None:
     model = PageModel(page_model_info, scale)
     all_blocks, discarded, footnotes = collect_blocks(model, page_w, page_h)
@@ -86,7 +88,10 @@ def page_to_page_info(
         sorted_blocks, page_idx, page_w, page_h, discarded_filled
     )
     if page_img is not None:
-        cut_span_images(page_info, page_img, scale, image_writer)
+        cut_span_images(
+            page_info, page_img, scale, image_writer,
+            originals=originals, original_iou_thresh=original_iou_thresh,
+        )
     return page_info
 
 
@@ -100,6 +105,8 @@ def result_to_middle_json(
     parse_mode: str = "ocr",
     image_writer=None,
     page_idx_offset: int = 0,
+    originals_per_page=None,
+    image_config: dict | None = None,
 ) -> dict[str, Any]:
     middle: dict[str, Any] = {
         "pdf_info": [],
@@ -119,6 +126,10 @@ def result_to_middle_json(
             page_text_dict=page_text_dicts[i] if page_text_dicts else None,
             parse_mode=parse_mode,
             image_writer=image_writer,
+            originals=originals_per_page[i] if originals_per_page else None,
+            original_iou_thresh=(image_config or {}).get(
+                "extract_original_image_iou_thresh", 0.9
+            ),
         )
         if info is None:
             info = make_page_info([], page_idx_offset + i, w, h, [])

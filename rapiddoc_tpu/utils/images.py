@@ -41,10 +41,19 @@ def cut_span_images(
     scale: float,
     image_writer,
     image_dir: str = "",
+    originals: list[tuple[list[float], Image.Image]] | None = None,
+    original_iou_thresh: float = 0.9,
 ) -> None:
     """Crop & save image/table/interline-equation span images, setting
-    span['image_path'] in place. image_writer: DataWriter-like with write()."""
+    span['image_path'] in place. image_writer: DataWriter-like with write().
+
+    `originals` ((bbox in page units, decoded PIL) pairs) enables the
+    reference's extract_original_image behavior (reference:
+    docs/analyze_param.md image_config — image spans matching an embedded
+    image with IoU >= thresh keep the ORIGINAL pixels, not a screenshot
+    crop)."""
     from ..types import ContentType
+    from . import boxes as B
 
     def handle_span(span: dict) -> None:
         if span.get("type") in (
@@ -52,7 +61,14 @@ def cut_span_images(
             ContentType.TABLE,
             ContentType.INTERLINE_EQUATION,
         ) and not span.get("image_path"):
-            crop = crop_bbox(page_img, span["bbox"], scale)
+            crop = None
+            if originals and span["type"] == ContentType.IMAGE:
+                for obox, oimg in originals:
+                    if B.iou(span["bbox"], obox) >= original_iou_thresh:
+                        crop = oimg
+                        break
+            if crop is None:
+                crop = crop_bbox(page_img, span["bbox"], scale)
             name = image_digest_name(crop)
             if image_writer is not None:
                 image_writer.write(name, encode_image(crop))

@@ -172,3 +172,32 @@ def test_cjk_thesis_template(engine):
     assert "摘要" in md and "关键字" in md
     assert len(md) > 5000
     assert len(out.images) >= 1
+
+
+def test_extract_original_image():
+    """image_config extract_original_image: image spans matching an
+    embedded image keep the original pixels (reference:
+    docs/analyze_param.md image_config)."""
+    from PIL import Image
+
+    from rapiddoc_tpu import RapidDoc, pdfio
+
+    src = Image.new("RGB", (120, 90))
+    px = src.load()
+    for y in range(90):
+        for x in range(120):
+            px[x, y] = (x * 2 % 256, y * 2 % 256, 37)
+    pdf = pdfio.images_to_pdf([src], dpi=72)
+    eng = RapidDoc(formula_enable=False, table_enable=False,
+                   parse_method="ocr",
+                   image_config={"extract_original_image": True,
+                                 "extract_original_image_iou_thresh": 0.5})
+    out = eng(pdf)
+    assert out.images, "image span extracted"
+    blob = next(iter(out.images.values()))
+    import io
+
+    got = Image.open(io.BytesIO(blob)).convert("RGB")
+    # original-pixel path preserves the exact source dimensions (a
+    # screenshot crop would come back at render scale instead)
+    assert got.size == src.size
