@@ -10,6 +10,13 @@ When a model is absent (no trained weights in the environment), a
 structural fallback keeps the pipeline end-to-end runnable:
   - txt pages: native text blocks + embedded image placements become dets
   - ocr pages: OCR det lines become Text dets, OCR rec fills their spans
+
+Design divergence: the reference crops each layout text REGION and runs
+text det per crop (analyze_utils.py:105-212, grouped by 64-px-rounded
+resolution). Here det runs once over the FULL page: one large bucketable
+input per page instead of dozens of odd-sized crops keeps the compiled
+program count tiny and the MXU busy; formula whitening plus span-to-block
+assignment recovers the same region discipline downstream.
 """
 from __future__ import annotations
 
