@@ -331,3 +331,21 @@ def test_do_parse_draw_overlays(tmp_path):
     span_pdf = (tmp_path / "d" / "d_span.pdf").read_bytes()
     assert layout_pdf[:4] == b"%PDF" and span_pdf[:4] == b"%PDF"
     assert len(pdfio.open_pdf(layout_pdf)) == 1
+
+
+def test_aio_do_parse(tmp_path):
+    import asyncio
+
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import aio_do_parse, pdfio
+
+    img = Image.new("RGB", (300, 200), "white")
+    ImageDraw.Draw(img).text((30, 80), "async parse", fill="black")
+    pdf = pdfio.images_to_pdf([img])
+    res = asyncio.run(
+        aio_do_parse(tmp_path, ["x"], [pdf], parse_method="txt",
+                     formula_enable=False, table_enable=False)
+    )
+    assert len(res) == 1 and "markdown" in res[0]
+    assert (tmp_path / "x" / "x.md").exists()
