@@ -120,13 +120,13 @@ class TableRecognizer:
             return []
         self._mfd = mfd_items or [[] for _ in crops]
         if self.config.detect_rotation and self.ocr is not None:
-            from .select import detect_table_rotation
+            from .select import detect_table_rotations
 
             detector = getattr(self.ocr, "detector", None)
+            rotate = detect_table_rotations(crops, detector)
             crops = [
-                np.ascontiguousarray(np.rot90(c, 3))
-                if detect_table_rotation(c, detector) else c
-                for c in crops
+                np.ascontiguousarray(np.rot90(c, 3)) if r else c
+                for c, r in zip(crops, rotate)
             ]
         if self.wired is None:
             kinds = ["wireless"] * len(crops)

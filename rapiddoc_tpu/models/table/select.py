@@ -112,23 +112,39 @@ def select_best_table_html(
     return wired_html
 
 
-def detect_table_rotation(crop: np.ndarray, ocr_detector) -> bool:
+def detect_table_rotations(
+    crops: list[np.ndarray], ocr_detector
+) -> list[bool]:
     """Portrait crops whose text boxes are mostly vertical are rotated
-    tables (reference: rapid_table.py:126-165). Returns True when the
-    crop should be rotated 90 degrees clockwise before recognition."""
-    h, w = crop.shape[:2]
-    if w <= 0 or h / w <= 1.2 or ocr_detector is None:
-        return False
+    tables (reference: rapid_table.py:126-165). All portrait candidates
+    run through text det in ONE batched call; returns per-crop whether
+    it should rotate 90 degrees clockwise before recognition."""
+    out = [False] * len(crops)
+    if ocr_detector is None:
+        return out
+    candidates = [
+        i for i, c in enumerate(crops)
+        if c.shape[1] > 0 and c.shape[0] / c.shape[1] > 1.2
+    ]
+    if not candidates:
+        return out
     try:
-        det = ocr_detector([crop])[0]
+        dets = ocr_detector([crops[i] for i in candidates])
     except Exception:
-        return False
-    if len(det.boxes) == 0:
-        return False
-    vertical = 0
-    for quad in det.boxes:
-        bw = float(quad[:, 0].max() - quad[:, 0].min())
-        bh = float(quad[:, 1].max() - quad[:, 1].min())
-        if bh > 0 and bw / bh < 0.8:
-            vertical += 1
-    return vertical >= len(det.boxes) * 0.3
+        return out
+    for i, det in zip(candidates, dets):
+        if len(det.boxes) == 0:
+            continue
+        vertical = 0
+        for quad in det.boxes:
+            bw = float(quad[:, 0].max() - quad[:, 0].min())
+            bh = float(quad[:, 1].max() - quad[:, 1].min())
+            if bh > 0 and bw / bh < 0.8:
+                vertical += 1
+        out[i] = vertical >= len(det.boxes) * 0.3
+    return out
+
+
+def detect_table_rotation(crop: np.ndarray, ocr_detector) -> bool:
+    """Single-crop convenience wrapper over detect_table_rotations."""
+    return detect_table_rotations([crop], ocr_detector)[0]
