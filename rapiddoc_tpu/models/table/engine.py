@@ -204,8 +204,10 @@ class TableRecognizer:
         self, crop: np.ndarray, cell_boxes: list[list[float]],
         texts: list[str],
     ) -> list[str]:
-        """Focused OCR on cells the page-level pass left empty."""
+        """Focused OCR on cells the page-level pass left empty — all
+        blank cells of the table go through OCR as one batch."""
         h, w = crop.shape[:2]
+        cells, owners = [], []
         for k, (box, text) in enumerate(zip(cell_boxes, texts)):
             if text.strip():
                 continue
@@ -213,14 +215,18 @@ class TableRecognizer:
                               min(int(box[2]) + 1, w), min(int(box[3]) + 1, h))
             if x1 - x0 < 4 or y1 - y0 < 4:
                 continue
-            cell = crop[y0:y1, x0:x1]
-            try:
-                items = self.ocr([cell])[0]
-            except Exception:
-                continue
-            if items:
-                from .select import normalize_cell_text
+            cells.append(crop[y0:y1, x0:x1])
+            owners.append(k)
+        if not cells:
+            return texts
+        try:
+            results = self.ocr(cells)
+        except Exception:
+            return texts
+        from .select import normalize_cell_text
 
+        for k, items in zip(owners, results):
+            if items:
                 texts[k] = normalize_cell_text(
                     " ".join(it["text"] for it in items)
                 )
