@@ -60,29 +60,40 @@ class SealOCR:
         self.text_system = text_system
 
     def __call__(self, crop: np.ndarray) -> str:
-        self._debug_dump(crop)
-        texts: list[str] = []
-        circle = detect_circle(crop)
-        if circle is not None:
-            cx, cy, r = circle
-            try:
-                strip = unwrap_circular_text(crop, cx, cy, r)
-                ring = self.text_system([strip])[0]
-                texts.extend(item["text"] for item in ring)
-            except cv2.error:
-                pass
-            # center text (horizontal) from the inner region
-            inner = crop[
-                max(cy - r // 2, 0) : cy + r // 2,
-                max(cx - r // 2, 0) : cx + r // 2,
-            ]
-            if inner.size:
-                center = self.text_system([inner])[0]
-                texts.extend(item["text"] for item in center)
-        else:
-            flat = self.text_system([crop])[0]
-            texts.extend(item["text"] for item in flat)
-        return " ".join(t for t in texts if t)
+        return self.batch([crop])[0]
+
+    def batch(self, crops: list[np.ndarray]) -> list[str]:
+        """All seals' rectified strips + centers go through the text
+        system in ONE batched call."""
+        regions: list[np.ndarray] = []
+        owners: list[int] = []
+        for i, crop in enumerate(crops):
+            self._debug_dump(crop)
+            circle = detect_circle(crop)
+            if circle is not None:
+                cx, cy, r = circle
+                try:
+                    strip = unwrap_circular_text(crop, cx, cy, r)
+                    regions.append(strip)
+                    owners.append(i)
+                except cv2.error:
+                    pass
+                # center text (horizontal) from the inner region
+                inner = crop[
+                    max(cy - r // 2, 0) : cy + r // 2,
+                    max(cx - r // 2, 0) : cx + r // 2,
+                ]
+                if inner.size:
+                    regions.append(inner)
+                    owners.append(i)
+            else:
+                regions.append(crop)
+                owners.append(i)
+        texts: list[list[str]] = [[] for _ in crops]
+        if regions:
+            for i, items in zip(owners, self.text_system(regions)):
+                texts[i].extend(item["text"] for item in items)
+        return [" ".join(t for t in ts if t) for ts in texts]
 
     _dump_n = 0
 

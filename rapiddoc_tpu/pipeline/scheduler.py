@@ -325,7 +325,7 @@ class DocumentAnalyzer:
     def _run_seals(self, page_images, model_infos) -> None:
         from ..models.ocr.seal import SealOCR
 
-        seal_ocr = None
+        crops, owners = [], []
         for page_i, info in enumerate(model_infos):
             for det in info["layout_dets"]:
                 if det.get("original_label") != "seal" or det.get("text"):
@@ -334,14 +334,19 @@ class DocumentAnalyzer:
                 crop = page_images[page_i][
                     max(int(y0), 0) : int(y1) + 1, max(int(x0), 0) : int(x1) + 1
                 ]
-                if not crop.size:
-                    continue
-                if seal_ocr is None:
-                    seal_ocr = SealOCR(self.ocr)
-                try:
-                    det["text"] = seal_ocr(crop)
-                except Exception:
-                    continue
+                if crop.size:
+                    crops.append(crop)
+                    owners.append(det)
+        if not crops:
+            return
+        try:
+            texts = SealOCR(self.ocr).batch(crops)
+        except Exception:
+            logger.exception("seal OCR failed")
+            return
+        for det, text in zip(owners, texts):
+            if text:
+                det["text"] = text
 
     # ------------------------------------------------------- fallbacks
 

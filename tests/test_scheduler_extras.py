@@ -236,3 +236,24 @@ def test_page_decoration_detection():
     # one-off top block is not a decoration
     assert not _looks_like_page_decoration(blk(20, 40, "Document Title"),
                                            1000, rep)
+
+
+def test_seal_batch_ocr():
+    import cv2
+
+    from rapiddoc_tpu.models.ocr.seal import SealOCR
+
+    calls = []
+
+    class FakeTextSystem:
+        def __call__(self, regions):
+            calls.append(len(regions))
+            return [[{"text": f"r{i}"}] for i in range(len(regions))]
+
+    circle = np.full((200, 200, 3), 255, np.uint8)
+    cv2.circle(circle, (100, 100), 80, (180, 30, 30), 4)
+    flat = np.full((100, 200, 3), 255, np.uint8)
+    texts = SealOCR(FakeTextSystem()).batch([circle, flat])
+    assert len(texts) == 2 and all(t for t in texts)
+    # one batched text-system call for all regions of all seals
+    assert len(calls) == 1 and calls[0] >= 3
