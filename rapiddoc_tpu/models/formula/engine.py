@@ -121,25 +121,28 @@ class FormulaRecognizer:
                 layers=cfg.layers, backbone_size=cfg.backbone_size,
             )
         )
-        if variables is None:
+        variables = dict(variables) if variables else {}
+        if not {"encoder", "decoder", "mem_proj"} <= variables.keys():
+            # fill missing pieces random-init (e.g. decoder-only npz trees)
             rng = jax.random.PRNGKey(seed)
-            x = np.zeros((1, 96, 384, 3), np.float32)
-            enc_vars = self.encoder.init(rng, x)
+            if "encoder" not in variables:
+                x = np.zeros((1, 96, 384, 3), np.float32)
+                variables["encoder"] = self.encoder.init(rng, x)
             mem = np.zeros((1, 36, self.mbart_cfg.d_model), np.float32)
-            mem_vars = self.mem_proj.init(rng, mem)
-            hd = self.mbart_cfg.d_model // self.mbart_cfg.heads
-            dec_vars = self.decoder.init(
-                rng,
-                np.zeros((1, 1), np.int32),
-                np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
-                np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
-                0,
-                np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
-                np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
-                np.ones((1, 36), bool),
-            )
-            variables = {"encoder": enc_vars, "decoder": dec_vars,
-                         "mem_proj": mem_vars}
+            if "mem_proj" not in variables:
+                variables["mem_proj"] = self.mem_proj.init(rng, mem)
+            if "decoder" not in variables:
+                hd = self.mbart_cfg.d_model // self.mbart_cfg.heads
+                variables["decoder"] = self.decoder.init(
+                    rng,
+                    np.zeros((1, 1), np.int32),
+                    np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
+                    np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
+                    0,
+                    np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
+                    np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
+                    np.ones((1, 36), bool),
+                )
         self.variables = variables
         self.tokenizer = FormulaTokenizer(
             get_models_dir() / "formula_tokenizer.json"

@@ -88,6 +88,7 @@ class HGConvBNAct(nn.Module):
     groups: int = 1
     use_act: bool = True
     use_lab: bool = False
+    padding: str | None = None  # None = torch (k-1)//2 semantics
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -97,6 +98,7 @@ class HGConvBNAct(nn.Module):
             strides=self.strides,
             groups=self.groups,
             act="relu" if self.use_act else None,
+            padding=self.padding,
             name="cba",
         )(x)
         if self.use_act and self.use_lab:
@@ -131,10 +133,13 @@ class HGStem(nn.Module):
         _, mid, out = self.stem_channels
         x = HGConvBNAct(mid, 3, strides=2, use_lab=self.use_lab, name="stem1")(x)
         xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        # k=2 convs run VALID on the pre-padded tensor
-        a = ConvBNAct(mid // 2, 2, padding="VALID", name="stem2a_cba")(xp)
+        # k=2 convs run VALID on the pre-padded tensor (= torch pad="same"
+        # right/bottom for even kernels)
+        a = HGConvBNAct(mid // 2, 2, padding="VALID", use_lab=self.use_lab,
+                        name="stem2a")(xp)
         a = jnp.pad(a, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        a = ConvBNAct(mid, 2, padding="VALID", name="stem2b_cba")(a)
+        a = HGConvBNAct(mid, 2, padding="VALID", use_lab=self.use_lab,
+                        name="stem2b")(a)
         pooled = nn.max_pool(xp, (2, 2), strides=(1, 1), padding="VALID")
         x = jnp.concatenate([pooled, a], axis=-1)
         x = HGConvBNAct(mid, 3, strides=2, use_lab=self.use_lab, name="stem3")(x)

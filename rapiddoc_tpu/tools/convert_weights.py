@@ -64,17 +64,26 @@ def convert_rec(src: Path, out: Path | None = None) -> Path:
 
 
 def convert_formula(src: Path, out: Path | None = None) -> Path:
-    from ..models.formula.convert import decoder_variables_from_torch
+    """Full PP-FormulaNet_plus .pth (BaseModel layout) -> npz tree.
+
+    Converts the PPHGNetV2-B6 encoder, enc_to_dec_proj, the 6-layer MBart
+    decoder and lm_head (reference: inference_engine/torch.py:51-56).
+    """
+    from ..models.formula.convert import (
+        decoder_variables_from_torch,
+        formula_variables_from_torch,
+    )
 
     sd = _load_torch_state(src)
-    dec_vars, mem_vars = decoder_variables_from_torch(sd)
+    if any(k.startswith("backbone.") for k in sd):
+        variables = formula_variables_from_torch(sd)
+    else:
+        # bare HF-MBart-style decoder checkpoint (no encoder weights)
+        dec_vars, mem_vars = decoder_variables_from_torch(sd)
+        variables = {"decoder": dec_vars, "mem_proj": mem_vars}
     target = out or get_models_dir() / "formula_net_plus_m.npz"
-    save_variables({"decoder": dec_vars, "mem_proj": mem_vars}, target)
-    logger.info(
-        "formula decoder weights -> %s (encoder conversion pending the "
-        "published backbone key map)",
-        target,
-    )
+    save_variables(variables, target)
+    logger.info("formula weights -> %s", target)
     return target
 
 
