@@ -192,19 +192,20 @@ class MHSA(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Pre-norm transformer block (LightSVTR / SVTR flavor)."""
+    """Pre-norm transformer block (LightSVTR / SVTR / torch-encoder flavor)."""
 
     dim: int
     num_heads: int = 8
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     act: str = "silu"
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=x.dtype)(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1", dtype=x.dtype)(x)
         x = x + MHSA(self.dim, self.num_heads, self.qkv_bias, name="attn")(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=x.dtype)(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2", dtype=x.dtype)(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
         h = act_fn(self.act)(h)
         h = nn.Dense(self.dim, name="fc2")(h)

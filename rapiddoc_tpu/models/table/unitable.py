@@ -1,15 +1,20 @@
-"""UNITABLE wireless-table recognizer: ViT encoder + causal AR decoder.
+"""UNITABLE wireless-table recognizer: ViT encoder + GPT-style AR decoder.
 
-Role parity with the reference (reference:
+Architecture matches the published UNITABLE checkpoints exactly (reference:
 rapid_doc/model/table/rapid_table_self/table_structure/unitable/
-main.py:22-120 + unitable_modules.py — linear patch backbone, transformer
-encoder, KV-cached token-by-token decoder over an html+bbox vocabulary
-with bbox-grammar forcing). Reuses the formula stack's MBart decode
-machinery (same KV-cached while_loop) with a table vocabulary.
+unitable_modules.py — Encoder :418 (16px linear patch backbone, learned
+positions, 12x prenorm transformer d768/h12/ffn3072, final norm) and
+GPTFastDecoder :667 (4 prenorm blocks with fused-QKV cached self-attn,
+cross-attn over encoder memory, generator head, vocab 960); main.py:85-101
+loop_decode with token white-list + bbox-run grammar forcing).
+
+TPU-native decode: the whole crop batch decodes together under one
+lax.while_loop with a preallocated KV cache, white-list logit masking and
+bbox-grammar forcing in-graph (the reference decodes per table with
+python-loop stepping); cross-attention K/V precompute once per sequence.
 """
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 
 import cv2
@@ -19,90 +24,278 @@ import numpy as np
 from flax import linen as nn
 
 from ..common.layers import TransformerBlock
-from ..formula.decoder import (
-    MBartConfig,
-    MBartDecoder,
-    MemoryProjector,
-    greedy_decode,
-)
+from ..formula.decoder import CrossAttention, MemoryProjector
 
 IMG_SIZE = 448
 PATCH = 16
 MAX_SEQ_LEN = 1024
 N_BBOX_BINS = IMG_SIZE + 1
 
-STRUCT_TOKENS = [
-    "<thead>", "</thead>", "<tbody>", "</tbody>", "<tr>", "</tr>",
-    "<td></td>", "<td", ">", "</td>",
-    ' rowspan="2"', ' rowspan="3"', ' rowspan="4"', ' rowspan="5"',
-    ' rowspan="6"', ' rowspan="7"', ' rowspan="8"', ' rowspan="9"',
-    ' rowspan="10"',
-    ' colspan="2"', ' colspan="3"', ' colspan="4"', ' colspan="5"',
-    ' colspan="6"', ' colspan="7"', ' colspan="8"', ' colspan="9"',
-    ' colspan="10"',
-    "[", "]</td>",
+# published preprocessing stats (reference: unitable/pre_process.py:24-26)
+UNITABLE_MEAN = np.array([0.86597056, 0.88463002, 0.87491087], np.float32)
+UNITABLE_STD = np.array([0.20686628, 0.18201602, 0.18485524], np.float32)
+
+# published vocab layout, reconstructed from the checkpoint constants
+# (reference: unitable_modules.py TOKEN_WHITE_LIST = {1} + [12..509],
+# consts.py HTML_BBOX_HTML_TOKENS order, eos=1 pad=2 prefix [html+bbox]=11)
+HTML_TOKENS = [
+    "<td></td>", "<td>[", "]</td>", "<td", ">[", "></td>",
+    "<tr>", "</tr>", "<tbody>", "</tbody>", "<thead>", "</thead>",
+    *[f' rowspan="{i}"' for i in range(2, 20)],
+    *[f' colspan="{i}"' for i in range(2, 20)],
+    ' colspan="25"',
 ]
-SPECIALS = ["<pad>", "<bos>", "<eos>", "[html+bbox]"]
+EOS_ID = 1
+PAD_ID = 2
+PREFIX_ID = 11  # "[html+bbox]"
+HTML_BASE = 12
+BBOX_BASE = HTML_BASE + len(HTML_TOKENS)  # 61
+VOCAB_SIZE = 960
+BBOX_CLOSE_ID = HTML_BASE + HTML_TOKENS.index("]</td>")
 
 
 class TableVocab:
-    def __init__(self) -> None:
-        self.tokens = SPECIALS + STRUCT_TOKENS + [
-            f"bbox-{i}" for i in range(N_BBOX_BINS)
-        ]
-        self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
-        self.pad_id = self.token_to_id["<pad>"]
-        self.bos_id = self.token_to_id["<bos>"]
-        self.eos_id = self.token_to_id["<eos>"]
+    """id <-> token map; loads the published vocab.json when available."""
 
-    def __len__(self) -> int:
-        return len(self.tokens)
+    def __init__(self, vocab_path=None) -> None:
+        self.id_to_token: dict[int, str] = {EOS_ID: "<eos>", PAD_ID: "<pad>",
+                                            PREFIX_ID: "[html+bbox]"}
+        for i, tok in enumerate(HTML_TOKENS):
+            self.id_to_token[HTML_BASE + i] = tok
+        for i in range(N_BBOX_BINS):
+            self.id_to_token[BBOX_BASE + i] = f"bbox-{i}"
+        if vocab_path is not None:
+            try:
+                import json
+
+                data = json.loads(open(vocab_path, encoding="utf-8").read())
+                if isinstance(data, dict):
+                    if all(isinstance(v, int) for v in data.values()):
+                        self.id_to_token = {v: k for k, v in data.items()}
+                    else:
+                        self.id_to_token = {
+                            int(k): v for k, v in data.items()
+                        }
+            except Exception:
+                pass
 
     def decode(self, ids: list[int]) -> list[str]:
         out = []
         for i in ids:
-            if 0 <= i < len(self.tokens):
-                tok = self.tokens[i]
-                if tok == "<eos>":
-                    break
-                if tok not in ("<pad>", "<bos>", "[html+bbox]"):
-                    out.append(tok)
+            tok = self.id_to_token.get(int(i), "")
+            if tok == "<eos>":
+                break
+            if tok and not tok.startswith("[") and tok != "<pad>":
+                out.append(tok)
         return out
 
 
+def whitelist_mask() -> np.ndarray:
+    """(vocab,) additive mask: 0 on allowed ids, -1e9 elsewhere
+    (reference: GPTFastDecoder.forward black-list fill)."""
+    mask = np.full((VOCAB_SIZE,), -1e9, np.float32)
+    mask[EOS_ID] = 0.0
+    mask[HTML_BASE : BBOX_BASE + N_BBOX_BINS] = 0.0
+    return mask
+
+
 class UniTableEncoder(nn.Module):
-    dim: int = 256
-    layers: int = 4
-    heads: int = 8
+    """Published encoder: conv patchify + learned pos + 12 prenorm blocks."""
+
+    d_model: int = 768
+    layers: int = 12
+    heads: int = 12
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, c = x.shape
-        gh, gw = h // PATCH, w // PATCH
-        patches = x.reshape(b, gh, PATCH, gw, PATCH, c)
-        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, gh * gw, PATCH * PATCH * c
-        )
-        tokens = nn.Dense(self.dim, name="patch_embed")(patches)
+        x = nn.Conv(
+            self.d_model, (PATCH, PATCH), strides=(PATCH, PATCH),
+            padding="VALID", name="conv_proj",
+        )(x)
+        b, gh, gw, c = x.shape
+        tokens = x.reshape(b, gh * gw, c)
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02),
-            ((IMG_SIZE // PATCH) ** 2, self.dim),
+            (MAX_SEQ_LEN, self.d_model),
         )
         tokens = tokens + pos[None, : tokens.shape[1]].astype(tokens.dtype)
         for i in range(self.layers):
             tokens = TransformerBlock(
-                self.dim, self.heads, mlp_ratio=4.0, act="gelu",
-                name=f"block{i}",
+                self.d_model, self.heads, mlp_ratio=4.0, act="gelu",
+                ln_eps=1e-5, name=f"block{i}",
             )(tokens)
-        return nn.LayerNorm(name="norm", dtype=tokens.dtype)(tokens)
+        return nn.LayerNorm(epsilon=1e-5, name="norm", dtype=tokens.dtype)(
+            tokens
+        )
+
+
+class GPTConfig:
+    vocab_size = VOCAB_SIZE
+    d_model = 768
+    layers = 4
+    heads = 12
+    ffn = 3072
+    max_positions = MAX_SEQ_LEN
+
+
+class FusedCachedAttention(nn.Module):
+    """Self-attention with fused QKV projection + external KV cache slot
+    (reference: unitable_modules.py Attention :806 — wqkv/wo)."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, cache_k, cache_v, position):
+        B, T, C = x.shape
+        hd = self.dim // self.heads
+        qkv = nn.Dense(3 * self.dim, name="wqkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, self.heads, hd) * (hd**-0.5)
+        k = k.reshape(B, T, self.heads, hd)
+        v = v.reshape(B, T, self.heads, hd)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, position, 0, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, position, 0, 0)
+        )
+        S = cache_k.shape[1]
+        attn = jnp.einsum("bthd,bshd->bhts", q, cache_k.astype(x.dtype))
+        key_pos = jnp.arange(S)[None, None, None, :]
+        query_pos = position + jnp.arange(T)[None, None, :, None]
+        attn = jnp.where(key_pos <= query_pos, attn, -1e9)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", attn, cache_v.astype(x.dtype))
+        return (
+            nn.Dense(self.dim, name="wo")(out.reshape(B, T, C)),
+            cache_k,
+            cache_v,
+        )
+
+
+class GPTFastDecoder(nn.Module):
+    """Published UNITABLE decoder (reference: unitable_modules.py:667-755).
+
+    Same cached-step interface as the formula MBartDecoder so the decode
+    loop machinery is shared. Differences from MBart: no embed scaling, no
+    layernorm_embedding, no final layer_norm, positions without offset,
+    fused QKV, biased generator head.
+    """
+
+    cfg: type[GPTConfig] = GPTConfig
+
+    @nn.compact
+    def __call__(self, tokens, caches_k, caches_v, position, mem_k_layers,
+                 mem_v_layers, mem_mask):
+        c = self.cfg
+        x = nn.Embed(c.vocab_size, c.d_model, name="token_embed")(tokens)
+        pos_table = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (c.max_positions, c.d_model),
+        )
+        T = tokens.shape[1]
+        pos = jax.lax.dynamic_slice_in_dim(pos_table, position, T, axis=0)
+        x = x + pos[None].astype(x.dtype)
+        new_k, new_v = [], []
+        for i in range(c.layers):
+            x, ck, cv = GPTFastBlock(c, name=f"layer{i}")(
+                x, caches_k[i], caches_v[i], position,
+                mem_k_layers[i], mem_v_layers[i], mem_mask,
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+        logits = nn.Dense(c.vocab_size, name="generator")(x)
+        return logits, jnp.stack(new_k), jnp.stack(new_v)
+
+
+class GPTFastBlock(nn.Module):
+    cfg: type[GPTConfig]
+
+    @nn.compact
+    def __call__(self, x, cache_k, cache_v, position, mem_k, mem_v, mem_mask):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=x.dtype)(x)
+        h, cache_k, cache_v = FusedCachedAttention(
+            c.d_model, c.heads, name="self_attn"
+        )(h, cache_k, cache_v, position)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=x.dtype)(x)
+        h = CrossAttention(c.d_model, c.heads, name="cross_attn")(
+            h, mem_k, mem_v, mem_mask
+        )
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=x.dtype)(x)
+        h = nn.Dense(c.ffn, name="linear1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(c.d_model, name="linear2")(h)
+        return x + h, cache_k, cache_v
+
+
+class GPTMemoryCfg:
+    """MemoryProjector config shim: cross-attn K/V dims of the decoder."""
+
+    d_model = GPTConfig.d_model
+    heads = GPTConfig.heads
+    layers = GPTConfig.layers
+
+
+def unitable_decode(
+    decoder: GPTFastDecoder,
+    dec_vars,
+    mem_proj: MemoryProjector,
+    mem_vars,
+    memory: jax.Array,
+    max_len: int,
+    dtype=jnp.bfloat16,
+):
+    """Batched greedy decode with white-list masking and bbox-grammar
+    forcing under lax.while_loop (reference: main.py:85-101 loop_decode —
+    a 5th consecutive bbox token is replaced by ']</td>')."""
+    cfg = decoder.cfg
+    B = memory.shape[0]
+    hd = cfg.d_model // cfg.heads
+    mem_k, mem_v = mem_proj.apply(mem_vars, memory)
+    mem_mask = jnp.ones(memory.shape[:2], bool)
+    wl = jnp.asarray(whitelist_mask())
+
+    caches_k = jnp.zeros((cfg.layers, B, max_len, cfg.heads, hd), dtype)
+    caches_v = jnp.zeros_like(caches_k)
+    tokens = jnp.full((B, max_len), PAD_ID, jnp.int32)
+    cur = jnp.full((B, 1), PREFIX_ID, jnp.int32)
+    done = jnp.zeros((B,), jnp.bool_)
+    lengths = jnp.zeros((B,), jnp.int32)
+    bbox_run = jnp.zeros((B,), jnp.int32)
+
+    def cond(state):
+        step = state[0]
+        return (step < max_len) & ~jnp.all(state[5])
+
+    def body(state):
+        step, cur, tokens, ck, cv, done, lengths, bbox_run = state
+        logits, ck, cv = decoder.apply(
+            dec_vars, cur, ck, cv, step, mem_k, mem_v, mem_mask
+        )
+        scores = logits[:, -1].astype(jnp.float32) + wl[None]
+        nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        is_bbox = (nxt >= BBOX_BASE) & (nxt < BBOX_BASE + N_BBOX_BINS)
+        bbox_run = jnp.where(is_bbox, bbox_run + 1, 0)
+        force_close = bbox_run > 4
+        nxt = jnp.where(force_close, BBOX_CLOSE_ID, nxt)
+        bbox_run = jnp.where(force_close, 0, bbox_run)
+        nxt = jnp.where(done, PAD_ID, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
+        lengths = jnp.where(done, lengths, step + 1)
+        done = done | (nxt == EOS_ID)
+        return step + 1, nxt[:, None], tokens, ck, cv, done, lengths, bbox_run
+
+    state = (0, cur, tokens, caches_k, caches_v, done, lengths, bbox_run)
+    out = jax.lax.while_loop(cond, body, state)
+    return out[2], out[6]
 
 
 @dataclass
 class UniTableConfig:
-    dim: int = 256
-    enc_layers: int = 4
-    dec_layers: int = 4
-    heads: int = 8
     max_len: int = MAX_SEQ_LEN
 
 
@@ -110,62 +303,67 @@ class UniTableStructure:
     def __init__(self, variables=None, config: UniTableConfig | None = None,
                  seed: int = 0):
         self.config = config or UniTableConfig()
-        cfg = self.config
-        self.vocab = TableVocab()
-        self.encoder = UniTableEncoder(cfg.dim, cfg.enc_layers, cfg.heads)
-        self.dec_cfg = MBartConfig(
-            vocab_size=len(self.vocab), d_model=cfg.dim, layers=cfg.dec_layers,
-            heads=cfg.heads, ffn=cfg.dim * 4, max_positions=cfg.max_len,
-            pad_token_id=self.vocab.pad_id, bos_token_id=self.vocab.bos_id,
-            eos_token_id=self.vocab.eos_id,
-        )
-        self.decoder = MBartDecoder(self.dec_cfg)
-        self.mem_proj = MemoryProjector(self.dec_cfg)
+        self.encoder = UniTableEncoder()
+        self.decoder = GPTFastDecoder()
+        self.mem_proj = MemoryProjector(GPTMemoryCfg)
+        self.vocab = TableVocab(self._vocab_path())
         if variables is None:
             rng = jax.random.PRNGKey(seed)
+            cfg = GPTConfig
+            hd = cfg.d_model // cfg.heads
+            S = (IMG_SIZE // PATCH) ** 2
             x = np.zeros((1, IMG_SIZE, IMG_SIZE, 3), np.float32)
             enc_vars = self.encoder.init(rng, x)
-            hd = cfg.dim // cfg.heads
-            S = (IMG_SIZE // PATCH) ** 2
-            mem = np.zeros((1, S, cfg.dim), np.float32)
+            mem = np.zeros((1, S, cfg.d_model), np.float32)
             mem_vars = self.mem_proj.init(rng, mem)
             dec_vars = self.decoder.init(
                 rng, np.zeros((1, 1), np.int32),
-                np.zeros((cfg.dec_layers, 1, 8, cfg.heads, hd), np.float32),
-                np.zeros((cfg.dec_layers, 1, 8, cfg.heads, hd), np.float32),
+                np.zeros((cfg.layers, 1, 8, cfg.heads, hd), np.float32),
+                np.zeros((cfg.layers, 1, 8, cfg.heads, hd), np.float32),
                 0,
-                np.zeros((cfg.dec_layers, 1, S, cfg.heads, hd), np.float32),
-                np.zeros((cfg.dec_layers, 1, S, cfg.heads, hd), np.float32),
+                np.zeros((cfg.layers, 1, S, cfg.heads, hd), np.float32),
+                np.zeros((cfg.layers, 1, S, cfg.heads, hd), np.float32),
                 np.ones((1, S), bool),
             )
             variables = {"encoder": enc_vars, "decoder": dec_vars,
                          "mem_proj": mem_vars}
         self.variables = variables
-        self._fn = None
+        self._fn: dict = {}
+
+    @staticmethod
+    def _vocab_path():
+        from ...config import get_models_dir
+
+        p = get_models_dir() / "unitable_vocab.json"
+        return p if p.is_file() else None
 
     def _compiled(self, max_len: int):
-        if self._fn is None:
+        fn = self._fn.get(max_len)
+        if fn is None:
             def run(enc_vars, dec_vars, mem_vars, images):
-                x = (images.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
-                memory = self.encoder.apply(enc_vars, x).astype(jnp.float32)
-                mask = jnp.ones(memory.shape[:2], bool)
-                return greedy_decode(
+                x = images.astype(jnp.float32) / 255.0
+                x = (x - UNITABLE_MEAN) / UNITABLE_STD
+                memory = self.encoder.apply(
+                    enc_vars, x.astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                return unitable_decode(
                     self.decoder, dec_vars, self.mem_proj, mem_vars, memory,
-                    mask, max_len,
+                    max_len,
                 )
 
-            self._fn = jax.jit(run)
-        return self._fn
+            fn = jax.jit(run)
+            self._fn[max_len] = fn
+        return fn
 
     def __call__(
         self, imgs: list[np.ndarray], max_len: int = 256
     ) -> list[tuple[list[str], list[list[float]]]]:
-        """Returns per-table (structure_tokens, cell_bboxes in source px)."""
+        """Returns per-table (structure_tokens, cell bboxes in source px)."""
         if not imgs:
             return []
         batch = np.stack(
             [cv2.resize(im, (IMG_SIZE, IMG_SIZE)) for im in imgs]
-        )  # uint8; /255 happens on device
+        )  # uint8 HWC RGB; normalize happens on device
         fn = self._compiled(max_len)
         tokens, lengths = fn(
             self.variables["encoder"], self.variables["decoder"],
@@ -175,8 +373,7 @@ class UniTableStructure:
         lengths = np.asarray(lengths)
         results = []
         for i, img in enumerate(imgs):
-            ids = tokens[i, : int(lengths[i])].tolist()
-            toks = self.vocab.decode(ids)
+            toks = self.vocab.decode(tokens[i, : int(lengths[i])].tolist())
             structure, bboxes = self._parse(toks, img.shape[1], img.shape[0])
             results.append((structure, bboxes))
         return results
@@ -184,22 +381,57 @@ class UniTableStructure:
     def _parse(
         self, toks: list[str], src_w: int, src_h: int
     ) -> tuple[list[str], list[list[float]]]:
-        """Split the html+bbox stream into structure tokens and cell boxes."""
+        """html+bbox token stream -> (canonical structure tokens, xyxy cell
+        boxes in source pixels), mirroring reference decode_tokens
+        (main.py:103-151): every td contributes exactly one bbox (zeros
+        when the model omitted coordinates)."""
         structure: list[str] = []
         bboxes: list[list[float]] = []
-        pending: list[int] = []
         sx, sy = src_w / IMG_SIZE, src_h / IMG_SIZE
+        pending: list[int] = []
+        in_cell = False
+        attrs: list[str] = []
+
+        def close_cell():
+            nonlocal pending, in_cell, attrs
+            if not in_cell:
+                return
+            if attrs:
+                structure.append("<td")
+                structure.extend(attrs)
+                structure.append(">")
+                structure.append("</td>")
+            else:
+                structure.append("<td></td>")
+            if len(pending) == 4:
+                x0, y0, x1, y1 = pending
+                bboxes.append(
+                    [x0 * sx, y0 * sy, x1 * sx, y1 * sy]
+                )
+            else:
+                bboxes.append([0.0, 0.0, 0.0, 0.0])
+            pending = []
+            attrs = []
+            in_cell = False
+
         for tok in toks:
             if tok.startswith("bbox-"):
-                pending.append(int(tok[5:]))
-                if len(pending) == 4:
-                    x0, y0, x1, y1 = pending
-                    bboxes.append([x0 * sx, y0 * sy, x1 * sx, y1 * sy])
-                    pending = []
-            elif tok in ("[", "]</td>"):
-                if tok == "]</td>":
-                    structure.append("</td>")
-                continue
-            else:
+                if in_cell and len(pending) < 4:
+                    pending.append(int(tok[5:]))
+            elif tok in ("<td>[", ">["):
+                in_cell = True
+            elif tok in ("]</td>", "></td>"):
+                close_cell()
+            elif tok == "<td></td>":
+                in_cell = True
+                close_cell()
+            elif tok == "<td":
+                in_cell = True
+            elif tok.startswith(" rowspan") or tok.startswith(" colspan"):
+                attrs.append(tok)
+            elif tok in ("<tr>", "</tr>", "<thead>", "</thead>", "<tbody>",
+                         "</tbody>"):
+                close_cell()
                 structure.append(tok)
+        close_cell() if in_cell else None
         return structure, bboxes

@@ -87,7 +87,36 @@ def convert_formula(src: Path, out: Path | None = None) -> Path:
     return target
 
 
-CONVERTERS = {"det": convert_det, "rec": convert_rec, "formula": convert_formula}
+def convert_unitable(src: Path, out: Path | None = None) -> Path:
+    """Published UNITABLE checkpoint dir (encoder.pth + decoder.pth +
+    vocab.json, reference: rapid_table_self/default_models.yaml unitable
+    entry) -> npz tree + vocab asset."""
+    from ..models.table.convert import unitable_variables_from_torch
+
+    if src.is_dir():
+        enc_path, dec_path = src / "encoder.pth", src / "decoder.pth"
+    else:
+        enc_path, dec_path = src, src.parent / "decoder.pth"
+    variables = unitable_variables_from_torch(
+        _load_torch_state(enc_path), _load_torch_state(dec_path)
+    )
+    target = out or get_models_dir() / "table_unitable.npz"
+    save_variables(variables, target)
+    vocab_src = (src if src.is_dir() else src.parent) / "vocab.json"
+    if vocab_src.is_file():
+        import shutil
+
+        shutil.copy(vocab_src, get_models_dir() / "unitable_vocab.json")
+    logger.info("unitable weights -> %s", target)
+    return target
+
+
+CONVERTERS = {
+    "det": convert_det,
+    "rec": convert_rec,
+    "formula": convert_formula,
+    "unitable": convert_unitable,
+}
 
 
 def main(argv: list[str] | None = None) -> int:

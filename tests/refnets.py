@@ -47,3 +47,15 @@ def load(submodule: str):
 def load_formula(submodule: str):
     _register(_FORMULA_ALIAS, _FORMULA_REF)
     return importlib.import_module(f"{_FORMULA_ALIAS}.{submodule}")
+
+
+def load_file(alias: str, path: str):
+    """Load a single standalone reference module by file path (e.g. the
+    unitable torch modules, which have no package-relative imports)."""
+    if alias in sys.modules:
+        return sys.modules[alias]
+    spec = importlib.util.spec_from_file_location(alias, path)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = module
+    spec.loader.exec_module(module)
+    return module

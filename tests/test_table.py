@@ -66,11 +66,12 @@ def test_heuristic_table_kind():
 
 
 def test_table_vocab_roundtrip():
-    from rapiddoc_tpu.models.table.unitable import TableVocab
+    from rapiddoc_tpu.models.table.unitable import EOS_ID, TableVocab
 
     v = TableVocab()
-    ids = [v.token_to_id[t] for t in ("<tr>", "<td></td>", "</tr>", "<eos>", "<tr>")]
-    toks = v.decode(ids)
+    tok_to_id = {t: i for i, t in v.id_to_token.items()}
+    ids = [tok_to_id[t] for t in ("<tr>", "<td></td>", "</tr>")]
+    toks = v.decode(ids + [EOS_ID, ids[0]])
     assert toks == ["<tr>", "<td></td>", "</tr>"]  # eos stops decode
 
 
