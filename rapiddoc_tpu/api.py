@@ -577,6 +577,20 @@ class RapidDoc:
         if suffix in image_suffixes or _sniff_image(data):
             pdf = pdfio.images_to_pdf([data], dpi=get_pdf_render_dpi())
             return pdf, stem, "pdf"
+        if not suffix and data[:4] != b"%PDF":
+            # extensionless input: content-based id (trained magika via the
+            # JAX ONNX interpreter when available; reference:
+            # utils/guess_suffix_or_lang.py:174-193)
+            from .utils.sniff import guess_suffix_by_bytes
+
+            guessed = guess_suffix_by_bytes(data)
+            if guessed in ("docx", "pptx", "xlsx"):
+                return data, stem, "office"
+            if guessed in ("doc", "ppt", "xls"):
+                return _legacy_office_to_modern(data, f".{guessed}"), stem, "office"
+            if guessed in ("png", "jpg", "gif", "webp", "bmp", "tif"):
+                pdf = pdfio.images_to_pdf([data], dpi=get_pdf_render_dpi())
+                return pdf, stem, "pdf"
         return data, stem, "pdf"
 
 

@@ -113,7 +113,8 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
         arr = np.asarray(int32s, dtype=np.int32)
     else:
         arr = np.zeros(shape, dtype=dtype)
-    return name, arr.reshape(shape) if shape else arr
+    # no dims + one element = a 0-d scalar tensor per the onnx spec
+    return name, arr.reshape(shape)
 
 
 def read_onnx_initializers(path: str | Path) -> dict[str, np.ndarray]:
@@ -149,3 +150,164 @@ def read_onnx_io_names(path: str | Path) -> tuple[list[str], list[str]]:
                                 vval.decode("utf-8", "replace")
                             )
     return inputs, outputs
+
+
+# ---------------------------------------------------------------------------
+# Full graph parsing (nodes + attributes + IO shapes) for the JAX ONNX
+# interpreter (engine/onnx_jax.py). Field numbers per onnx.proto3:
+# GraphProto{node=1, initializer=5, input=11, output=12}, NodeProto{input=1,
+# output=2, name=3, op_type=4, attribute=5}, AttributeProto{name=1, f=2,
+# i=3, s=4, t=5, floats=7, ints=8, strings=9}.
+# ---------------------------------------------------------------------------
+
+
+def _signed(v: int) -> int:
+    """Protobuf int64 varints are two's-complement in 64 bits."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _parse_attribute(buf: bytes):
+    import struct
+
+    name = ""
+    value = None
+    floats: list[float] = []
+    ints: list[int] = []
+    strings: list[bytes] = []
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == 2:
+            name = val.decode("utf-8", "replace")
+        elif field == 2 and wire == 5:  # f
+            value = struct.unpack("<f", int(val).to_bytes(4, "little"))[0]
+        elif field == 3 and wire == 0:  # i
+            value = _signed(val)
+        elif field == 4 and wire == 2:  # s
+            value = val.decode("utf-8", "replace")
+        elif field == 5 and wire == 2:  # t (tensor)
+            value = _parse_tensor(val)[1]
+        elif field == 7:  # floats
+            if wire == 2:
+                floats.extend(
+                    np.frombuffer(val, dtype="<f4").tolist()
+                )
+            else:
+                floats.append(
+                    struct.unpack("<f", int(val).to_bytes(4, "little"))[0]
+                )
+        elif field == 8:  # ints
+            if wire == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    ints.append(_signed(v))
+            else:
+                ints.append(_signed(val))
+        elif field == 9 and wire == 2:  # strings
+            strings.append(val)
+    if value is None:
+        if ints:
+            value = ints
+        elif floats:
+            value = floats
+        elif strings:
+            value = [s.decode("utf-8", "replace") for s in strings]
+    return name, value
+
+
+class OnnxNode:
+    __slots__ = ("op_type", "inputs", "outputs", "attrs", "name")
+
+    def __init__(self, op_type, inputs, outputs, attrs, name=""):
+        self.op_type = op_type
+        self.inputs = inputs
+        self.outputs = outputs
+        self.attrs = attrs
+        self.name = name
+
+    def __repr__(self):
+        return (
+            f"OnnxNode({self.op_type}, in={self.inputs}, out={self.outputs})"
+        )
+
+
+class OnnxModel:
+    def __init__(self):
+        self.nodes: list[OnnxNode] = []
+        self.initializers: dict[str, np.ndarray] = {}
+        self.input_names: list[str] = []   # graph inputs minus initializers
+        self.output_names: list[str] = []
+        self.input_shapes: dict[str, tuple] = {}  # -1 for dynamic dims
+        self.opset: int = 0
+
+
+def _parse_value_info(buf: bytes):
+    """ValueInfoProto -> (name, shape tuple with -1 for dynamic dims)."""
+    name = ""
+    shape: list[int] = []
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == 2:
+            name = val.decode("utf-8", "replace")
+        elif field == 2 and wire == 2:  # TypeProto
+            for tf, tw, tv in _fields(val):
+                if tf == 1 and tw == 2:  # tensor_type
+                    for ttf, ttw, ttv in _fields(tv):
+                        if ttf == 2 and ttw == 2:  # shape
+                            for sf, sw, sv in _fields(ttv):
+                                if sf == 1 and sw == 2:  # dim
+                                    dim = -1
+                                    for df, dw, dv in _fields(sv):
+                                        if df == 1 and dw == 0:
+                                            dim = dv
+                                    shape.append(dim)
+    return name, tuple(shape)
+
+
+def _parse_node(buf: bytes) -> OnnxNode:
+    inputs: list[str] = []
+    outputs: list[str] = []
+    op_type = ""
+    name = ""
+    attrs: dict = {}
+    for field, wire, val in _fields(buf):
+        if field == 1 and wire == 2:
+            inputs.append(val.decode("utf-8", "replace"))
+        elif field == 2 and wire == 2:
+            outputs.append(val.decode("utf-8", "replace"))
+        elif field == 3 and wire == 2:
+            name = val.decode("utf-8", "replace")
+        elif field == 4 and wire == 2:
+            op_type = val.decode("utf-8", "replace")
+        elif field == 5 and wire == 2:
+            aname, avalue = _parse_attribute(val)
+            attrs[aname] = avalue
+    return OnnxNode(op_type, inputs, outputs, attrs, name)
+
+
+def read_onnx_model(path: str | Path) -> OnnxModel:
+    """Parse nodes + initializers + IO of an .onnx file."""
+    buf = Path(path).read_bytes()
+    model = OnnxModel()
+    graph_inputs: list[tuple[str, tuple]] = []
+    for field, wire, val in _fields(buf):
+        if field == 8 and wire == 2:  # opset_import
+            for of, ow, ov in _fields(val):
+                if of == 2 and ow == 0:
+                    model.opset = max(model.opset, ov)
+        if field == 7 and wire == 2:  # graph
+            for gfield, gwire, gval in _fields(val):
+                if gfield == 1 and gwire == 2:
+                    model.nodes.append(_parse_node(gval))
+                elif gfield == 5 and gwire == 2:
+                    tname, arr = _parse_tensor(gval)
+                    if tname:
+                        model.initializers[tname] = arr
+                elif gfield == 11 and gwire == 2:
+                    graph_inputs.append(_parse_value_info(gval))
+                elif gfield == 12 and gwire == 2:
+                    vname, _ = _parse_value_info(gval)
+                    model.output_names.append(vname)
+    for vname, shape in graph_inputs:
+        if vname not in model.initializers:
+            model.input_names.append(vname)
+            model.input_shapes[vname] = shape
+    return model

