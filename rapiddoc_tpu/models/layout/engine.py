@@ -173,9 +173,34 @@ class LayoutDetector:
         )
 
     @classmethod
-    def build(cls, configs: dict) -> "LayoutDetector":
+    def build(cls, configs: dict):
         models_dir = get_models_dir()
         from ..registry import _load_variables
+
+        # published .onnx checkpoint -> JAX ONNX interpreter path
+        from .onnx_engine import MODEL_SPECS, OnnxLayoutConfig, OnnxLayoutDetector
+
+        model_type = configs.get("model_type", "pp_doclayoutv3")
+        for stem in ([model_type] if model_type in MODEL_SPECS else []) + list(
+            MODEL_SPECS
+        ):
+            onnx_path = models_dir / f"{stem}.onnx"
+            if onnx_path.is_file():
+                logger.info("layout: published ONNX checkpoint %s", onnx_path)
+                return OnnxLayoutDetector(
+                    onnx_path,
+                    OnnxLayoutConfig(
+                        model_type=stem,
+                        conf_threshold=configs.get("conf_thresh", 0.5),
+                        class_thresholds=configs.get("class_thresholds"),
+                        markdown_ignore_labels=frozenset(
+                            configs.get(
+                                "markdown_ignore_labels",
+                                DEFAULT_ABANDON_LABELS,
+                            )
+                        ),
+                    ),
+                )
 
         variables = _load_variables(models_dir / "layout_doclayout_v3.npz")
         if variables is None and not configs.get("allow_random_init", False):
@@ -268,7 +293,7 @@ class LayoutDetector:
         xyxy[:, 1::2] = np.clip(xyxy[:, 1::2], 0, src_h)
         keep = class_nms(xyxy, scores, labels)
         dets = []
-        for order, i in enumerate(keep):
+        for i in keep:
             label = self.labels[int(labels[i])]
             cat = V2_CATEGORY_MAP.get(label, CategoryId.Text)
             if label in cfg.markdown_ignore_labels:
@@ -279,7 +304,11 @@ class LayoutDetector:
                 "poly": [x0, y0, x1, y0, x1, y1, x0, y1],
                 "score": float(scores[i]),
                 "original_label": label,
-                "original_order": order,
+                # RT-DETR query order post-NMS is NOT a model-predicted
+                # reading order; -1 makes page_build fall back to xycut
+                # (reference emits real orders only for V2/V3 ONNX,
+                # pp_doclayout/main.py:70)
+                "original_order": -1,
             }
             if masks is not None:
                 # sigmoid(logits) > .5 == logits > 0

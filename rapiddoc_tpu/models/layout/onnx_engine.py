@@ -1,0 +1,245 @@
+"""Layout detection from published PP-DocLayout ONNX checkpoints.
+
+Runs the published .onnx graphs (registry: reference rapid_layout_self/
+configs/default_models.yaml — PP-DocLayout S/M/L, plus-L, V2, V3, RT-DETR
+table-cell dets) through the JAX ONNX interpreter with the reference
+handler's IO contract (reference: model_handler/pp_doclayout/main.py:17-80
+— fixed-size resize, /255 (+ImageNet mean/std for S/M), inputs
+image/scale_factor/im_shape; output [boxes(N,6), box_nums(B), masks?],
+boxes already rescaled to source pixels and, for V2/V3, emitted in the
+model's reading order). Post: per-class thresholds, same/diff-class NMS,
+mask->polygon (shared with the flax engine).
+
+Label sets and CategoryId maps per model type mirror reference
+rapid_doc/model/layout/rapid_layout.py:131-227.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from ...types import CategoryId
+from ...utils import boxes as B
+from ...utils.logging import get_logger
+from .engine import DEFAULT_ABANDON_LABELS, class_nms, mask_to_polygon
+
+logger = get_logger("rapiddoc_tpu.layout.onnx")
+
+# class-id -> label per model family (class ids are alphabetical label
+# order in the PaddleX exports; V2/V3 set verified against the reference
+# engine.py list)
+PP_DOCLAYOUT_LABELS = [  # S / M / L (23 classes)
+    "abstract", "algorithm", "aside_text", "chart", "chart_title",
+    "content", "doc_title", "figure_title", "footer", "footer_image",
+    "footnote", "formula", "formula_number", "header", "header_image",
+    "image", "number", "paragraph_title", "reference", "seal", "table",
+    "table_title", "text",
+]
+PP_DOCLAYOUT_PLUS_LABELS = [  # plus-L (20 classes)
+    "abstract", "algorithm", "aside_text", "chart", "content", "doc_title",
+    "figure_title", "footer", "footnote", "formula", "formula_number",
+    "header", "image", "number", "paragraph_title", "reference",
+    "reference_content", "seal", "table", "text",
+]
+PP_DOCLAYOUT_V2_LABELS = [  # V2 / V3 (25 classes)
+    "abstract", "algorithm", "aside_text", "chart", "content",
+    "display_formula", "doc_title", "figure_title", "footer",
+    "footer_image", "footnote", "formula_number", "header", "header_image",
+    "image", "inline_formula", "number", "paragraph_title", "reference",
+    "reference_content", "seal", "table", "text", "vertical_text",
+    "vision_footnote",
+]
+
+# label -> CategoryId (reference rapid_layout.py get_cls_dicts)
+_COMMON = {
+    "paragraph_title": CategoryId.Title, "image": CategoryId.ImageBody,
+    "text": CategoryId.Text, "number": CategoryId.Text,
+    "abstract": CategoryId.Text, "content": CategoryId.Text,
+    "figure_title": CategoryId.Text, "table": CategoryId.TableBody,
+    "reference": CategoryId.Text, "doc_title": CategoryId.Title,
+    "footnote": CategoryId.Text, "header": CategoryId.Text,
+    "algorithm": CategoryId.Text, "footer": CategoryId.Text,
+    "seal": CategoryId.ImageBody, "chart": CategoryId.ImageBody,
+    "formula_number": CategoryId.InterlineEquationNumber_Layout,
+    "aside_text": CategoryId.Text,
+}
+CLS_DICT_SML = {
+    **_COMMON,
+    "formula": CategoryId.InterlineEquation_YOLO,
+    "table_title": CategoryId.TableCaption,
+    "chart_title": CategoryId.ImageCaption,
+    "header_image": CategoryId.ImageBody,
+    "footer_image": CategoryId.ImageBody,
+}
+CLS_DICT_PLUS = {
+    **_COMMON,
+    "formula": CategoryId.InterlineEquation_YOLO,
+    "reference_content": CategoryId.Text,
+}
+CLS_DICT_V2 = {
+    **_COMMON,
+    "display_formula": CategoryId.InterlineEquation_YOLO,
+    "inline_formula": CategoryId.InlineEquation,
+    "header_image": CategoryId.ImageBody,
+    "footer_image": CategoryId.ImageBody,
+    "reference_content": CategoryId.Text,
+    "vertical_text": CategoryId.Text,
+    "vision_footnote": CategoryId.Text,
+}
+
+MODEL_SPECS = {
+    # file stem -> (labels, cls_dict, input hw, imagenet_norm, native_order)
+    "pp_doclayout_s": (PP_DOCLAYOUT_LABELS, CLS_DICT_SML, 480, True, False),
+    "pp_doclayout_m": (PP_DOCLAYOUT_LABELS, CLS_DICT_SML, 640, True, False),
+    "pp_doclayout_l": (PP_DOCLAYOUT_LABELS, CLS_DICT_SML, 640, False, False),
+    "pp_doclayout_plus_l": (
+        PP_DOCLAYOUT_PLUS_LABELS, CLS_DICT_PLUS, 800, False, False
+    ),
+    "pp_doclayoutv2": (PP_DOCLAYOUT_V2_LABELS, CLS_DICT_V2, 800, False, True),
+    "pp_doclayoutv3": (PP_DOCLAYOUT_V2_LABELS, CLS_DICT_V2, 800, False, True),
+}
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclass
+class OnnxLayoutConfig:
+    model_type: str = "pp_doclayoutv3"
+    conf_threshold: float = 0.5
+    markdown_ignore_labels: frozenset = field(
+        default_factory=lambda: frozenset(DEFAULT_ABANDON_LABELS)
+    )
+    class_thresholds: dict | None = None
+    apply_nms: bool = True
+
+
+class OnnxLayoutDetector:
+    """batch_predict-compatible with the flax LayoutDetector."""
+
+    def __init__(self, onnx_path: str | Path,
+                 config: OnnxLayoutConfig | None = None):
+        from ...engine.onnx_jax import OnnxJaxFunction
+
+        self.config = config or OnnxLayoutConfig()
+        spec = MODEL_SPECS[self.config.model_type]
+        self.labels, self.cls_dict, self.input_size, self.imagenet, \
+            self.native_order = spec
+        self.fn = OnnxJaxFunction.from_file(onnx_path)
+
+    def batch_predict(self, images: list[np.ndarray]) -> list[list[dict]]:
+        if not images:
+            return []
+        size = self.input_size
+        batch = []
+        scales = []
+        for img in images:
+            h, w = img.shape[:2]
+            x = cv2.resize(img, (size, size), interpolation=2)
+            x = x.astype(np.float32) / 255.0
+            if self.imagenet:
+                x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+            batch.append(x.transpose(2, 0, 1))
+            scales.append([size / h, size / w])
+        feeds = {"image": np.stack(batch).astype(np.float32)}
+        names = self.fn.input_names
+        if "scale_factor" in names:
+            feeds["scale_factor"] = np.asarray(scales, np.float32)
+        if "im_shape" in names:
+            feeds["im_shape"] = np.tile(
+                np.asarray([[size, size]], np.float32), (len(images), 1)
+            )
+        outs = self.fn(*[feeds[n] for n in names if n in feeds])
+        boxes, box_nums = np.asarray(outs[0]), np.asarray(outs[1])
+        masks = np.asarray(outs[2]) if len(outs) > 2 else None
+        results = []
+        start = 0
+        for i, img in enumerate(images):
+            n = int(box_nums[i])
+            sl = slice(start, start + n)
+            results.append(
+                self._postprocess(
+                    boxes[sl], masks[sl] if masks is not None else None, img
+                )
+            )
+            start += n
+        return results
+
+    def _postprocess(self, boxes, masks, img) -> list[dict]:
+        cfg = self.config
+        h, w = img.shape[:2]
+        if len(boxes) == 0:
+            return []
+        cls_ids = boxes[:, 0].astype(int)
+        scores = boxes[:, 1]
+        xyxy = boxes[:, 2:6]
+        if cfg.class_thresholds:
+            th = np.array(
+                [
+                    cfg.class_thresholds.get(
+                        self.labels[c] if 0 <= c < len(self.labels) else "",
+                        cfg.conf_threshold,
+                    )
+                    for c in cls_ids
+                ]
+            )
+        else:
+            th = cfg.conf_threshold
+        keep_mask = (scores > th) & (cls_ids >= 0)
+        idx = np.where(keep_mask)[0]
+        if cfg.apply_nms and len(idx):
+            nms_keep = class_nms(xyxy[idx], scores[idx], cls_ids[idx])
+            idx = idx[nms_keep] if len(nms_keep) else idx[:0]
+            idx = np.sort(idx)  # preserve model emission order (V2/V3)
+        dets = []
+        for order, i in enumerate(idx):
+            c = int(cls_ids[i])
+            label = self.labels[c] if 0 <= c < len(self.labels) else str(c)
+            cat = self.cls_dict.get(label, CategoryId.Text)
+            if label in cfg.markdown_ignore_labels:
+                cat = CategoryId.Abandon
+            x0, y0, x1, y1 = np.clip(
+                xyxy[i], [0, 0, 0, 0], [w, h, w, h]
+            ).tolist()
+            det = {
+                "category_id": cat,
+                "poly": [x0, y0, x1, y0, x1, y1, x0, y1],
+                "score": round(float(scores[i]), 3),
+                "original_label": label,
+                "original_order": order if self.native_order else -1,
+            }
+            if masks is not None:
+                pts = mask_to_polygon(
+                    (masks[i] > 0.5).astype(np.float32), w, h
+                )
+                if pts is not None:
+                    det["polygon_points"] = pts
+            dets.append(det)
+        if not self.native_order:
+            dets = check_inline_formula(dets)
+        return dets
+
+
+def check_inline_formula(dets: list[dict]) -> list[dict]:
+    """Formulas mostly contained by a text det become inline formulas
+    (reference: rapid_layout.py:110-128)."""
+    texts = [
+        d for d in dets if d["category_id"] == CategoryId.Text
+    ]
+    for d in dets:
+        if d["category_id"] != CategoryId.InterlineEquation_YOLO:
+            continue
+        fb = _poly_box(d["poly"])
+        for t in texts:
+            if B.iou(fb, _poly_box(t["poly"])) >= 0.9:
+                d["category_id"] = CategoryId.InlineEquation
+                break
+    return dets
+
+
+def _poly_box(poly):
+    xs, ys = poly[0::2], poly[1::2]
+    return [min(xs), min(ys), max(xs), max(ys)]

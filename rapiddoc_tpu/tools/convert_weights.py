@@ -111,11 +111,45 @@ def convert_unitable(src: Path, out: Path | None = None) -> Path:
     return target
 
 
+def convert_formula_dict(src: Path, out: Path | None = None) -> Path:
+    """Published inference yml -> formula_tokenizer.json asset.
+
+    The reference ships the UniMERNet tokenizer embedded in the model's
+    inference yaml (PostProcess.character_dict.fast_tokenizer_file,
+    reference: model_handler/pp_formulanet_plus/post_process.py:92-96).
+    """
+    import json
+
+    import yaml
+
+    data = yaml.safe_load(src.read_text(encoding="utf-8"))
+    chardict = data["PostProcess"]["character_dict"]
+    tok = chardict["fast_tokenizer_file"]
+    target = out or get_models_dir() / "formula_tokenizer.json"
+    target.parent.mkdir(parents=True, exist_ok=True)
+    target.write_text(json.dumps(tok), encoding="utf-8")
+    logger.info("formula tokenizer -> %s", target)
+    return target
+
+
+def convert_dict(src: Path, out: Path | None = None) -> Path:
+    """Install a rec character dict (plain copy into the models dir)."""
+    import shutil
+
+    target = out or get_models_dir() / src.name
+    target.parent.mkdir(parents=True, exist_ok=True)
+    shutil.copy(src, target)
+    logger.info("dict -> %s", target)
+    return target
+
+
 CONVERTERS = {
     "det": convert_det,
     "rec": convert_rec,
     "formula": convert_formula,
+    "formula_dict": convert_formula_dict,
     "unitable": convert_unitable,
+    "dict": convert_dict,
 }
 
 
