@@ -43,8 +43,57 @@ class PdfDocument:
             self._rebuild_xref_by_scan()
         if "Root" not in self.trailer:
             raise PdfError("no document catalog (corrupt trailer)")
+        self._crypt = None
+        self._encrypt_num = -1
         if "Encrypt" in self.trailer:
-            raise PdfError("encrypted PDFs are not supported yet")
+            self._init_crypt()
+
+    def _init_crypt(self) -> None:
+        """Empty-user-password standard security handler (crypt.py).
+        pdfium opens such documents transparently (reference:
+        rapid_doc/utils/pdf_image_tools.py:26-48)."""
+        from .crypt import DecryptionError, StandardSecurityHandler
+
+        ref = self.trailer["Encrypt"]
+        enc = self.resolve(ref)  # fetched before _crypt is set -> raw
+        if isinstance(ref, Ref):
+            self._encrypt_num = ref.num
+            self._obj_cache.pop(ref.num, None)
+        if not isinstance(enc, dict):
+            raise PdfError("malformed /Encrypt")
+        ids = self.trailer.get("ID")
+        first_id = b""
+        if isinstance(ids, list) and ids:
+            v = ids[0]
+            first_id = v if isinstance(v, bytes) else str(v).encode("latin-1")
+        filt = str(self.resolve(enc.get("Filter", "Standard")))
+        if filt != "Standard":
+            raise PdfError(f"unsupported encryption filter {filt!r}")
+        enc = {k: self.resolve(v) for k, v in enc.items()}
+        if "CF" in enc and isinstance(enc["CF"], dict):
+            enc["CF"] = {
+                k: self.resolve(v) for k, v in enc["CF"].items()
+            }
+        try:
+            self._crypt = StandardSecurityHandler(enc, first_id)
+        except DecryptionError as e:
+            raise PdfError(str(e)) from e
+
+    def _decrypt_object(self, obj: Any, num: int, gen: int) -> Any:
+        """Recursively decrypt strings + stream payloads of one indirect
+        object (xref/encrypt dict and objstm members excluded by callers)."""
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_object(v, num, gen) for v in obj]
+        if isinstance(obj, Stream):
+            d = self._decrypt_object(obj.dict, num, gen)
+            if str(d.get("Type", "")) == "XRef":
+                return Stream(d, obj.raw)  # xref streams are never encrypted
+            return Stream(d, self._crypt.decrypt(obj.raw, num, gen))
+        if isinstance(obj, dict):
+            return {k: self._decrypt_object(v, num, gen) for k, v in obj.items()}
+        return obj
 
     # ------------------------------------------------------------------ xref
 
@@ -209,7 +258,10 @@ class PdfDocument:
         try:
             if entry[0] == "n":
                 obj = self._parse_indirect_at(entry[1])
+                if self._crypt is not None and num != self._encrypt_num:
+                    obj = self._decrypt_object(obj, num, entry[2])
             else:
+                # objstm members inherit the (already decrypted) container
                 obj = self._get_from_objstm(entry[1], entry[2], num)
         except Exception:
             obj = None

@@ -1,0 +1,179 @@
+"""Synthetic document rendering + ground truth for OCR training.
+
+Pages are white canvases with text lines in random system fonts/sizes;
+detection ground truth follows the DB recipe (shrunk text-region masks,
+shrink offset = area*(1-r^2)/perimeter per the DB paper / PaddleOCR
+implementation the reference's checkpoints were trained with).
+"""
+from __future__ import annotations
+
+import random
+import string
+from pathlib import Path
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFilter, ImageFont
+
+FONT_DIR = Path("/usr/share/fonts/truetype/dejavu")
+FONTS = sorted(FONT_DIR.glob("*.ttf")) or []
+
+# rec charset: printable ASCII sans space (space is the implicit final
+# vocab entry, matching CTCLabelDecoder layout)
+DEMO_CHARSET = [c for c in string.printable[:94] if c != " "]
+
+_WORDS = (
+    "the of and to in is was for that with document table text page image "
+    "model layout formula title section results method data value number "
+    "figure reference analysis system process energy field water level "
+    "rate total area size time high low mean test input output "
+).split()
+
+
+def random_text(rng: random.Random, max_words: int = 8) -> str:
+    words = []
+    for _ in range(rng.randint(1, max_words)):
+        r = rng.random()
+        if r < 0.55:
+            w = rng.choice(_WORDS)
+            if rng.random() < 0.2:
+                w = w.capitalize()
+        elif r < 0.75:
+            w = str(rng.randint(0, 99999))
+            if rng.random() < 0.3:
+                w += rng.choice([".%", "%", ".5", ",00"])
+        else:
+            w = "".join(
+                rng.choice(string.ascii_letters + string.digits + ".,-()")
+                for _ in range(rng.randint(2, 8))
+            )
+        words.append(w)
+    return " ".join(words)
+
+
+def _font(rng: random.Random, size: int) -> ImageFont.FreeTypeFont:
+    return ImageFont.truetype(str(rng.choice(FONTS)), size)
+
+
+def render_line(
+    text: str, rng: random.Random, height: int = 48
+) -> np.ndarray:
+    """One text line as uint8 RGB, natural width at the given height."""
+    size = rng.randint(22, 40)
+    font = _font(rng, size)
+    pad = rng.randint(2, 8)
+    bbox = font.getbbox(text)
+    w = max(bbox[2] - bbox[0], 1) + 2 * pad
+    h = max(bbox[3] - bbox[1], 1) + 2 * pad
+    bg = rng.randint(235, 255)
+    fg = rng.randint(0, 70)
+    img = Image.new("RGB", (w, h), (bg, bg, bg))
+    draw = ImageDraw.Draw(img)
+    draw.text((pad - bbox[0], pad - bbox[1]), text, fill=(fg, fg, fg),
+              font=font)
+    if rng.random() < 0.3:
+        img = img.filter(ImageFilter.GaussianBlur(rng.random() * 0.8))
+    arr = np.asarray(img, np.uint8)
+    if rng.random() < 0.4:
+        noise = np.random.default_rng(rng.randrange(1 << 30)).normal(
+            0, rng.random() * 8, arr.shape
+        )
+        arr = np.clip(arr.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    # keep-ratio resize to rec height
+    scale = height / arr.shape[0]
+    import cv2
+
+    return cv2.resize(arr, (max(1, int(arr.shape[1] * scale)), height))
+
+
+def render_page(
+    rng: random.Random, size: int = 640
+) -> tuple[np.ndarray, list[tuple[int, int, int, int]]]:
+    """A synthetic page (uint8 RGB size x size) + text-line pixel boxes."""
+    bg = rng.randint(240, 255)
+    img = Image.new("RGB", (size, size), (bg, bg, bg))
+    draw = ImageDraw.Draw(img)
+    boxes: list[tuple[int, int, int, int]] = []
+    two_col = rng.random() < 0.35
+    cols = (
+        [(rng.randint(16, 40), size // 2 - 16),
+         (size // 2 + 16, size - rng.randint(16, 40))]
+        if two_col
+        else [(rng.randint(16, 60), size - rng.randint(16, 60))]
+    )
+    for x0_col, x1_col in cols:
+        y = rng.randint(16, 60)
+        while y < size - 60:
+            fsize = rng.randint(13, 30)
+            font = _font(rng, fsize)
+            text = random_text(rng, max_words=10)
+            fg = rng.randint(0, 80)
+            bbox = font.getbbox(text)
+            tw = bbox[2] - bbox[0]
+            th = bbox[3] - bbox[1]
+            max_w = x1_col - x0_col
+            if tw > max_w:  # trim words until the line fits
+                while text and tw > max_w:
+                    text = text.rsplit(" ", 1)[0] if " " in text else text[:-2]
+                    bbox = font.getbbox(text)
+                    tw = bbox[2] - bbox[0]
+                if not text:
+                    y += fsize + rng.randint(4, 16)
+                    continue
+            x = x0_col + rng.randint(0, max(0, max_w - tw) // 2)
+            draw.text((x - bbox[0], y - bbox[1]), text, fill=(fg, fg, fg),
+                      font=font)
+            boxes.append((x, y, x + tw, y + th))
+            y += th + rng.randint(6, 28)
+            if rng.random() < 0.12:  # paragraph gap
+                y += rng.randint(16, 48)
+    return np.asarray(img, np.uint8), boxes
+
+
+def db_prob_target(
+    boxes: list[tuple[int, int, int, int]], size: int,
+    shrink_ratio: float = 0.4,
+) -> np.ndarray:
+    """DB shrink-mask ground truth at input resolution (float32 0/1)."""
+    target = np.zeros((size, size), np.float32)
+    for x0, y0, x1, y1 in boxes:
+        w, h = x1 - x0, y1 - y0
+        if w < 4 or h < 4:
+            continue
+        area = w * h
+        perim = 2 * (w + h)
+        off = int(area * (1 - shrink_ratio**2) / perim)
+        sx0, sy0 = x0 + off, y0 + off
+        sx1, sy1 = x1 - off, y1 - off
+        if sx1 <= sx0 or sy1 <= sy0:
+            cx, cy = (x0 + x1) // 2, (y0 + y1) // 2
+            sx0, sy0, sx1, sy1 = cx - 1, cy - 1, cx + 1, cy + 1
+        target[max(sy0, 0) : sy1, max(sx0, 0) : sx1] = 1.0
+    return target
+
+
+def rec_sample(
+    rng: random.Random, width: int = 320, height: int = 48,
+    max_chars: int = 24,
+) -> tuple[np.ndarray, str]:
+    """(uint8 (H, W, 3) zero-right-padded crop, text)."""
+    from ..models.ocr.pre_post import rec_resize
+
+    while True:
+        text = random_text(rng, max_words=4)[:max_chars].strip()
+        if text:
+            break
+    line = render_line(text, rng, height=height)
+    return rec_resize(line, width, height), text
+
+
+def encode_text(text: str, charset: list[str]) -> list[int]:
+    """text -> CTC label ids (blank=0, charset 1.., space=len+1)."""
+    idx = {c: i + 1 for i, c in enumerate(charset)}
+    space_id = len(charset) + 1
+    out = []
+    for ch in text:
+        if ch == " ":
+            out.append(space_id)
+        elif ch in idx:
+            out.append(idx[ch])
+    return out
