@@ -37,7 +37,8 @@ def _load_variables(path: Path):
     return tree
 
 
-def save_variables(variables, path: Path) -> None:
+def save_variables(variables, path: Path | str) -> None:
+    path = Path(path)
     flat: dict[str, np.ndarray] = {}
 
     def walk(node, prefix=""):

@@ -227,6 +227,7 @@ class Font:
                 self.to_unicode, _ = parse_cmap(doc.stream_bytes(tu))
             except Exception:
                 pass
+        self.has_to_unicode = bool(self.to_unicode)
 
         if self.is_cid:
             self._init_type0(r)

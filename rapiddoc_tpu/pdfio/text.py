@@ -85,6 +85,10 @@ def record_char(
             "size": size,
             "font": font.base_font,
             "cid": font.is_cid,
+            # CID font lacking a ToUnicode CMap: its text is unmappable
+            # (classifier signal, reference pdf_classify.py CID usage)
+            "no_tounicode_cid": font.is_cid
+            and not getattr(font, "has_to_unicode", True),
         }
     )
 
