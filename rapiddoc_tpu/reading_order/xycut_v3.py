@@ -95,24 +95,81 @@ def _band_split(
     return bands
 
 
+# label tiers (reference: layout_parsing/setting.py BLOCK_LABEL_MAP +
+# xycut_enhanced/xycuts.py:460 — headers first, footers last, unordered
+# blocks distance-inserted, doc_title heads its band)
+HEADER_LABELS = {"header", "header_image"}
+FOOTER_LABELS = {"footer", "footer_image", "footnote", "vision_footnote"}
+UNORDERED_LABELS = {"aside_text", "seal", "number", "formula_number"}
+DOC_TITLE_LABELS = {"doc_title"}
+
+
+def _normal_sort(blocks: list[dict], idxs: list[int], line_h: float) -> list[int]:
+    """Row-major sort with line-height quantized y (reference
+    sort_normal_blocks)."""
+    return sorted(
+        idxs,
+        key=lambda i: (
+            blocks[i]["bbox"][1] // max(line_h, 1.0),
+            blocks[i]["bbox"][0],
+        ),
+    )
+
+
+def _distance_insert(order: list[int], blocks: list[dict], idx: int) -> None:
+    """Insert an unordered block after its nearest sorted neighbor
+    (reference euclidean_insert flavor)."""
+    if not order:
+        order.append(idx)
+        return
+    cx = (blocks[idx]["bbox"][0] + blocks[idx]["bbox"][2]) / 2
+    cy = (blocks[idx]["bbox"][1] + blocks[idx]["bbox"][3]) / 2
+
+    def dist(j: int) -> float:
+        bx = (blocks[j]["bbox"][0] + blocks[j]["bbox"][2]) / 2
+        by = (blocks[j]["bbox"][1] + blocks[j]["bbox"][3]) / 2
+        return (bx - cx) ** 2 + (by - cy) ** 2
+
+    nearest = min(range(len(order)), key=lambda k: dist(order[k]))
+    order.insert(nearest + 1, idx)
+
+
 def sort_blocks_v3(
     blocks: list[dict], page_w: float, page_h: float
 ) -> list[int]:
     """Reading-order permutation over block dicts (need 'bbox', optional
-    'lines'). Raises on malformed input — callers fall back to plain
-    xycut, mirroring the reference's try/except chain."""
+    'lines' and 'original_label'). Raises on malformed input — callers
+    fall back to plain xycut, mirroring the reference's try/except chain."""
     n = len(blocks)
     if n <= 1:
         return list(range(n))
     line_h = _median_line_height(blocks)
-    xs = [b["bbox"][0] for b in blocks] + [b["bbox"][2] for b in blocks]
+
+    def label(i: int) -> str:
+        return str(blocks[i].get("original_label") or "")
+
+    headers = [i for i in range(n) if label(i) in HEADER_LABELS]
+    footers = [i for i in range(n) if label(i) in FOOTER_LABELS]
+    unordered = [i for i in range(n) if label(i) in UNORDERED_LABELS]
+    special = set(headers) | set(footers) | set(unordered)
+    body = [i for i in range(n) if i not in special]
+
+    xs = [blocks[i]["bbox"][0] for i in body] + [
+        blocks[i]["bbox"][2] for i in body
+    ]
     content_w = max(xs) - min(xs) if xs else page_w
 
-    bands = _band_split(blocks, list(range(n)), content_w)
+    bands = _band_split(blocks, body, content_w)
     order: list[int] = []
     for band in bands:
+        # doc_title leads its band (reference xycuts.py:451-453)
+        titles = [i for i in band if label(i) in DOC_TITLE_LABELS]
+        band = [i for i in band if i not in set(titles)]
+        order.extend(sorted(titles, key=lambda i: blocks[i]["bbox"][1]))
         if len(band) == 1:
             order.extend(band)
+            continue
+        if not band:
             continue
         # virtual lines: id -> owning block
         line_boxes: list[list[float]] = []
@@ -144,4 +201,10 @@ def sort_blocks_v3(
             if b not in best_rank:
                 best_rank[b] = rank
         order.extend(sorted(band, key=lambda i: best_rank.get(i, len(perm))))
-    return order
+    for i in unordered:
+        _distance_insert(order, blocks, i)
+    return (
+        _normal_sort(blocks, headers, line_h)
+        + order
+        + _normal_sort(blocks, footers, line_h)
+    )

@@ -99,3 +99,76 @@ def test_three_column_layout():
         # whole column precedes the next
         if c < 2:
             assert pos[id(cols[c][-1])] < pos[id(cols[c + 1][0])]
+
+
+# ------------------------------------------------------- label tiers (v3)
+
+def _blk(x0, y0, x1, y1, label=None):
+    b = {"bbox": [x0, y0, x1, y1]}
+    if label:
+        b["original_label"] = label
+    return b
+
+
+def test_headers_first_footers_last():
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    blocks = [
+        _blk(50, 760, 550, 780, "footer"),     # bottom footer
+        _blk(50, 100, 550, 200),               # body A
+        _blk(50, 20, 550, 40, "header"),       # top header
+        _blk(50, 220, 550, 320),               # body B
+        _blk(400, 765, 550, 778, "footnote"),  # footnote
+    ]
+    order = sort_blocks_v3(blocks, 600, 800)
+    labels = [blocks[i].get("original_label") for i in order]
+    assert labels[0] == "header"
+    assert set(labels[-2:]) == {"footer", "footnote"}
+    # body keeps top-down order
+    assert order.index(1) < order.index(3)
+
+
+def test_doc_title_heads_its_band():
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    blocks = [
+        _blk(50, 90, 300, 180),                  # left column text
+        _blk(320, 90, 550, 180),                 # right column text
+        _blk(120, 95, 480, 130, "doc_title"),    # title overlapping band
+    ]
+    order = sort_blocks_v3(blocks, 600, 800)
+    assert order[0] == 2
+
+
+def test_unordered_inserts_near_neighbor():
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    blocks = [
+        _blk(50, 100, 550, 200),                   # body A (top)
+        _blk(50, 400, 550, 500),                   # body B (bottom)
+        _blk(555, 410, 590, 470, "aside_text"),    # margin note next to B
+    ]
+    order = sort_blocks_v3(blocks, 600, 800)
+    assert order.index(2) == order.index(1) + 1  # right after body B
+
+
+def test_order_edit_metric_on_tiered_page():
+    """Wire the order-edit metric (tools/eval_quality.py) to the sorter:
+    a page with footer/caption noise must reach 0 inversions."""
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+    from rapiddoc_tpu.tools.eval_quality import order_inversion_rate
+
+    blocks = [
+        _blk(50, 20, 550, 40, "header"),
+        _blk(50, 60, 550, 100),     # para 1
+        _blk(50, 120, 290, 300),    # para 2 (left col)
+        _blk(310, 120, 550, 300),   # para 3 (right col)
+        _blk(50, 320, 550, 400),    # para 4
+        _blk(50, 760, 550, 780, "footer"),
+    ]
+    texts = ["HEADER", "para one", "para two", "para three", "para four",
+             "FOOTER"]
+    order = sort_blocks_v3(blocks, 600, 800)
+    pred = [texts[i] for i in order if blocks[i].get("original_label") is None]
+    gt = ["para one", "para two", "para three", "para four"]
+    assert order_inversion_rate(pred, gt) == 0.0
