@@ -54,6 +54,9 @@ def save_variables(variables, path: Path | str) -> None:
     np.savez(str(path), **flat)
 
 
+DEMO_ASSETS_DIR = Path(__file__).resolve().parent.parent / "assets"
+
+
 def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
     from .ocr.engine import TextDetector, TextRecognizer, TextSystem
 
@@ -64,16 +67,37 @@ def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
     # the v6-small dict covers ch+en; other langs use per-lang rec
     # checkpoints when converted (reference: per-lang rapidocr models)
     rec_vars = None
+    rec_charset = None
     if lang not in ("ch", "en", "", None):
         rec_vars = _load_variables(models_dir / f"ocr_rec_{lang}.npz")
+        lang_dict = models_dir / f"ocr_rec_{lang}_dict.txt"
+        if rec_vars is not None and lang_dict.is_file():
+            rec_charset = [
+                ln.rstrip("\n\r")
+                for ln in lang_dict.read_text(encoding="utf-8").splitlines()
+                if ln
+            ]
     if rec_vars is None:
         rec_vars = _load_variables(models_dir / "ocr_rec_v6_small.npz")
+    if det_vars is None:
+        # in-repo demo checkpoint trained on synthetic documents
+        # (rapiddoc_tpu/train) — real text output without network egress
+        det_vars = _load_variables(DEMO_ASSETS_DIR / "ocr_det_demo.npz")
+        if det_vars is not None:
+            logger.info("OCR det: demo synthetic-trained checkpoint")
+    if rec_vars is None:
+        rec_vars = _load_variables(DEMO_ASSETS_DIR / "ocr_rec_demo.npz")
+        if rec_vars is not None:
+            from ..train.synth import DEMO_CHARSET
+
+            rec_charset = DEMO_CHARSET
+            logger.info("OCR rec: demo synthetic-trained checkpoint")
     cfg = configs or {}
     det = TextDetector(
         det_vars,
         limit_side_len=int(cfg.get("Det.limit_side_len", 960)),
     )
-    rec = TextRecognizer(rec_vars)
+    rec = TextRecognizer(rec_vars, charset=rec_charset)
     if det_vars is None or rec_vars is None:
         logger.warning(
             "OCR checkpoints not found under %s — using random init "

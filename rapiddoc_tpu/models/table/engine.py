@@ -111,14 +111,33 @@ class TableRecognizer:
     def batch_predict(
         self, crops: list[np.ndarray],
         mfd_items: list[list[tuple[list[float], str]]] | None = None,
+        fill_items: list[list[tuple[list[float], str]]] | None = None,
     ) -> list[str]:
         """Table crops -> HTML strings. `mfd_items[i]` carries recognized
         formulas inside crop i as (bbox-in-crop, latex); they join the
         OCR items for cell assignment (reference: rapid_table.py:180-213
-        in-table formula injection)."""
+        in-table formula injection). `fill_items[i]` carries in-table
+        images as (bbox-in-crop, uuid placeholder): the region is whited
+        out before recognition and the uuid lands in its cell, resolved
+        to an <img> tag at save time (reference: rapid_table.py:180-196
+        fill_image_res)."""
         if not crops:
             return []
         self._mfd = mfd_items or [[] for _ in crops]
+        self._fill = fill_items or [[] for _ in crops]
+        if any(self._fill):
+            crops = list(crops)
+            for i, fills in enumerate(self._fill):
+                if not fills:
+                    continue
+                crop = crops[i].copy()
+                h, w = crop.shape[:2]
+                for bbox, _uid in fills:
+                    x0, y0 = max(int(bbox[0]), 0), max(int(bbox[1]), 0)
+                    x1, y1 = min(int(bbox[2]) + 1, w), min(int(bbox[3]) + 1, h)
+                    if x1 > x0 and y1 > y0:
+                        crop[y0:y1, x0:x1] = 255
+                crops[i] = crop
         if self.config.detect_rotation and self.ocr is not None:
             from .select import detect_table_rotations
 
@@ -151,7 +170,8 @@ class TableRecognizer:
             wired_structs = self.wired.batch([crops[i] for i in wired_idx])
             for i, (cell_boxes, grid) in zip(wired_idx, wired_structs):
                 results[i] = self._finish_wired(
-                    crops[i], cell_boxes, grid, self._mfd[i]
+                    crops[i], cell_boxes, grid, self._mfd[i],
+                    self._fill[i],
                 )
         if wireless_idx:
             structures = self.wireless(
@@ -160,7 +180,8 @@ class TableRecognizer:
             )
             for i, (structure, bboxes) in zip(wireless_idx, structures):
                 wireless_html = self._fill_text(
-                    crops[i], structure, bboxes, self._mfd[i]
+                    crops[i], structure, bboxes, self._mfd[i],
+                    self._fill[i],
                 )
                 if compare and i in set(wired_idx):
                     from .select import select_best_table_html
@@ -185,7 +206,7 @@ class TableRecognizer:
 
     def _finish_wired(
         self, crop: np.ndarray, cell_boxes: list, grid: list,
-        mfd: list | None = None,
+        mfd: list | None = None, fill: list | None = None,
     ) -> str:
         if not cell_boxes and self.config.use_img2table:
             # model-free ruling-line fallback (reference:
@@ -195,7 +216,7 @@ class TableRecognizer:
             cell_boxes, grid = opencv_table_extract(crop)
         if not cell_boxes:
             return ""
-        texts = self._cell_texts(crop, cell_boxes, mfd or [])
+        texts = self._cell_texts(crop, cell_boxes, mfd or [], fill or [])
         if self.config.enable_blank_cell_rec and self.ocr is not None:
             texts = self._retry_blank_cells(crop, cell_boxes, texts)
         return build_html_from_grid(grid, texts)
@@ -235,15 +256,16 @@ class TableRecognizer:
     def _fill_text(
         self, crop: np.ndarray, structure: list[str],
         bboxes: list[list[float]], mfd: list | None = None,
+        fill: list | None = None,
     ) -> str:
         if not structure:
             return ""
-        texts = self._cell_texts(crop, bboxes, mfd or []) if bboxes else []
+        texts = self._cell_texts(crop, bboxes, mfd or [], fill or []) if bboxes else []
         return html_from_structure_tokens(structure, texts)
 
     def _cell_texts(
         self, crop: np.ndarray, cell_boxes: list[list[float]],
-        mfd: list | None = None,
+        mfd: list | None = None, fill: list | None = None,
     ) -> list[str]:
         """OCR the table crop and distribute text into cells. Prefers
         word-level boxes so one OCR line straddling a cell border splits
@@ -252,7 +274,7 @@ class TableRecognizer:
         the item list as $latex$."""
         if not cell_boxes:
             return []
-        if self.ocr is None and not mfd:
+        if self.ocr is None and not mfd and not fill:
             return [""] * len(cell_boxes)
         if self.ocr is None:
             ocr_out = []
@@ -283,6 +305,9 @@ class TableRecognizer:
                 )
         for box, latex in mfd or []:
             items.append({"bbox": list(box), "text": f"${latex}$"})
+        for box, uid in fill or []:
+            # uuid placeholder lands verbatim; resolved to <img> at save
+            items.append({"bbox": list(box), "text": uid, "raw": True})
         assignments = match_ocr_to_cells(cell_boxes, items)
         from .select import normalize_cell_text
 

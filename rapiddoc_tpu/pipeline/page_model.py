@@ -118,6 +118,8 @@ class PageModel:
                 det["polygon_points"] = [
                     [round(x / scale, 2), round(y / scale, 2)] for x, y in pts
                 ]
+            for fill in det.get("fill_images", []):
+                fill["bbox"] = [round(v / scale, 2) for v in fill["bbox"]]
             if B.is_valid(det["bbox"]):
                 kept.append(det)
         self.dets = kept
@@ -200,6 +202,10 @@ class PageModel:
         out = []
         for d in self.dets:
             if d["category_id"] != cat:
+                continue
+            if d.get("in_table"):
+                # lives inside a table cell as a uuid placeholder
+                # (reference: rapid_table.py fill_image_res)
                 continue
             block = {
                 "bbox": d["bbox"],
@@ -303,6 +309,8 @@ class PageModel:
                         if det.get(key):
                             span[key] = det[key]
                             break
+                    if det.get("fill_images"):
+                        span["fill_images"] = det["fill_images"]
             elif cat == CategoryId.InlineEquation:
                 span["type"] = ContentType.INLINE_EQUATION
                 span["content"] = det.get("latex") or ""

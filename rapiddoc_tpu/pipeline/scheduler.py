@@ -500,10 +500,15 @@ class DocumentAnalyzer:
         regions = []
         owners = []
         mfd_items: list[list[tuple[list[float], str]]] = []
+        fill_items: list[list[tuple[list[float], str]]] = []
         for page_i, info in enumerate(model_infos):
             formulas = [
                 d for d in info["layout_dets"]
                 if d["category_id"] in formula_cats and d.get("latex")
+            ]
+            images = [
+                d for d in info["layout_dets"]
+                if d["category_id"] == CategoryId.ImageBody
             ]
             for det in info["layout_dets"]:
                 if det["category_id"] == CategoryId.TableBody and not det.get("html"):
@@ -530,14 +535,39 @@ class DocumentAnalyzer:
                                  f["latex"])
                             )
                     mfd_items.append(inside)
+                    # in-table images become uuid placeholders resolved to
+                    # <img> at save time (reference: rapid_table.py
+                    # fill_image_res + pdf_image_tools.save_table_fill_image)
+                    fills = []
+                    det_fills = []
+                    for im in images:
+                        ix0 = min(im["poly"][0::2])
+                        iy0 = min(im["poly"][1::2])
+                        ix1 = max(im["poly"][0::2])
+                        iy1 = max(im["poly"][1::2])
+                        if ix0 >= x0 and iy0 >= y0 and ix1 <= x1 and iy1 <= y1:
+                            import uuid as _uuid
+
+                            uid = _uuid.uuid4().hex
+                            fills.append(
+                                ([ix0 - x0, iy0 - y0, ix1 - x0, iy1 - y0],
+                                 uid)
+                            )
+                            det_fills.append(
+                                {"uuid": uid, "bbox": [ix0, iy0, ix1, iy1]}
+                            )
+                            im["in_table"] = True
+                    fill_items.append(fills)
+                    if det_fills:
+                        det["fill_images"] = det_fills
         if not regions:
             return
         with stage_timer("table", len(regions)):
             try:
                 htmls = self.table_model.batch_predict(
-                    regions, mfd_items=mfd_items
+                    regions, mfd_items=mfd_items, fill_items=fill_items
                 )
-            except TypeError:  # custom table model without mfd support
+            except TypeError:  # custom table model without mfd/fill support
                 htmls = self.table_model.batch_predict(regions)
         for det, html in zip(owners, htmls):
             if html:

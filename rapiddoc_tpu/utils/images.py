@@ -56,6 +56,25 @@ def cut_span_images(
     from . import boxes as B
 
     def handle_span(span: dict) -> None:
+        if (
+            span.get("type") == ContentType.TABLE
+            and span.get("html")
+            and span.get("fill_images")
+        ):
+            # in-table image uuid placeholders -> saved crops + <img> tags
+            # (reference: pdf_image_tools.save_table_fill_image :355-393)
+            html = span["html"]
+            for fill in span["fill_images"]:
+                uid = fill.get("uuid")
+                if not uid or uid not in html:
+                    continue
+                crop = crop_bbox(page_img, fill["bbox"], scale)
+                name = image_digest_name(crop)
+                if image_writer is not None:
+                    image_writer.write(name, encode_image(crop))
+                src = f"{image_dir or 'images'}/{name}"
+                html = html.replace(uid, f'<img src="{src}" alt="Image" />')
+            span["html"] = html
         if span.get("type") in (
             ContentType.IMAGE,
             ContentType.TABLE,

@@ -205,3 +205,55 @@ def test_in_table_formula_injection():
     )
     assert texts[0] == ""
     assert texts[1] == "$x^2+y^2$"
+
+
+def test_in_table_image_uuid_placeholder():
+    """In-table images become uuid placeholders in their cell and resolve
+    to <img> tags at save time (reference: rapid_table.py fill_image_res +
+    pdf_image_tools.save_table_fill_image)."""
+    import cv2
+
+    from rapiddoc_tpu.models.table.engine import TableRecognizer
+
+    img = np.full((256, 256, 3), 255, np.uint8)
+    for y in (20, 128, 236):
+        cv2.line(img, (20, y), (236, y), (0, 0, 0), 2)
+    for x in (20, 128, 236):
+        cv2.line(img, (x, 20), (x, 236), (0, 0, 0), 2)
+    # a "photo" in the bottom-right cell
+    img[150:220, 150:220] = 64
+    rec = TableRecognizer()
+    uid = "f" * 32
+    htmls = rec.batch_predict(
+        [img], fill_items=[[([150, 150, 220, 220], uid)]]
+    )
+    assert htmls[0] and uid in htmls[0]
+
+    # save-time resolution: uuid -> <img src="images/...">
+    from PIL import Image
+
+    from rapiddoc_tpu.types import ContentType
+    from rapiddoc_tpu.utils.images import cut_span_images
+
+    span = {
+        "type": ContentType.TABLE,
+        "bbox": [0, 0, 256, 256],
+        "html": htmls[0],
+        "fill_images": [{"uuid": uid, "bbox": [150, 150, 220, 220]}],
+    }
+    page_info = {
+        "preproc_blocks": [
+            {"type": "table", "bbox": [0, 0, 256, 256],
+             "lines": [{"bbox": [0, 0, 256, 256], "spans": [span]}]}
+        ]
+    }
+    written = {}
+
+    class W:
+        def write(self, name, data):
+            written[name] = data
+
+    cut_span_images(page_info, Image.fromarray(img), 1.0, W())
+    assert uid not in span["html"]
+    assert '<img src="images/' in span["html"]
+    assert written  # the crop was saved
