@@ -99,14 +99,14 @@ def evaluate(variables, n_pages: int = 8, seed: int = 999) -> float:
     hit = total = 0
     for _ in range(n_pages):
         img, boxes = render_page(rng, SIZE)
-        found = det([img])[0]
+        found = det([img])[0].boxes
         for x0, y0, x1, y1 in boxes:
             total += 1
             cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
             for quad in found:
-                xs = [p[0] for p in quad]
-                ys = [p[1] for p in quad]
-                if min(xs) <= cx <= max(xs) and min(ys) <= cy <= max(ys):
+                xs = quad[:, 0]
+                ys = quad[:, 1]
+                if xs.min() <= cx <= xs.max() and ys.min() <= cy <= ys.max():
                     hit += 1
                     break
     return hit / max(total, 1)

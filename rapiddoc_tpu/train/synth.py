@@ -72,16 +72,28 @@ def render_line(
               font=font)
     if rng.random() < 0.3:
         img = img.filter(ImageFilter.GaussianBlur(rng.random() * 0.8))
+    if rng.random() < 0.3:  # slight skew, like det quad crops
+        img = img.rotate(
+            rng.uniform(-2.0, 2.0), expand=True, fillcolor=(bg, bg, bg)
+        )
     arr = np.asarray(img, np.uint8)
     if rng.random() < 0.4:
         noise = np.random.default_rng(rng.randrange(1 << 30)).normal(
             0, rng.random() * 8, arr.shape
         )
         arr = np.clip(arr.astype(np.float32) + noise, 0, 255).astype(np.uint8)
-    # keep-ratio resize to rec height
-    scale = height / arr.shape[0]
     import cv2
 
+    if rng.random() < 0.5:
+        # DPI round-trip: downscale then upscale (the pipeline renders
+        # PDFs at a different DPI than the source raster)
+        f = rng.uniform(0.45, 0.95)
+        small = cv2.resize(
+            arr, (max(1, int(arr.shape[1] * f)), max(1, int(arr.shape[0] * f)))
+        )
+        arr = cv2.resize(small, (arr.shape[1], arr.shape[0]))
+    # keep-ratio resize to rec height
+    scale = height / arr.shape[0]
     return cv2.resize(arr, (max(1, int(arr.shape[1] * scale)), height))
 
 
