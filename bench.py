@@ -1,12 +1,22 @@
-"""Benchmark: OCR device-path throughput on the current JAX backend.
+"""End-to-end benchmark: real PDF pages through RapidDoc on one chip.
 
-Measures the end-to-end hot path (det forward over page-size buckets +
-rec forward over text-line crops) in pages/sec on one chip, and compares
-against the reference's engine implementation (its torch network zoo run
-on CPU — the closest runnable stand-in for the onnxruntime-CPU reference
-in this environment; see BASELINE.md).
+Primary metric (BASELINE.md): end-to-end pages/sec through
+`RapidDoc.__call__` in ocr mode — render, DBNet det, SVTR/CTC rec,
+middle-json assembly and markdown emit all included — plus the per-stage
+ms/page breakdown utils/trace.py collects. Weights: the published
+PP-OCRv6 checkpoints when converted, else the in-repo synthetic-trained
+demo checkpoints (real detections + real text either way).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline denominator: the same det/rec networks (the reference's torch
+re-implementations, its architecture spec) running the same crops on CPU
+— the closest runnable stand-in for the onnxruntime-CPU reference in this
+zero-egress environment (BASELINE.md: the reference publishes no speed
+numbers).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+Env: RAPIDDOC_BENCH_TINY=1 for a small CPU-friendly run,
+RAPIDDOC_BENCH_PAGES to override the page count,
+RAPIDDOC_BENCH_SKIP_BASELINE=1 to skip the torch-CPU run.
 """
 from __future__ import annotations
 
@@ -18,115 +28,55 @@ import time
 import numpy as np
 
 TINY = bool(os.environ.get("RAPIDDOC_BENCH_TINY"))
-PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "16"))
-CROPS_PER_PAGE = int(os.environ.get("RAPIDDOC_BENCH_CROPS", "4" if TINY else "24"))
-DET_HW = (192, 192) if TINY else (960, 704)
-REC_HW = (48, 80) if TINY else (48, 320)
+PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "12"))
+DEMO_PDF = "/root/reference/demo/pdfs/demo1.pdf"
 
 
-def _bench_jax() -> float:
-    """Realistic device path: uint8 page/crop batches cross host->device,
-    normalization + forward run fused on device, all batches dispatched
-    before any result is fetched (the JaxSession dispatch/fetch split —
-    transfers pipeline under compute; the host<->device roundtrip, tens
-    of ms through a tunneled chip, is paid once, not once per batch)."""
-    import jax
-    import jax.numpy as jnp
+def _bench_pdf_bytes() -> bytes:
+    """A deterministic multi-page text-image PDF (synthetic rendered
+    pages: realistic det/rec load, self-contained, OCR-ground-truthable)."""
+    import random
 
-    from rapiddoc_tpu.models.ocr.det import DBNet
-    from rapiddoc_tpu.models.ocr.rec import SVTRRec
-    from rapiddoc_tpu.models.ocr.pre_post import (
-        det_normalize_device,
-        rec_normalize_device,
-    )
+    from PIL import Image
 
-    det = DBNet()
-    rec = SVTRRec(num_classes=18710)
-    rng = np.random.default_rng(0)
-    det_batch = rng.integers(0, 255, (PAGES, *DET_HW, 3), dtype=np.uint8)
-    rec_batch = rng.integers(
-        0, 255, (PAGES * CROPS_PER_PAGE, *REC_HW, 3), dtype=np.uint8
-    )
-    det_vars = det.init(
-        jax.random.PRNGKey(0), np.zeros((1, *DET_HW, 3), np.float32)
-    )
-    rec_vars = rec.init(
-        jax.random.PRNGKey(1), np.zeros((1, *REC_HW, 3), np.float32)
-    )
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.train.synth import render_page
 
-    @jax.jit
-    def det_fwd(v, x):
-        # packed readback, matching TextDetector's det_apply: full-res
-        # threshold bitmap packed to bits + 2x uint8 prob for box scoring
-        x = det_normalize_device(x).astype(jnp.bfloat16)
-        prob = det.apply(v, x).astype(jnp.float32)
-        prob = jnp.clip(prob[..., 0], 0.0, 1.0)
-        b, h, w = prob.shape
-        bits = (prob > 0.3).astype(jnp.uint8).reshape(b, h, w // 8, 8)
-        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-        packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
-        prob8 = jnp.round(
-            prob.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4)) * 255.0
-        ).astype(jnp.uint8)
-        return {"bits": packed, "prob8": prob8}
+    rng = random.Random(0)
+    size = 320 if TINY else 960
+    imgs = [
+        Image.fromarray(render_page(rng, size)[0]) for _ in range(PAGES)
+    ]
+    return pdfio.images_to_pdf(imgs, dpi=144)
 
-    on_tpu = jax.default_backend() == "tpu"
 
-    @jax.jit
-    def rec_fwd(v, x):
-        # production path on TPU: pallas fused head (ops/ctc_head.py) —
-        # the (B,T,18710) logits never materialize in HBM. Off-TPU the
-        # interpreter-mode kernel is too slow to benchmark; use the
-        # plain head there.
-        x = rec_normalize_device(x).astype(jnp.bfloat16)
-        if on_tpu:
-            from rapiddoc_tpu.ops.ctc_head import ctc_head_decode
+def _bench_e2e() -> tuple[float, dict]:
+    """pages/sec through RapidDoc + per-stage ms/page."""
+    os.environ.setdefault("RAPIDDOC_DISABLE_LAYOUT", "1")
+    os.environ.setdefault("RAPIDDOC_DISABLE_FORMULA", "1")
+    os.environ.setdefault("RAPIDDOC_DISABLE_TABLE", "1")
+    from rapiddoc_tpu import RapidDoc
+    from rapiddoc_tpu.api import stage_report
 
-            seq = rec.apply(v, x, features_only=True)
-            head = v["params"]["head"]
-            return ctc_head_decode(seq, head["kernel"], head["bias"])
-        from rapiddoc_tpu.models.ocr.rec import ctc_greedy_decode
+    pdf = _bench_pdf_bytes()
+    doc = RapidDoc()
+    # warm run compiles every det/rec bucket the document needs
+    doc(pdf, parse_method="ocr")
+    from rapiddoc_tpu.api import GLOBAL_TRACER
 
-        return ctc_greedy_decode(rec.apply(v, x))
-
-    det_bs = min(8, PAGES)
-    rec_bs = min(64, len(rec_batch))
-
-    def run_once():
-        # phase 1: enqueue everything (transfer/compute pipeline on device)
-        det_handles = [
-            det_fwd(det_vars, jnp.asarray(det_batch[i : i + det_bs]))
-            for i in range(0, PAGES, det_bs)
-        ]
-        rec_handles = [
-            rec_fwd(rec_vars, jnp.asarray(rec_batch[i : i + rec_bs]))
-            for i in range(0, len(rec_batch), rec_bs)
-        ]
-        # phase 2: concatenate on device, fetch once per stage — the
-        # host<->device roundtrip is paid twice total, not per batch
-        # (mirrors JaxSession.run_batched)
-        det_out = {
-            k: np.asarray(jnp.concatenate([h[k] for h in det_handles]))
-            for k in det_handles[0]
-        }
-        rec_out = [
-            np.asarray(jnp.concatenate([h[j] for h in rec_handles]))
-            for j in range(len(rec_handles[0]))
-        ]
-        return det_out, rec_out
-
-    run_once()  # compile
-    # best-of-3: the tunneled chip is shared, single runs are noisy
-    best = float("inf")
-    for _ in range(3):
-        tic = time.perf_counter()
-        run_once()
-        best = min(best, time.perf_counter() - tic)
-    return PAGES / best
+    GLOBAL_TRACER.reset()
+    tic = time.perf_counter()
+    out = doc(pdf, parse_method="ocr")
+    dt = time.perf_counter() - tic
+    assert out.markdown  # produced real output
+    report = {
+        k: v.get("ms_per_item", 0.0) for k, v in stage_report().items()
+    }
+    return PAGES / dt, report
 
 
 def _bench_torch_reference() -> float | None:
-    """Reference torch nets (same architectures) on CPU as the baseline."""
+    """Reference torch det+rec on CPU over a comparable page workload."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     try:
         import refnets
@@ -182,21 +132,23 @@ def _bench_torch_reference() -> float | None:
 
     det = Det().eval()
     rec = Rec().eval()
-    # measure a reduced workload and extrapolate (CPU is slow)
-    pages = max(2, PAGES // 8)
-    crops = pages * CROPS_PER_PAGE
+    det_hw = (192, 192) if TINY else (960, 960)
+    rec_hw = (48, 80) if TINY else (48, 320)
+    crops_per_page = 4 if TINY else 24
+    pages = max(1, PAGES // 8)  # reduced workload, extrapolated
+    crops = pages * crops_per_page
     rng = np.random.default_rng(0)
     det_x = torch.from_numpy(
-        rng.standard_normal((pages, 3, *DET_HW), dtype=np.float32)
+        rng.standard_normal((pages, 3, *det_hw), dtype=np.float32)
     )
     rec_x = torch.from_numpy(
-        rng.standard_normal((crops, 3, *REC_HW), dtype=np.float32)
+        rng.standard_normal((crops, 3, *rec_hw), dtype=np.float32)
     )
     with torch.no_grad():
         det(det_x[:1])  # warm
         tic = time.perf_counter()
-        for i in range(0, pages, 4):
-            det(det_x[i : i + 4])
+        for i in range(0, pages, 2):
+            det(det_x[i : i + 2])
         for i in range(0, crops, 32):
             rec(rec_x[i : i + 32])
         dt = time.perf_counter() - tic
@@ -204,21 +156,25 @@ def _bench_torch_reference() -> float | None:
 
 
 def main() -> None:
-    jax_pps = _bench_jax()
+    pps, stages = _bench_e2e()
     base_pps = None
     if not os.environ.get("RAPIDDOC_BENCH_SKIP_BASELINE"):
         try:
             base_pps = _bench_torch_reference()
         except Exception:
             base_pps = None
-    vs = round(jax_pps / base_pps, 3) if base_pps else None
+    vs = round(pps / base_pps, 3) if base_pps else None
     print(
         json.dumps(
             {
-                "metric": "ocr_device_path_throughput",
-                "value": round(jax_pps, 3),
+                "metric": "e2e_ocr_pages_per_sec",
+                "value": round(pps, 3),
                 "unit": "pages/sec/chip",
                 "vs_baseline": vs,
+                "stage_ms_per_page": {
+                    k: round(v, 1) for k, v in (stages or {}).items()
+                },
+                "pages": PAGES,
             }
         )
     )
