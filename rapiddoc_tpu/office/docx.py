@@ -144,6 +144,149 @@ def _is_list_para(p) -> bool:
     return ppr is not None and ppr.find(q("w:numPr")) is not None
 
 
+def _num_pr(p) -> tuple[str, int] | None:
+    """(numId, ilvl) of a numbered paragraph."""
+    ppr = p.find(q("w:pPr"))
+    if ppr is None:
+        return None
+    npr = ppr.find(q("w:numPr"))
+    if npr is None:
+        return None
+    nid = npr.find(q("w:numId"))
+    ilvl = npr.find(q("w:ilvl"))
+    if nid is None:
+        return None
+    try:
+        return nid.get(q("w:val"), "0"), int(
+            ilvl.get(q("w:val"), "0") if ilvl is not None else 0
+        )
+    except ValueError:
+        return None
+
+
+def _load_numbering(z: zipfile.ZipFile) -> dict[str, dict[int, tuple[str, str]]]:
+    """word/numbering.xml -> numId -> {ilvl: (numFmt, lvlText)}
+    (reference: docx_converter numbering handling)."""
+    if "word/numbering.xml" not in z.namelist():
+        return {}
+    try:
+        root = ET.fromstring(z.read("word/numbering.xml"))
+    except ET.ParseError:
+        return {}
+    abstract: dict[str, dict[int, tuple[str, str]]] = {}
+    for an in root.findall(q("w:abstractNum")):
+        aid = an.get(q("w:abstractNumId"))
+        lvls: dict[int, tuple[str, str]] = {}
+        for lvl in an.findall(q("w:lvl")):
+            try:
+                i = int(lvl.get(q("w:ilvl"), "0"))
+            except ValueError:
+                continue
+            fmt_el = lvl.find(q("w:numFmt"))
+            txt_el = lvl.find(q("w:lvlText"))
+            fmt = fmt_el.get(q("w:val"), "decimal") if fmt_el is not None else "decimal"
+            txt = txt_el.get(q("w:val"), "") if txt_el is not None else ""
+            lvls[i] = (fmt, txt)
+        if aid is not None:
+            abstract[aid] = lvls
+    out: dict[str, dict[int, tuple[str, str]]] = {}
+    for num in root.findall(q("w:num")):
+        nid = num.get(q("w:numId"))
+        ref = num.find(q("w:abstractNumId"))
+        if nid is not None and ref is not None:
+            out[nid] = abstract.get(ref.get(q("w:val"), ""), {})
+    return out
+
+
+def _roman(n: int) -> str:
+    vals = [(1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+            (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+            (5, "v"), (4, "iv"), (1, "i")]
+    out = []
+    for v, s in vals:
+        while n >= v:
+            out.append(s)
+            n -= v
+    return "".join(out)
+
+
+def _format_marker(fmt: str, n: int, lvl_text: str) -> str:
+    """Render the list marker for one numFmt + counter value."""
+    if fmt == "bullet":
+        return "-"
+    if fmt == "decimal":
+        body = str(n)
+    elif fmt == "lowerLetter":
+        body = chr(ord("a") + (n - 1) % 26)
+    elif fmt == "upperLetter":
+        body = chr(ord("A") + (n - 1) % 26)
+    elif fmt == "lowerRoman":
+        body = _roman(n)
+    elif fmt == "upperRoman":
+        body = _roman(n).upper()
+    else:
+        body = str(n)
+    # lvlText like "%1." / "(%1)" templates the marker
+    if lvl_text and "%" in lvl_text:
+        import re as _re
+
+        return _re.sub(r"%\d", body, lvl_text)
+    return f"{body}."
+
+
+class _NumberingState:
+    """Per-document list counters with deeper-level resets."""
+
+    def __init__(self, numbering: dict):
+        self.numbering = numbering
+        self.counters: dict[tuple[str, int], int] = {}
+
+    def marker(self, num_id: str, ilvl: int) -> str:
+        key = (num_id, ilvl)
+        self.counters[key] = self.counters.get(key, 0) + 1
+        # restarting a level resets deeper levels
+        for (nid, lv) in list(self.counters):
+            if nid == num_id and lv > ilvl:
+                del self.counters[(nid, lv)]
+        fmt, lvl_text = self.numbering.get(num_id, {}).get(
+            ilvl, ("bullet", "")
+        )
+        return _format_marker(fmt, self.counters[key], lvl_text)
+
+
+def _load_notes(z: zipfile.ZipFile, part: str, tag: str) -> dict[str, str]:
+    """word/footnotes.xml or endnotes.xml -> id -> text."""
+    if part not in z.namelist():
+        return {}
+    try:
+        root = ET.fromstring(z.read(part))
+    except ET.ParseError:
+        return {}
+    rels = _load_rels(z, part)
+    out = {}
+    for note in root.findall(q(tag)):
+        nid = note.get(q("w:id"))
+        if nid is None or int(nid) < 1:  # separators use ids <= 0
+            continue
+        text = "\n".join(
+            _para_text(p, rels) for p in note.findall(q("w:p"))
+        ).strip()
+        if text:
+            out[nid] = text
+    return out
+
+
+def _note_refs(p) -> list[tuple[str, str]]:
+    """(kind, id) for footnote/endnote references inside a paragraph."""
+    out = []
+    for el in p.iter():
+        if el.tag == q("w:footnoteReference"):
+            out.append(("footnote", el.get(q("w:id"), "")))
+        elif el.tag == q("w:endnoteReference"):
+            out.append(("endnote", el.get(q("w:id"), "")))
+    return out
+
+
 def _table_to_html(tbl, rels: dict[str, str]) -> str:
     rows_html = []
     vmerge_tracker: dict[int, int] = {}
@@ -161,9 +304,14 @@ def _table_to_html(tbl, rels: dict[str, str]) -> str:
                 vm = tcpr.find(q("w:vMerge"))
                 if vm is not None:
                     vmerge = vm.get(q("w:val"), "continue")
-            text = "\n".join(
-                _para_text(p, rels) for p in tc.findall(q("w:p"))
-            ).strip()
+            parts = [
+                esc(_para_text(p, rels)) for p in tc.findall(q("w:p"))
+            ]
+            # nested tables render inline inside their cell (pre-escaped)
+            parts.extend(
+                _table_to_html(sub, rels) for sub in tc.findall(q("w:tbl"))
+            )
+            text = "\n".join(x for x in parts if x).strip()
             if vmerge == "continue":
                 vmerge_tracker[col] = vmerge_tracker.get(col, 1) + 1
                 col += colspan
@@ -188,7 +336,7 @@ def _table_to_html(tbl, rels: dict[str, str]) -> str:
                 rowspan += 1
             if rowspan > 1 and "rowspan" not in attrs:
                 attrs += f' rowspan="{rowspan}"'
-            tds.append(f"<td{attrs}>{esc(text)}</td>")
+            tds.append(f"<td{attrs}>{text}</td>")  # cell text pre-escaped
         html_rows.append("<tr>" + "".join(tds) + "</tr>")
     return "<table>" + "".join(html_rows) + "</table>"
 
@@ -200,6 +348,10 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
             raise ValueError("invalid docx: no word/document.xml")
         rels = _load_rels(z, "word/document.xml")
         headings = _style_headings(z)
+        numbering = _NumberingState(_load_numbering(z))
+        footnotes = _load_notes(z, "word/footnotes.xml", "w:footnote")
+        endnotes = _load_notes(z, "word/endnotes.xml", "w:endnote")
+        used_notes: list[tuple[str, str]] = []
         root = ET.fromstring(z.read("word/document.xml"))
         body = root.find(q("w:body"))
         if body is None:
@@ -208,13 +360,21 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
 
         def flush_list():
             if pending_list:
-                result.add_text("\n".join(f"- {t}" for t in pending_list))
+                result.add_text("\n".join(pending_list))
                 pending_list.clear()
 
         for el in body:
             if el.tag == q("w:p"):
                 maths = _para_math(el)
                 text = _para_text(el, rels)
+                # footnote/endnote references render as [^n] markers
+                for kind, nid in _note_refs(el):
+                    notes = footnotes if kind == "footnote" else endnotes
+                    if nid in notes:
+                        if (kind, nid) not in used_notes:
+                            used_notes.append((kind, nid))
+                        idx = used_notes.index((kind, nid)) + 1
+                        text += f"[^{idx}]"
                 images = _para_images(el, rels, z)
                 ppr = el.find(q("w:pPr"))
                 style = None
@@ -231,7 +391,13 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                     flush_list()
                     result.add_title(text, level)
                 elif _is_list_para(el) and text.strip():
-                    pending_list.append(text.strip())
+                    npr = _num_pr(el)
+                    if npr is not None:
+                        marker = numbering.marker(*npr)
+                        indent = "  " * npr[1]
+                    else:
+                        marker, indent = "-", ""
+                    pending_list.append(f"{indent}{marker} {text.strip()}")
                 else:
                     flush_list()
                     if text.strip():
@@ -250,4 +416,7 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 flush_list()
                 result.add_table(_table_to_html(el, rels))
         flush_list()
+        for i, (kind, nid) in enumerate(used_notes, 1):
+            notes = footnotes if kind == "footnote" else endnotes
+            result.add_text(f"[^{i}]: {notes[nid]}")
     return result

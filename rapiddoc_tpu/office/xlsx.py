@@ -41,8 +41,100 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     return out
 
 
-def _cell_value(c, shared: list[str]) -> str:
+_BUILTIN_DATE_FMTS = set(range(14, 23)) | {27, 30, 36, 45, 46, 47}
+_BUILTIN_PERCENT_FMTS = {9, 10}
+
+
+def _load_styles(z: zipfile.ZipFile) -> list[str]:
+    """styles.xml -> per-style kind: '' | 'date' | 'percent' (reference:
+    xlsx_converter number-format handling)."""
+    if "xl/styles.xml" not in z.namelist():
+        return []
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(z.read("xl/styles.xml"))
+    except ET.ParseError:
+        return []
+    custom: dict[int, str] = {}
+    fmts = root.find(f"{{{S}}}numFmts")
+    if fmts is not None:
+        for f in fmts.findall(f"{{{S}}}numFmt"):
+            try:
+                custom[int(f.get("numFmtId", "-1"))] = f.get(
+                    "formatCode", ""
+                )
+            except ValueError:
+                pass
+    kinds: list[str] = []
+    xfs = root.find(f"{{{S}}}cellXfs")
+    if xfs is None:
+        return []
+    for xf in xfs.findall(f"{{{S}}}xf"):
+        try:
+            fid = int(xf.get("numFmtId", "0"))
+        except ValueError:
+            fid = 0
+        if fid in _BUILTIN_DATE_FMTS:
+            kinds.append("date")
+        elif fid in _BUILTIN_PERCENT_FMTS:
+            kinds.append("percent")
+        elif fid in custom:
+            code = custom[fid].lower()
+            stripped = code.split(";")[0]
+            if "%" in stripped:
+                kinds.append("percent")
+            elif any(ch in stripped for ch in "ymd") and '"' not in stripped:
+                kinds.append("date")
+            else:
+                kinds.append("")
+        else:
+            kinds.append("")
+    return kinds
+
+
+def _excel_date(serial: float) -> str:
+    """Excel 1900-epoch serial -> ISO date (with the Lotus leap bug)."""
+    import datetime
+
+    days = int(serial)
+    if days >= 60:
+        days -= 1  # Excel pretends 1900-02-29 existed
+    base = datetime.date(1899, 12, 31)
+    try:
+        d = base + datetime.timedelta(days=days)
+    except OverflowError:
+        return str(serial)
+    frac = serial - int(serial)
+    if frac > 1e-9:
+        secs = round(frac * 86400)
+        return f"{d.isoformat()} {secs // 3600:02d}:{secs % 3600 // 60:02d}"
+    return d.isoformat()
+
+
+def _cell_value(c, shared: list[str], styles: list[str] | None = None) -> str:
     ctype = c.get("t", "n")
+    kind = ""
+    if styles and ctype == "n":
+        try:
+            si = int(c.get("s", "-1"))
+            kind = styles[si] if 0 <= si < len(styles) else ""
+        except ValueError:
+            kind = ""
+    if kind:
+        v = c.find(f"{{{S}}}v")
+        if v is not None and v.text:
+            try:
+                f = float(v.text)
+                if kind == "date" and f > 0:
+                    return _excel_date(f)
+                if kind == "percent":
+                    p = f * 100
+                    return (
+                        f"{int(p)}%" if p == int(p) else f"{p:g}%"
+                    )
+            except ValueError:
+                pass
     if ctype == "s":
         v = c.find(f"{{{S}}}v")
         try:
@@ -67,7 +159,8 @@ def _cell_value(c, shared: list[str]) -> str:
         return text
 
 
-def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str]) -> str | None:
+def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str],
+                   styles: list[str] | None = None) -> str | None:
     root = ET.fromstring(z.read(path))
     data = root.find(f"{{{S}}}sheetData")
     if data is None:
@@ -78,7 +171,7 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str]) -> str | No
         for c in row.findall(f"{{{S}}}c"):
             ref = c.get("r", "A1")
             r, col = _row_of(ref), _col_to_idx(ref)
-            val = _cell_value(c, shared)
+            val = _cell_value(c, shared, styles)
             if val != "":
                 grid[(r, col)] = val
                 max_r, max_c = max(max_r, r), max(max_c, col)
@@ -125,6 +218,7 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
     result = OfficeResult()
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         shared = _shared_strings(z)
+        styles = _load_styles(z)
         sheets: list[tuple[str, str]] = []
         if "xl/workbook.xml" in z.namelist():
             wb_rels = _load_rels(z, "xl/workbook.xml")
@@ -147,7 +241,7 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
             ]
         result.n_pages = max(len(sheets), 1)
         for page_idx, (name, path) in enumerate(sheets):
-            html = _sheet_to_html(z, path, shared)
+            html = _sheet_to_html(z, path, shared, styles)
             if html:
                 result.add_title(name, level=2, page=page_idx)
                 result.add_table(html, page=page_idx)

@@ -1,0 +1,153 @@
+"""docx converter depth: numbering.xml list formats, footnotes/endnotes,
+nested tables (reference: rapid_doc/model/docx/docx_converter.py scope)."""
+import io
+import zipfile
+
+from rapiddoc_tpu.office.docx import docx_to_blocks
+
+W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+CONTENT_TYPES = (
+    '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+    'package/2006/content-types"><Default Extension="xml" ContentType="app'
+    'lication/xml"/></Types>'
+)
+
+NUMBERING = f"""<?xml version="1.0"?>
+<w:numbering {W}>
+  <w:abstractNum w:abstractNumId="0">
+    <w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/><w:lvlText w:val="%1."/></w:lvl>
+    <w:lvl w:ilvl="1"><w:numFmt w:val="lowerLetter"/><w:lvlText w:val="%2)"/></w:lvl>
+  </w:abstractNum>
+  <w:abstractNum w:abstractNumId="1">
+    <w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/><w:lvlText w:val=""/></w:lvl>
+  </w:abstractNum>
+  <w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>
+  <w:num w:numId="2"><w:abstractNumId w:val="1"/></w:num>
+</w:numbering>"""
+
+FOOTNOTES = f"""<?xml version="1.0"?>
+<w:footnotes {W}>
+  <w:footnote w:id="-1"><w:p><w:r><w:t>sep</w:t></w:r></w:p></w:footnote>
+  <w:footnote w:id="1"><w:p><w:r><w:t>the footnote body</w:t></w:r></w:p></w:footnote>
+</w:footnotes>"""
+
+
+def _p(text, num=None, ilvl=0):
+    npr = (
+        f'<w:pPr><w:numPr><w:ilvl w:val="{ilvl}"/>'
+        f'<w:numId w:val="{num}"/></w:numPr></w:pPr>'
+        if num
+        else ""
+    )
+    return f"<w:p>{npr}<w:r><w:t>{text}</w:t></w:r></w:p>"
+
+
+def make_docx(body_xml: str, extra_parts: dict | None = None) -> bytes:
+    doc = f'<?xml version="1.0"?><w:document {W}><w:body>{body_xml}</w:body></w:document>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", CONTENT_TYPES)
+        z.writestr("word/document.xml", doc)
+        for name, data in (extra_parts or {}).items():
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def _texts(result) -> str:
+    return "\n".join(
+        x for b in result.blocks for x in (b.text, b.html) if x
+    )
+
+
+def test_numbered_lists_with_formats_and_levels():
+    body = (
+        _p("first", num=1) + _p("second", num=1)
+        + _p("subitem", num=1, ilvl=1)
+        + _p("third", num=1)
+        + _p("bullet item", num=2)
+    )
+    res = docx_to_blocks(
+        make_docx(body, {"word/numbering.xml": NUMBERING})
+    )
+    text = _texts(res)
+    assert "1. first" in text
+    assert "2. second" in text
+    assert "a) subitem" in text
+    assert "3. third" in text
+    assert "- bullet item" in text
+
+
+def test_footnotes_render_markers_and_body():
+    body = (
+        "<w:p><w:r><w:t>claim</w:t></w:r>"
+        '<w:r><w:footnoteReference w:id="1"/></w:r></w:p>'
+    )
+    res = docx_to_blocks(
+        make_docx(body, {"word/footnotes.xml": FOOTNOTES})
+    )
+    text = _texts(res)
+    assert "claim[^1]" in text
+    assert "[^1]: the footnote body" in text
+    assert "sep" not in text  # separator pseudo-footnotes skipped
+
+
+def test_nested_table_renders_inline():
+    inner = (
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl>"
+    )
+    body = (
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>"
+        + inner
+        + "</w:tc></w:tr></w:tbl>"
+    )
+    res = docx_to_blocks(make_docx(body))
+    html = _texts(res)
+    assert html.count("<table>") == 2
+    assert "outer" in html and "inner" in html
+
+
+def test_xlsx_date_and_percent_formats():
+    """styles.xml numFmt -> serial dates as ISO, fractions as percent."""
+    from rapiddoc_tpu.office.xlsx import xlsx_to_blocks
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{S}" xmlns:r="{R}">'
+        '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxml'
+        'formats.org/package/2006/relationships"><Relationship Id="rId1" '
+        'Type="x" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    styles = (
+        f'<?xml version="1.0"?><styleSheet xmlns="{S}"><cellXfs count="3">'
+        '<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="10"/>'
+        "</cellXfs></styleSheet>"
+    )
+    # 45658 = 2025-01-01 ; 0.375 with percent style -> 37.5%
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{S}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" s="1"><v>45658</v></c>'
+        '<c r="B1" s="2"><v>0.375</v></c>'
+        '<c r="C1"><v>7</v></c>'
+        "</row></sheetData></worksheet>"
+    )
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    res = xlsx_to_blocks(buf.getvalue())
+    html = "\n".join(b.html for b in res.blocks if b.html)
+    assert "2025-01-01" in html
+    assert "37.5%" in html
+    assert "<td>7</td>" in html
