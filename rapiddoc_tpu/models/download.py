@@ -169,6 +169,22 @@ REGISTRY: dict[str, ModelAsset] = {
         "ef940037471c49f5d35ba2b1d9df9a19eabddf03f1689026d2a5bcab5efe577b",
         None,
     ),
+    # ---- orientation + seal det (bundled in the reference wheel
+    # resources/, published via the RapidAI modelscope repos; no SHA in
+    # the reference tree)
+    "orientation_cls": ModelAsset(
+        "rapid_orientation.onnx",
+        f"{_MS}/RapidStructure/resolve/master/rapid_orientation.onnx",
+        None,
+        None,
+    ),
+    "seal_det": ModelAsset(
+        "pp-ocrv4_mobile_seal_det.onnx",
+        f"{_MS}/RapidOCR/resolve/master/onnx/PP-OCRv4/det/"
+        "pp-ocrv4_mobile_seal_det.onnx",
+        None,
+        None,
+    ),
     # ---- rec character dict (the reference ships it in its wheel
     # resources/; reference rapid_ocr.py:119-120)
     "ocr_dict_v6_small": ModelAsset(

@@ -67,6 +67,51 @@ class OrientationClassifier:
         return [ANGLES[int(p.argmax())] for p in probs]
 
 
+class OnnxOrientationClassifier:
+    """Published rapid_orientation.onnx via the JAX ONNX interpreter
+    (reference: rapid_orientation/main — resize_short 256, center crop
+    224, ImageNet norm; label order from the model's metadata)."""
+
+    def __init__(self, path):
+        from ...engine.onnx_jax import OnnxJaxFunction
+        from ...tools.onnx_reader import read_onnx_metadata
+
+        self.fn = OnnxJaxFunction.from_file(path)
+        meta = read_onnx_metadata(path)
+        labels = (meta.get("character") or "").splitlines()
+        self.angles = [
+            int(x) for x in labels if x.strip().isdigit()
+        ] or list(ANGLES)
+
+    @staticmethod
+    def _pre(img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        p = 256.0 / min(h, w)
+        img = cv2.resize(img, (int(round(w * p)), int(round(h * p))))
+        h, w = img.shape[:2]
+        y0, x0 = (h - 224) // 2, (w - 224) // 2
+        x = img[y0 : y0 + 224, x0 : x0 + 224].astype(np.float32) / 255.0
+        x = (x - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
+            [0.229, 0.224, 0.225], np.float32
+        )
+        return x.transpose(2, 0, 1)
+
+    def __call__(self, imgs: list[np.ndarray]) -> list[int]:
+        if not imgs:
+            return []
+        x = np.stack([self._pre(im) for im in imgs]).astype(np.float32)
+        out = np.asarray(self.fn(x)[0])
+        return [self.angles[int(r.argmax())] for r in out]
+
+
+def build_orientation_classifier(models_dir, variables=None):
+    """Published .onnx preferred; flax net (trained/random) otherwise."""
+    onnx_path = models_dir / "rapid_orientation.onnx"
+    if variables is None and onnx_path.is_file():
+        return OnnxOrientationClassifier(onnx_path)
+    return OrientationClassifier(variables)
+
+
 def should_check_orientation(img: np.ndarray) -> bool:
     """Gate: only landscape-ish pages or pages with vertical text runs are
     worth classifying (reference heuristic)."""

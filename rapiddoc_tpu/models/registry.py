@@ -171,10 +171,11 @@ def build_analyzer(
         # reference gate: USE_DOC_ORIENTATION_CLASSIFY env
         # (config_reader.py:78-133); classifier is cheap, random-init safe
         try:
-            from .orientation.engine import OrientationClassifier
+            from .orientation.engine import build_orientation_classifier
 
-            orientation = OrientationClassifier(
-                _load_variables(get_models_dir() / "orientation_cls.npz")
+            orientation = build_orientation_classifier(
+                get_models_dir(),
+                _load_variables(get_models_dir() / "orientation_cls.npz"),
             )
         except Exception:
             orientation = None

@@ -89,11 +89,20 @@ class TableRecognizer:
             "slanet": _load_variables(models_dir / "table_slanet.npz"),
             "cls": _load_variables(models_dir / "table_cls.npz"),
         }
-        if all(v is None for v in variables.values()) and not configs.get(
-            "allow_random_init", False
+        # published ONNX checkpoints run via the JAX ONNX interpreter
+        unet_onnx = models_dir / "unet.onnx"
+        paddle_cls = models_dir / "paddle_cls.onnx"
+        q_cls = models_dir / "q_cls.onnx"
+        has_onnx = any(
+            p.is_file() for p in (unet_onnx, paddle_cls, q_cls)
+        )
+        if (
+            all(v is None for v in variables.values())
+            and not has_onnx
+            and not configs.get("allow_random_init", False)
         ):
             raise FileNotFoundError("table checkpoints missing")
-        return cls(
+        rec = cls(
             TableConfig(
                 strategy=configs.get("strategy", "unet_slanet_plus"),
                 use_cls_model=variables["cls"] is not None,
@@ -107,6 +116,20 @@ class TableRecognizer:
             ),
             variables=variables,
         )
+        from .onnx_models import OnnxTableClassifier, OnnxWiredTableStructure
+
+        if variables["unet"] is None and unet_onnx.is_file():
+            logger.info("table: published unet.onnx via onnx_jax")
+            rec.wired = OnnxWiredTableStructure(unet_onnx)
+        if variables["cls"] is None and (
+            paddle_cls.is_file() or q_cls.is_file()
+        ):
+            logger.info("table: published cls .onnx via onnx_jax")
+            rec.classifier = OnnxTableClassifier(
+                paddle_cls if paddle_cls.is_file() else None,
+                q_cls if q_cls.is_file() else None,
+            )
+        return rec
 
     def batch_predict(
         self, crops: list[np.ndarray],

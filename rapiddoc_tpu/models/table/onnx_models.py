@@ -1,0 +1,119 @@
+"""Published-ONNX table models through the JAX ONNX interpreter.
+
+Wires the published checkpoints the registry pins (models/download.py:
+unet.onnx, paddle_cls.onnx, q_cls.onnx) with the reference IO contracts:
+paddle_cls 256-short-resize + 224 center crop + ImageNet norm
+(reference: table_cls/main.py:85-130), q_cls gray->3ch PIL 224 resize
+(:137-165), PADDLE_Q_CLS consensus = wired only when both agree (:53-66);
+UNET 1024x1024, 0-255-scale mean/std norm, class map {1: horizontal
+lines, 2: vertical lines} (reference: table_structure/unet/main.py:38-97).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from ...utils.logging import get_logger
+from .unet import cells_to_grid, extract_cells_from_mask
+
+logger = get_logger("rapiddoc_tpu.table.onnx")
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+_UNET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+_UNET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def _load(path: Path):
+    from ...engine.onnx_jax import OnnxJaxFunction
+
+    return OnnxJaxFunction.from_file(path)
+
+
+class OnnxTableClassifier:
+    """paddle_cls (+ q_cls consensus when both checkpoints exist)."""
+
+    def __init__(self, paddle_path: Path | None, q_path: Path | None):
+        self.paddle = _load(paddle_path) if paddle_path else None
+        self.q = _load(q_path) if q_path else None
+
+    @staticmethod
+    def _paddle_pre(img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        p = 256.0 / min(h, w)
+        img = cv2.resize(img, (int(round(w * p)), int(round(h * p))),
+                         interpolation=cv2.INTER_LANCZOS4)
+        h, w = img.shape[:2]
+        y0, x0 = (h - 224) // 2, (w - 224) // 2
+        img = img[y0 : y0 + 224, x0 : x0 + 224]
+        x = img.astype(np.float32) / 255.0
+        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        return x.transpose(2, 0, 1)
+
+    @staticmethod
+    def _q_pre(img: np.ndarray) -> np.ndarray:
+        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        img3 = np.stack((gray,) * 3, axis=-1)
+        img3 = cv2.resize(img3, (224, 224))
+        x = img3.astype(np.float32) / 255.0
+        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        return x.transpose(2, 0, 1)
+
+    @staticmethod
+    def _labels(logits: np.ndarray) -> list[str]:
+        return ["wired" if r.argmax() == 0 else "wireless" for r in logits]
+
+    def __call__(self, imgs: list[np.ndarray]) -> list[str]:
+        if not imgs:
+            return []
+        labels = None
+        if self.paddle is not None:
+            x = np.stack([self._paddle_pre(im) for im in imgs]).astype(
+                np.float32
+            )
+            labels = self._labels(np.asarray(self.paddle(x)[0]))
+        if self.q is not None:
+            xq = np.stack([self._q_pre(im) for im in imgs]).astype(np.float32)
+            q_labels = self._labels(np.asarray(self.q(xq)[0]))
+            if labels is None:
+                labels = q_labels
+            else:
+                # consensus: disagreement falls back to wireless
+                labels = [
+                    a if a == b else "wireless"
+                    for a, b in zip(labels, q_labels)
+                ]
+        return labels or ["wireless"] * len(imgs)
+
+
+class OnnxWiredTableStructure:
+    """unet.onnx: 1024 class map -> line mask -> cells/grid (host)."""
+
+    INPUT = 1024
+
+    def __init__(self, path: Path):
+        self.fn = _load(path)
+
+    def batch(
+        self, imgs: list[np.ndarray]
+    ) -> list[tuple[list[list[float]], list]]:
+        out = []
+        for img in imgs:
+            resized = cv2.resize(img, (self.INPUT, self.INPUT))
+            x = resized.astype(np.float32)
+            x = (x - _UNET_MEAN) / _UNET_STD
+            pred = np.asarray(
+                self.fn(x.transpose(2, 0, 1)[None].astype(np.float32))[0]
+            )
+            pred = pred.reshape(pred.shape[-2], pred.shape[-1])
+            mask = (pred > 0).astype(np.float32)
+            cells = extract_cells_from_mask(mask)
+            h, w = img.shape[:2]
+            sx, sy = w / self.INPUT, h / self.INPUT
+            scaled = [
+                [c[0] * sx, c[1] * sy, c[2] * sx, c[3] * sy] for c in cells
+            ]
+            out.append((scaled, cells_to_grid(cells)))
+        return out

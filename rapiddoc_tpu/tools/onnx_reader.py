@@ -311,3 +311,22 @@ def read_onnx_model(path: str | Path) -> OnnxModel:
             model.input_names.append(vname)
             model.input_shapes[vname] = shape
     return model
+
+
+def read_onnx_metadata(path: str | Path) -> dict[str, str]:
+    """ModelProto.metadata_props (field 14) -> {key: value}. The published
+    orientation checkpoint stores its label list here (reference:
+    rapid_orientation.py:39 session.get_metadata()['character'])."""
+    buf = Path(path).read_bytes()
+    out: dict[str, str] = {}
+    for field, wire, val in _fields(buf):
+        if field == 14 and wire == 2:
+            key = value = ""
+            for kf, kw, kv in _fields(val):
+                if kf == 1 and kw == 2:
+                    key = kv.decode("utf-8", "replace")
+                elif kf == 2 and kw == 2:
+                    value = kv.decode("utf-8", "replace")
+            if key:
+                out[key] = value
+    return out

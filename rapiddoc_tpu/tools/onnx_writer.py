@@ -141,3 +141,12 @@ def build_model(
     model += _len_field(8, opset_proto)
     model += _len_field(7, bytes(graph))
     return bytes(model)
+
+
+def build_model_with_metadata(model_bytes: bytes, metadata: dict) -> bytes:
+    """Append ModelProto.metadata_props (field 14) entries."""
+    out = bytearray(model_bytes)
+    for k, v in metadata.items():
+        entry = _len_field(1, k.encode()) + _len_field(2, v.encode())
+        out += _len_field(14, entry)
+    return bytes(out)

@@ -126,3 +126,72 @@ def test_onnx_layout_sml_inline_formula(tmp_path):
     by_label = {d["original_label"]: d for d in out}
     assert by_label["formula"]["category_id"] == CategoryId.InlineEquation
     assert all(d["original_order"] == -1 for d in out)
+
+
+def _tied_const_graph(tmp_path, name, out_specs, consts, in_shape,
+                      metadata=None):
+    """Graph whose constant outputs are tied to the input (not folded)."""
+    from rapiddoc_tpu.tools import onnx_writer as w
+
+    nodes = [
+        w.encode_node("ReduceMean", ["x"], ["m"], {"keepdims": 0}),
+        w.encode_node("Mul", ["m", "zero"], ["z"]),
+    ]
+    inits = {"zero": np.asarray(0.0, np.float32)}
+    for out_name, arr in consts.items():
+        nodes.append(w.encode_node("Add", [f"{out_name}_c", "z"], [out_name]))
+        inits[f"{out_name}_c"] = arr
+    data = w.build_model(nodes, {"x": in_shape}, out_specs, inits)
+    if metadata:
+        data = w.build_model_with_metadata(data, metadata)
+    p = tmp_path / name
+    p.write_bytes(data)
+    return p
+
+
+def test_onnx_table_classifier_consensus(tmp_path):
+    from rapiddoc_tpu.models.table.onnx_models import OnnxTableClassifier
+
+    wired = np.asarray([[5.0, 0.0]], np.float32)
+    wireless = np.asarray([[0.0, 5.0]], np.float32)
+    p1 = _tied_const_graph(tmp_path, "paddle_cls.onnx", {"y": (1, 2)},
+                           {"y": wired}, (1, 3, 224, 224))
+    p2 = _tied_const_graph(tmp_path, "q_cls.onnx", {"y": (1, 2)},
+                           {"y": wireless}, (1, 3, 224, 224))
+    img = np.full((300, 400, 3), 255, np.uint8)
+    assert OnnxTableClassifier(p1, None)([img]) == ["wired"]
+    assert OnnxTableClassifier(None, p2)([img]) == ["wireless"]
+    # disagreement -> wireless (reference PADDLE_Q_CLS consensus)
+    assert OnnxTableClassifier(p1, p2)([img]) == ["wireless"]
+
+
+def test_onnx_orientation_with_metadata_labels(tmp_path):
+    from rapiddoc_tpu.models.orientation.engine import OnnxOrientationClassifier
+
+    logits = np.zeros((1, 4), np.float32)
+    logits[0, 2] = 9.0  # third label
+    p = _tied_const_graph(
+        tmp_path, "rapid_orientation.onnx", {"y": (1, 4)}, {"y": logits},
+        (1, 3, 224, 224), metadata={"character": "0\n90\n180\n270"},
+    )
+    cls = OnnxOrientationClassifier(p)
+    assert cls([np.full((400, 300, 3), 255, np.uint8)]) == [180]
+
+
+def test_onnx_wired_table_structure(tmp_path):
+    from rapiddoc_tpu.models.table.onnx_models import OnnxWiredTableStructure
+
+    # class map with a 3x3 line lattice at 1024^2 (h=1, v=2)
+    pred = np.zeros((1, 1024, 1024), np.int64)
+    for y in (64, 480, 960):
+        pred[0, y - 3 : y + 3, 64:960] = 1
+    for x in (64, 512, 960):
+        pred[0, 64:960, x - 3 : x + 3] = 2
+    p = _tied_const_graph(
+        tmp_path, "unet.onnx", {"y": (1, 1024, 1024)},
+        {"y": pred.astype(np.float32)}, (1, 3, 1024, 1024),
+    )
+    wired = OnnxWiredTableStructure(p)
+    cells, grid = wired.batch([np.full((512, 512, 3), 255, np.uint8)])[0]
+    assert len(cells) == 4  # 2x2 lattice
+    assert max(g[0] for g in grid) == 1 and max(g[1] for g in grid) == 1
