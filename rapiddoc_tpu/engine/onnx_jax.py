@@ -9,9 +9,12 @@ statically at trace time, and XLA fuses the rest. This runs any published
 static-graph .onnx (layout RT-DETR family, UNET, table/orientation
 classifiers, seal det, magika) without a hand-written per-model key map.
 
-Not supported (by design): Loop/If/Scan control flow — the AR models
-(formula, SLANet) have dedicated flax implementations with KV-cached
-lax.while_loop decodes instead, which is the TPU-correct structure.
+Control flow: If lowers to lax.cond (or resolves at trace time when the
+condition is static); Loop lowers to lax.while_loop with a static max trip
+count and preallocated scan buffers (see op_Loop). The in-house AR models
+(formula, SLANet) still use dedicated flax implementations with KV-cached
+lax.while_loop decodes — the TPU-correct structure — but published AR
+ONNX exports now also run unmodified.
 
 Dynamic batch/size dims in graph inputs are fixed per call-site shape
 bucket (the pipeline's anti-recompile strategy), so every Shape op yields
@@ -61,20 +64,36 @@ class _Executor:
         env: dict[str, Any] = {"": None}
         env.update(params)
         env.update(inputs)
-        for node in self.model.nodes:
+        return self._exec(self.model, env)
+
+    def _exec(self, graph, env: dict):
+        """Execute a node list against an environment (shared by the top
+        graph and If/Loop subgraphs; subgraph envs overlay the outer scope
+        per ONNX name-capture semantics)."""
+        for node in graph.nodes:
             handler = getattr(self, f"op_{node.op_type}", None)
             if handler is None:
                 raise NotImplementedError(
                     f"ONNX op {node.op_type!r} not supported "
                     f"(node {node.name!r})"
                 )
+            self._env = env  # current scope, for subgraph-bearing ops
             vals = handler(node, [env[i] for i in node.inputs])
             if not isinstance(vals, (tuple, list)):
                 vals = (vals,)
             for out_name, val in zip(node.outputs, vals):
                 if out_name:
                     env[out_name] = val
-        return [env[o] for o in self.model.output_names]
+        return [env[o] for o in graph.output_names]
+
+    def _run_subgraph(self, graph, ins, outer_env: dict):
+        env = dict(outer_env)  # outer-scope capture
+        env[""] = None
+        for k, v in graph.initializers.items():
+            env[k] = np.asarray(v)
+        for name, v in zip(graph.input_names, ins):
+            env[name] = v
+        return self._exec(graph, env)
 
     @staticmethod
     def _static_all(xs) -> bool:
@@ -809,6 +828,105 @@ class _Executor:
             + v10 * (1 - wx) * wy
             + v11 * wx * wy
         )
+
+
+    # -- control flow -----------------------------------------------------------
+
+    def op_If(self, node, xs):
+        outer = dict(self._env)
+        then_g = node.attrs["then_branch"]
+        else_g = node.attrs["else_branch"]
+        cond = xs[0]
+        if _is_static(cond):
+            # resolved at trace time: only the taken branch is traced
+            g = then_g if bool(_np(cond)) else else_g
+            return tuple(self._run_subgraph(g, [], outer))
+
+        def make(g):
+            def branch(_):
+                outs = self._run_subgraph(g, [], outer)
+                return tuple(jnp.asarray(o) for o in outs)
+
+            return branch
+
+        return jax.lax.cond(
+            jnp.asarray(cond).reshape(()),
+            make(then_g), make(else_g), None,
+        )
+
+    def op_Loop(self, node, xs):
+        """ONNX Loop -> lax.while_loop with preallocated scan buffers.
+
+        Requires a static max trip count M (AR decoder exports bound the
+        loop by max sequence length, so this holds for the target graphs:
+        SLANet-style structure decoders). Carried values must keep fixed
+        shapes/dtypes across iterations (lax.while_loop invariant). Scan
+        outputs are stacked into length-M buffers; iterations past the
+        data-dependent exit keep their zero padding — ONNX proper truncates
+        to the trip count, so consumers see padded rows where onnxruntime
+        would see fewer. The engine's CTC/token decoders already stop at
+        EOS, so padding is benign for the decode use-case.
+        """
+        outer = dict(self._env)
+        body = node.attrs["body"]
+        m_in = xs[0] if xs else None
+        cond_in = xs[1] if len(xs) > 1 else None
+        if m_in is None or not _is_static(m_in):
+            raise NotImplementedError(
+                "Loop requires a static max trip count"
+            )
+        m = int(_np(m_in))
+        carried0 = tuple(jnp.asarray(c) for c in xs[2:])
+        n_c = len(carried0)
+        n_scan = len(node.outputs) - n_c
+        cond0 = jnp.asarray(
+            True if cond_in is None else cond_in
+        ).reshape(()).astype(bool)
+
+        def body_call(i, cond, carried):
+            outs = self._run_subgraph(body, [i, cond] + list(carried), outer)
+            cond_out = outs[0]
+            if cond_out is None:  # empty cond output name: run all M
+                cond_out = cond
+            new_carried = tuple(
+                jnp.asarray(o).astype(c.dtype)
+                for o, c in zip(outs[1 : 1 + n_c], carried)
+            )
+            scans = tuple(jnp.asarray(o) for o in outs[1 + n_c :])
+            return (
+                jnp.asarray(cond_out).reshape(()).astype(bool),
+                new_carried,
+                scans,
+            )
+
+        _, _, scan_spec = jax.eval_shape(
+            body_call, jnp.zeros((), jnp.int32), cond0, carried0
+        )
+        scan_bufs = tuple(
+            jnp.zeros((m,) + tuple(s.shape), s.dtype) for s in scan_spec
+        )
+
+        def cond_fn(state):
+            i, cond, _, _ = state
+            return (i < m) & cond
+
+        def body_fn(state):
+            i, cond, carried, bufs = state
+            cond_out, new_carried, scans = body_call(i, cond, carried)
+            bufs = tuple(
+                b.at[i].set(v) for b, v in zip(bufs, scans)
+            )
+            return i + 1, cond_out, new_carried, bufs
+
+        if m == 0:
+            final_carried, final_bufs = carried0, scan_bufs
+        else:
+            _, _, final_carried, final_bufs = jax.lax.while_loop(
+                cond_fn, body_fn,
+                (jnp.zeros((), jnp.int32), cond0, carried0, scan_bufs),
+            )
+        assert n_scan == len(final_bufs)
+        return tuple(final_carried) + tuple(final_bufs)
 
 
 class OnnxJaxFunction:

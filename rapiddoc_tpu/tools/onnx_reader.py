@@ -174,6 +174,7 @@ def _parse_attribute(buf: bytes):
     floats: list[float] = []
     ints: list[int] = []
     strings: list[bytes] = []
+    graphs: list = []
     for field, wire, val in _fields(buf):
         if field == 1 and wire == 2:
             name = val.decode("utf-8", "replace")
@@ -185,6 +186,10 @@ def _parse_attribute(buf: bytes):
             value = val.decode("utf-8", "replace")
         elif field == 5 and wire == 2:  # t (tensor)
             value = _parse_tensor(val)[1]
+        elif field == 6 and wire == 2:  # g (subgraph, for If/Loop/Scan)
+            value = _parse_graph(val)
+        elif field == 11 and wire == 2:  # graphs
+            graphs.append(_parse_graph(val))
         elif field == 7:  # floats
             if wire == 2:
                 floats.extend(
@@ -211,6 +216,8 @@ def _parse_attribute(buf: bytes):
             value = floats
         elif strings:
             value = [s.decode("utf-8", "replace") for s in strings]
+        elif graphs:
+            value = graphs
     return name, value
 
 
@@ -283,33 +290,43 @@ def _parse_node(buf: bytes) -> OnnxNode:
     return OnnxNode(op_type, inputs, outputs, attrs, name)
 
 
-def read_onnx_model(path: str | Path) -> OnnxModel:
-    """Parse nodes + initializers + IO of an .onnx file."""
-    buf = Path(path).read_bytes()
+def _parse_graph(buf: bytes) -> OnnxModel:
+    """GraphProto bytes -> OnnxModel (used for the main graph and for
+    If/Loop/Scan subgraph attributes)."""
     model = OnnxModel()
     graph_inputs: list[tuple[str, tuple]] = []
-    for field, wire, val in _fields(buf):
-        if field == 8 and wire == 2:  # opset_import
-            for of, ow, ov in _fields(val):
-                if of == 2 and ow == 0:
-                    model.opset = max(model.opset, ov)
-        if field == 7 and wire == 2:  # graph
-            for gfield, gwire, gval in _fields(val):
-                if gfield == 1 and gwire == 2:
-                    model.nodes.append(_parse_node(gval))
-                elif gfield == 5 and gwire == 2:
-                    tname, arr = _parse_tensor(gval)
-                    if tname:
-                        model.initializers[tname] = arr
-                elif gfield == 11 and gwire == 2:
-                    graph_inputs.append(_parse_value_info(gval))
-                elif gfield == 12 and gwire == 2:
-                    vname, _ = _parse_value_info(gval)
-                    model.output_names.append(vname)
+    for gfield, gwire, gval in _fields(buf):
+        if gfield == 1 and gwire == 2:
+            model.nodes.append(_parse_node(gval))
+        elif gfield == 5 and gwire == 2:
+            tname, arr = _parse_tensor(gval)
+            if tname:
+                model.initializers[tname] = arr
+        elif gfield == 11 and gwire == 2:
+            graph_inputs.append(_parse_value_info(gval))
+        elif gfield == 12 and gwire == 2:
+            vname, _ = _parse_value_info(gval)
+            model.output_names.append(vname)
     for vname, shape in graph_inputs:
         if vname not in model.initializers:
             model.input_names.append(vname)
             model.input_shapes[vname] = shape
+    return model
+
+
+def read_onnx_model(path: str | Path) -> OnnxModel:
+    """Parse nodes + initializers + IO of an .onnx file."""
+    buf = Path(path).read_bytes()
+    model = OnnxModel()
+    opset = 0
+    for field, wire, val in _fields(buf):
+        if field == 8 and wire == 2:  # opset_import
+            for of, ow, ov in _fields(val):
+                if of == 2 and ow == 0:
+                    opset = max(opset, ov)
+        if field == 7 and wire == 2:  # graph
+            model = _parse_graph(val)
+    model.opset = opset
     return model
 
 

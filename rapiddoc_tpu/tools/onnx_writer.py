@@ -61,8 +61,40 @@ def encode_tensor(name: str, arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+class SubGraph:
+    """Marks an attribute value as a GraphProto (for If/Loop/Scan).
+
+    `inputs` maps name -> shape for the subgraph's formal inputs (Loop
+    body: iter_num, cond, carried...); If branches take no inputs."""
+
+    def __init__(self, nodes, inputs=None, outputs=None, initializers=None,
+                 input_dtypes=None):
+        self.nodes = nodes
+        self.inputs = inputs or {}
+        self.outputs = outputs or {}
+        self.initializers = initializers or {}
+        self.input_dtypes = input_dtypes or {}
+
+    def encode(self) -> bytes:
+        graph = bytearray()
+        for n in self.nodes:
+            graph += _len_field(1, n)
+        for k, v in self.initializers.items():
+            graph += _len_field(5, encode_tensor(k, np.asarray(v)))
+        graph += _len_field(2, b"sub")
+        for name, shape in self.inputs.items():
+            et = self.input_dtypes.get(name, 1)
+            graph += _len_field(11, _value_info(name, shape, et))
+        for name, shape in self.outputs.items():
+            graph += _len_field(12, _value_info(name, shape))
+        return bytes(graph)
+
+
 def _encode_attribute(name: str, value) -> bytes:
     out = bytearray(_len_field(1, name.encode()))
+    if isinstance(value, SubGraph):
+        out += _len_field(6, value.encode()) + _varint_field(20, 5)  # GRAPH
+        return bytes(out)
     if isinstance(value, bool):
         out += _varint_field(3, int(value)) + _varint_field(20, 2)  # INT
     elif isinstance(value, int):

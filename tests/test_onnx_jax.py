@@ -260,3 +260,88 @@ def test_magika_real_model_detects_filetypes():
         label, score = magika_classify(Path(path).read_bytes())
         assert label == expect, (path, label)
         assert score > 0.9
+
+
+def test_if_static_and_traced_cond(tmp_path):
+    """If: static conds resolve at trace time; traced conds lower to
+    lax.cond. Branches capture outer-scope names per ONNX semantics."""
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    then_g = w.SubGraph(
+        [w.encode_node("Add", ["x", "x"], ["tb"])], outputs={"tb": (1,)}
+    )
+    else_g = w.SubGraph(
+        [w.encode_node("Mul", ["x", "x"], ["eb"])], outputs={"eb": (1,)}
+    )
+    # static cond (initializer): only the chosen branch is traced
+    for flag, expect in [(True, x + x), (False, x * x)]:
+        out = run_graph(
+            tmp_path,
+            [w.encode_node("If", ["c"], ["y"],
+                           {"then_branch": then_g, "else_branch": else_g})],
+            {"x": x.shape}, {"y": (1,)},
+            {"c": np.asarray(flag)}, [x],
+        )[0]
+        np.testing.assert_allclose(out, expect)
+    # traced cond: sum(x) > threshold, threshold fed as input
+    nodes = [
+        w.encode_node("ReduceSum", ["x"], ["s"], {"keepdims": 0}),
+        w.encode_node("Greater", ["s", "t"], ["c"]),
+        w.encode_node("If", ["c"], ["y"],
+                      {"then_branch": then_g, "else_branch": else_g}),
+    ]
+    for thresh, expect in [(0.0, x + x), (100.0, x * x)]:
+        out = run_graph(
+            tmp_path, nodes, {"x": x.shape, "t": ()}, {"y": (1,)},
+            None, [x, np.asarray(thresh, np.float32)],
+        )[0]
+        np.testing.assert_allclose(out, expect)
+
+
+def test_loop_carried_state(tmp_path):
+    """Loop with a pure carried value and always-true cond: x doubles M
+    times (the static-trip-count shape every AR export uses)."""
+    x = np.arange(4, dtype=np.float32)
+    body = w.SubGraph(
+        [
+            w.encode_node("Add", ["v", "v"], ["v2"]),
+            w.encode_node("Identity", ["cin"], ["cout"]),
+        ],
+        inputs={"it": (), "cin": (), "v": (4,)},
+        outputs={"cout": (), "v2": (1,)},
+        input_dtypes={"it": 7, "cin": 9},
+    )
+    out = run_graph(
+        tmp_path,
+        [w.encode_node("Loop", ["m", "c0", "x"], ["y"], {"body": body})],
+        {"x": x.shape}, {"y": (1,)},
+        {"m": np.asarray(5, np.int64), "c0": np.asarray(True)}, [x],
+    )[0]
+    np.testing.assert_allclose(out, x * 32)
+
+
+def test_loop_early_exit_with_scan_output(tmp_path):
+    """Data-dependent exit + scan output: s += 1 while s < 3, scanning s.
+    The while_loop stops after 3 of 6 allowed iterations; the scan buffer
+    keeps zero padding past the exit (documented divergence from
+    onnxruntime's truncate-to-trip-count)."""
+    body = w.SubGraph(
+        [
+            w.encode_node("Add", ["s", "one"], ["s2"]),
+            w.encode_node("Less", ["s2", "three"], ["cout"]),
+            w.encode_node("Identity", ["s2"], ["scan"]),
+        ],
+        inputs={"it": (), "cin": (), "s": ()},
+        outputs={"cout": (), "s2": (), "scan": ()},
+        initializers={"one": np.float32(1), "three": np.float32(3)},
+        input_dtypes={"it": 7, "cin": 9},
+    )
+    final, scans = run_graph(
+        tmp_path,
+        [w.encode_node("Loop", ["m", "c0", "s0"], ["sf", "hist"],
+                       {"body": body})],
+        {"s0": ()}, {"sf": (1,), "hist": (1,)},
+        {"m": np.asarray(6, np.int64), "c0": np.asarray(True)},
+        [np.asarray(0.0, np.float32)],
+    )
+    assert float(final) == 3.0
+    np.testing.assert_allclose(scans, [1.0, 2.0, 3.0, 0.0, 0.0, 0.0])
