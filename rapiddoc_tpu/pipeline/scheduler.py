@@ -118,6 +118,63 @@ def _looks_like_page_decoration(
     return _DIGITS_RE.sub("#", text) in repeated
 
 
+_MATH_CHARS = set("·±×÷√∞′″¯∂∇≈≠≤≥≪≫∝∈∉⊂⊃∩∪∧∨¬∀∃∅−")
+_EQ_NUMBER_RE = _re.compile(r"^\(\d{1,3}\)$")
+
+
+def _math_char_count(text: str) -> int:
+    n = 0
+    for c in text:
+        o = ord(c)
+        if (
+            c in _MATH_CHARS
+            or 0x0370 <= o <= 0x03FF  # Greek
+            or 0x2070 <= o <= 0x209F  # super/subscripts
+            or 0x2190 <= o <= 0x21FF  # arrows
+            or 0x2200 <= o <= 0x22FF  # math operators
+            or 0x27C0 <= o <= 0x27EF
+            or 0x2980 <= o <= 0x2AFF
+        ):
+            n += 1
+    return n
+
+
+def _split_math_bands(block: dict) -> list[tuple[str, list[dict]]]:
+    """Partition a native-text block's lines into ('text'|'math', lines)
+    runs. The real layout model emits displayed equations as their own
+    interline_equation regions (reference: PP-DocLayout label set); the
+    no-model txt fallback approximates that by math-glyph density so a
+    display equation embedded in a column does not glue to the paragraph
+    below it (which would then misclassify as a list in para_split).
+    Standalone "(N)" equation-number lines attach to an adjacent math run.
+    """
+    lines = block.get("lines", [])
+    kinds: list[str] = []
+    for ln in lines:
+        text = "".join(ln.get("text") or "")
+        stripped = text.replace(" ", "")
+        mc = _math_char_count(stripped)
+        ratio = mc / max(len(stripped), 1)
+        if (mc >= 3 and ratio > 0.1) or (mc >= 2 and ratio > 0.2):
+            kinds.append("math")
+        elif _EQ_NUMBER_RE.match(stripped):
+            kinds.append("eqnum")
+        else:
+            kinds.append("text")
+    for i, k in enumerate(kinds):  # attach (N) to neighboring math
+        if k == "eqnum":
+            prev_k = kinds[i - 1] if i else None
+            next_k = kinds[i + 1] if i + 1 < len(kinds) else None
+            kinds[i] = "math" if "math" in (prev_k, next_k) else "text"
+    runs: list[tuple[str, list[dict]]] = []
+    for ln, k in zip(lines, kinds):
+        if runs and runs[-1][0] == k:
+            runs[-1][1].append(ln)
+        else:
+            runs.append((k, [ln]))
+    return runs
+
+
 def _rotate_dets_back(dets: list[dict], angle: int, rot_w: int, rot_h: int) -> None:
     """Map det polys from rotated-image coords back to the original page.
 
@@ -360,24 +417,71 @@ class DocumentAnalyzer:
         repeated_decorations: set[str] | None = None,
     ) -> None:
         dets = model_info["layout_dets"]
+        math_dets: list[dict] = []
         if parse_mode == "txt" and text_dict is not None:
             page_h = float(text_dict.get("height") or 0)
             for block in text_dict.get("blocks", []):
-                x0, y0, x1, y1 = (v * scale for v in block["bbox"])
-                cat = CategoryId.Text
                 if page_h and _looks_like_page_decoration(
                     block, page_h, repeated_decorations or set()
                 ):
                     # page numbers / running headers become discarded
                     # blocks (the layout model would label header/footer)
-                    cat = CategoryId.Abandon
-                dets.append(
-                    {
-                        "category_id": cat,
+                    x0, y0, x1, y1 = (v * scale for v in block["bbox"])
+                    dets.append(
+                        {
+                            "category_id": CategoryId.Abandon,
+                            "poly": _quad_poly(x0, y0, x1, y1),
+                            "score": 1.0,
+                        }
+                    )
+                    continue
+                # math bands split from the surrounding text; they become
+                # real equation regions when the formula recognizer can
+                # produce LaTeX for them, otherwise standalone Text dets
+                # (the split alone keeps para_split's list classifier off
+                # display equations glued to a paragraph)
+                math_cat = (
+                    CategoryId.InterlineEquation_Layout
+                    if self.formula_enable and self.formula_model is not None
+                    else CategoryId.Text
+                )
+                for kind, lines in _split_math_bands(block):
+                    x0 = min(ln["bbox"][0] for ln in lines) * scale
+                    y0 = min(ln["bbox"][1] for ln in lines) * scale
+                    x1 = max(ln["bbox"][2] for ln in lines) * scale
+                    y1 = max(ln["bbox"][3] for ln in lines) * scale
+                    det = {
+                        "category_id": (
+                            math_cat if kind == "math" else CategoryId.Text
+                        ),
                         "poly": _quad_poly(x0, y0, x1, y1),
                         "score": 1.0,
                     }
-                )
+                    dets.append(det)
+                    if kind == "math":
+                        math_dets.append(det)
+            # a display equation often splits into several native blocks
+            # (lhs, stacked fraction, "(N)"); y-overlapping math dets are
+            # one equation — fuse them so the region matches what the
+            # layout model would emit
+            for a in math_dets:
+                if a not in dets:
+                    continue
+                for b in math_dets:
+                    if b is a or b not in dets:
+                        continue
+                    ay0, ay1 = a["poly"][1], a["poly"][5]
+                    by0, by1 = b["poly"][1], b["poly"][5]
+                    if min(ay1, by1) - max(ay0, by0) > 0.5 * min(
+                        ay1 - ay0, by1 - by0
+                    ):
+                        a["poly"] = _quad_poly(
+                            min(a["poly"][0], b["poly"][0]),
+                            min(ay0, by0),
+                            max(a["poly"][4], b["poly"][4]),
+                            max(ay1, by1),
+                        )
+                        dets.remove(b)
         if image_boxes:
             for box in image_boxes:
                 x0, y0, x1, y1 = (v * scale for v in box)
