@@ -93,8 +93,9 @@ class TableRecognizer:
         unet_onnx = models_dir / "unet.onnx"
         paddle_cls = models_dir / "paddle_cls.onnx"
         q_cls = models_dir / "q_cls.onnx"
+        slanet_onnx = models_dir / "slanet-plus.onnx"
         has_onnx = any(
-            p.is_file() for p in (unet_onnx, paddle_cls, q_cls)
+            p.is_file() for p in (unet_onnx, paddle_cls, q_cls, slanet_onnx)
         )
         if (
             all(v is None for v in variables.values())
@@ -116,11 +117,23 @@ class TableRecognizer:
             ),
             variables=variables,
         )
-        from .onnx_models import OnnxTableClassifier, OnnxWiredTableStructure
+        from .onnx_models import (
+            OnnxTableClassifier,
+            OnnxWiredTableStructure,
+            OnnxWirelessStructure,
+        )
 
         if variables["unet"] is None and unet_onnx.is_file():
             logger.info("table: published unet.onnx via onnx_jax")
             rec.wired = OnnxWiredTableStructure(unet_onnx)
+        strategy = configs.get("strategy", "unet_slanet_plus")
+        if (
+            variables["slanet"] is None
+            and slanet_onnx.is_file()
+            and STRATEGIES.get(strategy, (None, None))[1] == "slanet"
+        ):
+            logger.info("table: published slanet-plus.onnx via onnx_jax")
+            rec.wireless = OnnxWirelessStructure(slanet_onnx)
         if variables["cls"] is None and (
             paddle_cls.is_file() or q_cls.is_file()
         ):

@@ -117,3 +117,88 @@ class OnnxWiredTableStructure:
             ]
             out.append((scaled, cells_to_grid(cells)))
         return out
+
+
+class OnnxWirelessStructure:
+    """Published slanet-plus.onnx via onnx_jax (the AR Loop runs inside
+    the graph through the interpreter's lax.while_loop lowering).
+
+    Reference contract: table_structure/pp_structure/{main,pre_process,
+    post_process}.py — 488 keep-ratio resize + zero pad, ImageNet norm,
+    CHW; outputs (bbox_preds (B,T,8) normalized quads, structure_probs
+    (B,T,V)); character list from model metadata key 'character';
+    merge_no_span_structure vocabulary semantics; SLANet-plus bbox
+    rescale folds to quad * max(h, w). Same call contract as
+    SLANetStructure: imgs -> [(structure_tokens, cell_bboxes_px)].
+    """
+
+    INPUT = 488
+    TD_TOKENS = ("<td>", "<td", "<td></td>")
+
+    def __init__(self, path: Path):
+        from ...tools.onnx_reader import read_onnx_metadata
+
+        self.fn = _load(path)
+        chars = read_onnx_metadata(path).get("character", "").splitlines()
+        # merge_no_span_structure (reference post_process.py:15-19)
+        if "<td></td>" not in chars:
+            chars.append("<td></td>")
+        if "<td>" in chars:
+            chars.remove("<td>")
+        self.tokens = ["sos"] + chars + ["eos"]
+        self.sos_id = 0
+        self.eos_id = len(self.tokens) - 1
+
+    def _pre(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        ratio = self.INPUT / max(h, w)
+        rw = max(1, int(w * ratio))
+        rh = max(1, int(h * ratio))
+        resized = cv2.resize(img, (rw, rh)).astype(np.float32) / 255.0
+        norm = (resized - _IMAGENET_MEAN) / _IMAGENET_STD
+        canvas = np.zeros((self.INPUT, self.INPUT, 3), np.float32)
+        canvas[:rh, :rw] = norm
+        return canvas.transpose(2, 0, 1)
+
+    def __call__(
+        self, imgs: list[np.ndarray], max_len: int | None = None
+    ) -> list[tuple[list[str], list[list[float]]]]:
+        if not imgs:
+            return []
+        n = len(imgs)
+        batch = np.stack([self._pre(im) for im in imgs])
+        pad = 1 << (n - 1).bit_length()  # pow2 batch buckets
+        if pad != n:
+            batch = np.concatenate(
+                [batch, np.zeros((pad - n,) + batch.shape[1:], np.float32)]
+            )
+        outs = self.fn(batch.astype(np.float32))
+        a, b = np.asarray(outs[0]), np.asarray(outs[1])
+        bbox_preds, probs = (a, b) if a.shape[-1] == 8 else (b, a)
+        results = []
+        for i, img in enumerate(imgs):
+            ids = probs[i].argmax(-1)
+            h, w = img.shape[:2]
+            scale = float(max(h, w))  # bbox_decode + slanet-plus rescale
+            structure: list[str] = []
+            bboxes: list[list[float]] = []
+            for t, cid in enumerate(ids):
+                cid = int(cid)
+                if t > 0 and cid == self.eos_id:
+                    break
+                if cid in (self.sos_id, self.eos_id):
+                    continue
+                tok = self.tokens[cid]
+                structure.append(tok)
+                if tok in self.TD_TOKENS:
+                    quad = bbox_preds[i, t].astype(np.float64)
+                    xs = quad[0::2] * scale
+                    ys = quad[1::2] * scale
+                    if not (xs.any() or ys.any()):
+                        continue  # blank placeholder bbox
+                    bboxes.append(
+                        [float(xs.min()), float(ys.min()),
+                         float(xs.max()), float(ys.max())]
+                    )
+            results.append((structure, bboxes))
+        return results

@@ -345,3 +345,41 @@ def test_loop_early_exit_with_scan_output(tmp_path):
     )
     assert float(final) == 3.0
     np.testing.assert_allclose(scans, [1.0, 2.0, 3.0, 0.0, 0.0, 0.0])
+
+
+def test_onnx_wireless_structure_contract(tmp_path):
+    """OnnxWirelessStructure end-to-end on a synthetic slanet-plus.onnx:
+    metadata character list, merge_no_span vocab, eos stop, td bbox
+    rescale to original pixels (reference: pp_structure/post_process.py)."""
+    from rapiddoc_tpu.models.table.onnx_models import OnnxWirelessStructure
+
+    raw_chars = ["<thead>", "</thead>", "<tbody>", "</tbody>",
+                 "<tr>", "</tr>", "<td>", "</td>"]
+    # post-merge vocab: [sos] + chars(-<td> +<td></td>) + [eos]
+    # ids: sos=0 ... </td>=7 <td></td>=8 eos=9
+    V, T = 10, 6
+    probs = np.zeros((1, T, V), np.float32)
+    for t, cid in enumerate([5, 8, 7, 9, 9, 9]):  # tr, td, /td, eos...
+        probs[0, t, cid] = 1.0
+    bbox = np.zeros((1, T, 8), np.float32)
+    bbox[0, 1] = [0.1, 0.2, 0.5, 0.2, 0.5, 0.6, 0.1, 0.6]
+    nodes = [
+        w.encode_node("Identity", ["bbox_c"], ["bbox"]),
+        w.encode_node("Identity", ["probs_c"], ["probs"]),
+    ]
+    data = w.build_model(
+        nodes, {"x": (1, 3, 488, 488)}, {"bbox": (1,), "probs": (1,)},
+        {"bbox_c": bbox, "probs_c": probs},
+    )
+    data = w.build_model_with_metadata(
+        data, {"character": "\n".join(raw_chars)}
+    )
+    p = tmp_path / "slanet-plus.onnx"
+    p.write_bytes(data)
+    model = OnnxWirelessStructure(p)
+    img = np.full((100, 200, 3), 255, np.uint8)
+    [(structure, bboxes)] = model([img])
+    assert structure == ["<tr>", "<td></td>", "</td>"]
+    assert len(bboxes) == 1
+    np.testing.assert_allclose(bboxes[0], [20.0, 40.0, 100.0, 120.0],
+                               atol=1e-3)
