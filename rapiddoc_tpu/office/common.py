@@ -81,29 +81,100 @@ class OfficeResult:
                 out.append(f"$$\n{b.text}\n$$")
         return "\n\n".join(out)
 
+    def _classify_captions(self) -> dict[int, str]:
+        """idx -> 'img_caption'|'table_caption' (reference:
+        backend/office/office_magic_model.py classify_caption_blocks —
+        caption type follows the adjacent body, looking backward first,
+        with runs of captions between body and caption treated as
+        adjacent; the first text right after a body with a matching
+        Table/Figure prefix is a caption even without a number)."""
+        blocks = self.blocks
+        n = len(blocks)
+        kinds: dict[int, str] = {}
+        for i, b in enumerate(blocks):
+            if b.type in ("image", "table") and i + 1 < n:
+                nxt = blocks[i + 1]
+                if nxt.type == "text" and nxt.page_idx == b.page_idx:
+                    content = nxt.text.strip().lower()
+                    prefixes = (
+                        ("表", "table")
+                        if b.type == "table"
+                        else ("图", "圖", "fig", "chart", "diagram")
+                    )
+                    if any(content.startswith(p) for p in prefixes):
+                        kinds[i + 1] = (
+                            "table_caption"
+                            if b.type == "table"
+                            else "img_caption"
+                        )
+
+        def neighbor_body(i: int, step: int) -> str | None:
+            j = i + step
+            while 0 <= j < n and blocks[j].page_idx == blocks[i].page_idx:
+                t = blocks[j]
+                if t.type in ("image", "table"):
+                    return t.type
+                if t.type == "text" and (
+                    j in kinds or _CAPTION_RE.match(t.text.strip())
+                ):
+                    j += step  # caption runs between body and caption
+                    continue
+                return None
+            return None
+
+        for i, b in enumerate(blocks):
+            if i in kinds or b.type != "text":
+                continue
+            if not _CAPTION_RE.match(b.text.strip()):
+                continue
+            btype = neighbor_body(i, -1) or neighbor_body(i, +1)
+            if btype:
+                kinds[i] = (
+                    "table_caption" if btype == "table" else "img_caption"
+                )
+        return kinds
+
+    def _tie_up_captions(
+        self, kinds: dict[int, str]
+    ) -> dict[int, list[tuple[str, str]]]:
+        """Caption idx -> owning body via minimal effective index distance
+        (reference: utils/magic_model_utils.py tie_up_category_by_index
+        with include_bbox=False — index gaps made only of other captions
+        don't count; ties go to the earlier body)."""
+        blocks = self.blocks
+        pending: dict[int, list[tuple[str, str]]] = {}
+        for body_type, key in (("image", "img_caption"),
+                               ("table", "table_caption")):
+            subjects = [
+                i for i, b in enumerate(blocks) if b.type == body_type
+            ]
+            objects = [i for i, k in kinds.items() if k == key]
+            obj_set = set(objects)
+
+            def eff_diff(oi: int, si: int) -> int:
+                lo, hi = min(oi, si), max(oi, si)
+                gap_objs = sum(
+                    1 for k in range(lo + 1, hi) if k in obj_set
+                )
+                return (hi - lo) - gap_objs
+
+            for oi in sorted(objects):
+                cands = [
+                    si for si in subjects
+                    if blocks[si].page_idx == blocks[oi].page_idx
+                ]
+                if not cands:
+                    continue
+                best = min(cands, key=lambda si: (eff_diff(oi, si), si))
+                pending.setdefault(best, []).append(
+                    (key, blocks[oi].text)
+                )
+        return pending
+
     def to_content_list(self) -> list[dict]:
         items = []
-        caption_for: dict[int, tuple[str, int]] = {}
-        # caption-pattern text adjacent to an image/table attaches to it
-        # (reference: backend/office/office_magic_model.py caption
-        # classification + two-layer body/caption grouping)
-        for i, b in enumerate(self.blocks):
-            if b.type != "text" or not _CAPTION_RE.match(b.text.strip()):
-                continue
-            for j in (i - 1, i + 1):
-                if 0 <= j < len(self.blocks) and self.blocks[j].type in (
-                    "image", "table"
-                ) and self.blocks[j].page_idx == b.page_idx:
-                    caption_for[i] = (
-                        "img_caption"
-                        if self.blocks[j].type == "image"
-                        else "table_caption",
-                        j,
-                    )
-                    break
-        pending: dict[int, list[tuple[str, str]]] = {}
-        for i, (key, j) in caption_for.items():
-            pending.setdefault(j, []).append((key, self.blocks[i].text))
+        caption_for = self._classify_captions()
+        pending = self._tie_up_captions(caption_for)
         for i, b in enumerate(self.blocks):
             if i in caption_for:
                 continue

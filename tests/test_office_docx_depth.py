@@ -151,3 +151,42 @@ def test_xlsx_date_and_percent_formats():
     assert "2025-01-01" in html
     assert "37.5%" in html
     assert "<td>7</td>" in html
+
+
+def test_caption_tie_up_by_index():
+    """Reference two-layer grouping semantics (magic_model_utils
+    tie_up_category_by_index): a caption between two bodies attaches to
+    the body at minimal effective index distance, preferring the earlier
+    one on ties; prefix-matched text right after a body is a caption
+    even without a number."""
+    from rapiddoc_tpu.office.common import OfficeResult
+
+    doc = OfficeResult()
+    doc.add_image("a.png", b"x")            # 0: image body
+    doc.add_text("Figure 1: first chart")   # 1: caption (tie -> image 0)
+    doc.add_table("<table><tr><td>1</td></tr></table>")  # 2: table body
+    doc.add_text("Table note follows")      # 3: rule-5 prefix caption
+    doc.add_text("Plain paragraph.")        # 4: text
+    items = doc.to_content_list()
+    img = next(i for i in items if i["type"] == "image")
+    tbl = next(i for i in items if i["type"] == "table")
+    assert img.get("img_caption") == ["Figure 1: first chart"]
+    assert tbl.get("table_caption") == ["Table note follows"]
+    # captions no longer appear as standalone text items
+    texts = [i["text"] for i in items if i["type"] == "text"]
+    assert texts == ["Plain paragraph."]
+
+
+def test_caption_runs_between_body_and_caption():
+    """A run of several captions below one image all attach to it."""
+    from rapiddoc_tpu.office.common import OfficeResult
+
+    doc = OfficeResult()
+    doc.add_text("Intro text")
+    doc.add_image("b.png", b"x")
+    doc.add_text("Figure 2: part a")
+    doc.add_text("Figure 3: part b")  # adjacent through the caption run
+    items = doc.to_content_list()
+    img = next(i for i in items if i["type"] == "image")
+    assert img.get("img_caption") == ["Figure 2: part a",
+                                      "Figure 3: part b"]
