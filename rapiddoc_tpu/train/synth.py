@@ -98,13 +98,15 @@ def render_line(
 
 
 def render_page(
-    rng: random.Random, size: int = 640
-) -> tuple[np.ndarray, list[tuple[int, int, int, int]]]:
-    """A synthetic page (uint8 RGB size x size) + text-line pixel boxes."""
+    rng: random.Random, size: int = 640, with_texts: bool = False
+):
+    """A synthetic page (uint8 RGB size x size) + text-line pixel boxes
+    (+ ground-truth line texts when with_texts)."""
     bg = rng.randint(240, 255)
     img = Image.new("RGB", (size, size), (bg, bg, bg))
     draw = ImageDraw.Draw(img)
     boxes: list[tuple[int, int, int, int]] = []
+    texts: list[str] = []
     two_col = rng.random() < 0.35
     cols = (
         [(rng.randint(16, 40), size // 2 - 16),
@@ -135,10 +137,14 @@ def render_page(
             draw.text((x - bbox[0], y - bbox[1]), text, fill=(fg, fg, fg),
                       font=font)
             boxes.append((x, y, x + tw, y + th))
+            texts.append(text)
             y += th + rng.randint(6, 28)
             if rng.random() < 0.12:  # paragraph gap
                 y += rng.randint(16, 48)
-    return np.asarray(img, np.uint8), boxes
+    arr = np.asarray(img, np.uint8)
+    if with_texts:
+        return arr, boxes, texts
+    return arr, boxes
 
 
 def db_prob_target(
@@ -163,19 +169,102 @@ def db_prob_target(
     return target
 
 
+class PageCropSampler:
+    """Rec samples cut from rendered pages — the exact distribution the
+    recognizer sees at inference: page-resolution glyphs (13-30 px fonts
+    upscaled to rec height 48), page background, real neighbor lines, and
+    det-unclip-style loose crop margins."""
+
+    def __init__(self, page_size: int = 960, crops_per_page: int = 64):
+        self.page_size = page_size
+        self.crops_per_page = crops_per_page
+        self._queue: list[tuple[np.ndarray, str]] = []
+
+    def _refill(self, rng: random.Random) -> None:
+        img, boxes, texts = render_page(
+            rng, self.page_size, with_texts=True
+        )
+        order = list(range(len(boxes)))
+        rng.shuffle(order)
+        for i in order[: self.crops_per_page]:
+            x0, y0, x1, y1 = boxes[i]
+            h = y1 - y0
+            if h < 6 or x1 - x0 < 6:
+                continue
+            # det-unclip-style loose margins around the tight gt box
+            mx0 = x0 - rng.randint(0, int(h * 0.4))
+            mx1 = x1 + rng.randint(0, int(h * 0.4))
+            my0 = y0 - rng.randint(0, int(h * 0.45))
+            my1 = y1 + rng.randint(0, int(h * 0.45))
+            mx0, my0 = max(mx0, 0), max(my0, 0)
+            mx1 = min(mx1, img.shape[1])
+            my1 = min(my1, img.shape[0])
+            crop = img[my0:my1, mx0:mx1]
+            if crop.size == 0:
+                continue
+            self._queue.append((crop, texts[i]))
+
+    def sample(self, rng: random.Random) -> tuple[np.ndarray, str]:
+        while not self._queue:
+            self._refill(rng)
+        return self._queue.pop()
+
+
+_PAGE_CROPS = PageCropSampler()
+
+
 def rec_sample(
     rng: random.Random, width: int = 320, height: int = 48,
     max_chars: int = 24,
 ) -> tuple[np.ndarray, str]:
-    """(uint8 (H, W, 3) zero-right-padded crop, text)."""
+    """(uint8 (H, W, 3) zero-right-padded crop, text).
+
+    Half the samples are crops cut from rendered synthetic pages (the
+    inference distribution: low-res glyphs + page context); the rest are
+    isolated rendered lines with det-like loose margins and neighbor-line
+    bleed (the det unclip expands boxes, so training must see generous
+    random margins and occasional edge bleed)."""
+    import cv2
+
     from ..models.ocr.pre_post import rec_resize
+
+    if rng.random() < 0.5:
+        # labels must cover the whole crop — drop (don't truncate) crops
+        # whose line text exceeds the label budget
+        for _ in range(8):
+            crop, text = _PAGE_CROPS.sample(rng)
+            text = text.strip()
+            if text and len(text) <= max_chars:
+                return rec_resize(crop, width, height), text
 
     while True:
         text = random_text(rng, max_words=4)[:max_chars].strip()
         if text:
             break
     line = render_line(text, rng, height=height)
-    return rec_resize(line, width, height), text
+    lh, lw = line.shape[:2]
+    bg = int(line[0, 0, 0])
+    # det-like loose margins: up to ~45% of line height on top/bottom
+    my0 = rng.randint(0, int(lh * 0.45))
+    my1 = rng.randint(0, int(lh * 0.45))
+    mx0 = rng.randint(0, int(lh * 0.4))
+    mx1 = rng.randint(0, int(lh * 0.4))
+    canvas = np.full((lh + my0 + my1, lw + mx0 + mx1, 3), bg, np.uint8)
+    canvas[my0 : my0 + lh, mx0 : mx0 + lw] = line
+    # neighbor-line bleed: slivers of other text at the crop edges
+    if rng.random() < 0.35 and my0 >= 3:
+        other = render_line(random_text(rng, 3) or "x", rng, height=height)
+        sl = other[-min(my0, other.shape[0]) :, : canvas.shape[1]]
+        canvas[: sl.shape[0], : sl.shape[1]] = np.minimum(
+            canvas[: sl.shape[0], : sl.shape[1]], sl
+        )
+    if rng.random() < 0.35 and my1 >= 3:
+        other = render_line(random_text(rng, 3) or "x", rng, height=height)
+        sl = other[: min(my1, other.shape[0]), : canvas.shape[1]]
+        canvas[-sl.shape[0] :, : sl.shape[1]] = np.minimum(
+            canvas[-sl.shape[0] :, : sl.shape[1]], sl
+        )
+    return rec_resize(canvas, width, height), text
 
 
 def encode_text(text: str, charset: list[str]) -> list[int]:
