@@ -147,4 +147,292 @@ int64_t levenshtein_u32(const uint32_t* a, int64_t na,
   return prev[nb];
 }
 
+
+// ===================== JBIG2 (ITU-T T.88) =====================
+// MQ arithmetic decoder + generic/refinement region bitmap decoding —
+// the sequential per-pixel hot loops of JBIG2Decode PDF image streams
+// (reference counterpart: pdfium's JBig2 codec). Segment parsing and
+// symbol/text-region orchestration live in rapiddoc_tpu/pdfio/jbig2.py;
+// this layer exposes a stateful decoder shared across one segment's
+// data (the spec requires adaptive stats to persist across symbols).
+
+namespace jbig2 {
+
+struct QeEntry { uint16_t qe; uint8_t nmps, nlps, sw; };
+static const QeEntry kQe[47] = {
+    {0x5601, 1, 1, 1},   {0x3401, 2, 6, 0},   {0x1801, 3, 9, 0},
+    {0x0AC1, 4, 12, 0},  {0x0521, 5, 29, 0},  {0x0221, 38, 33, 0},
+    {0x5601, 7, 6, 1},   {0x5401, 8, 14, 0},  {0x4801, 9, 14, 0},
+    {0x3801, 10, 14, 0}, {0x3001, 11, 17, 0}, {0x2401, 12, 18, 0},
+    {0x1C01, 13, 20, 0}, {0x1601, 29, 21, 0}, {0x5601, 15, 14, 1},
+    {0x5401, 16, 14, 0}, {0x5101, 17, 15, 0}, {0x4801, 18, 16, 0},
+    {0x3801, 19, 17, 0}, {0x3401, 20, 18, 0}, {0x3001, 21, 19, 0},
+    {0x2801, 22, 19, 0}, {0x2401, 23, 20, 0}, {0x2201, 24, 21, 0},
+    {0x1C01, 25, 22, 0}, {0x1801, 26, 23, 0}, {0x1601, 27, 24, 0},
+    {0x1401, 28, 25, 0}, {0x1201, 29, 26, 0}, {0x1101, 30, 27, 0},
+    {0x0AC1, 31, 28, 0}, {0x09C1, 32, 29, 0}, {0x08A1, 33, 30, 0},
+    {0x0521, 34, 31, 0}, {0x0441, 35, 32, 0}, {0x02A1, 36, 33, 0},
+    {0x0221, 37, 34, 0}, {0x0141, 38, 35, 0}, {0x0111, 39, 36, 0},
+    {0x0085, 40, 37, 0}, {0x0049, 41, 38, 0}, {0x0025, 42, 39, 0},
+    {0x0015, 43, 40, 0}, {0x0009, 44, 41, 0}, {0x0005, 45, 42, 0},
+    {0x0001, 45, 43, 0}, {0x5601, 46, 46, 0},
+};
+
+// Context byte layout: (state_index << 1) | mps.
+struct MQ {
+  const uint8_t* data;
+  int64_t len, bp;
+  uint32_t chigh, clow, a;
+  int ct;
+
+  void bytein() {
+    if (bp < len && data[bp] == 0xFF) {
+      if (bp + 1 >= len || data[bp + 1] > 0x8F) {
+        clow += 0xFF00;
+        ct = 8;
+      } else {
+        bp++;
+        clow += static_cast<uint32_t>(data[bp]) << 9;
+        ct = 7;
+      }
+    } else {
+      bp++;
+      clow += bp < len ? static_cast<uint32_t>(data[bp]) << 8 : 0xFF00;
+      ct = 8;
+    }
+    if (clow > 0xFFFF) {
+      chigh += clow >> 16;
+      clow &= 0xFFFF;
+    }
+  }
+
+  void init(const uint8_t* d, int64_t n) {
+    data = d;
+    len = n;
+    bp = 0;
+    chigh = n > 0 ? d[0] : 0xFF;
+    clow = 0;
+    bytein();
+    chigh = ((chigh << 7) & 0xFFFF) | ((clow >> 9) & 0x7F);
+    clow = (clow << 7) & 0xFFFF;
+    ct -= 7;
+    a = 0x8000;
+  }
+
+  int decode(uint8_t* cx) {
+    int icx = *cx >> 1;
+    int mps = *cx & 1;
+    const QeEntry& q = kQe[icx];
+    const uint32_t qe = q.qe;
+    int d;
+    a -= qe;
+    if (chigh < qe) {
+      if (a < qe) {
+        a = qe;
+        d = mps;
+        icx = q.nmps;
+      } else {
+        a = qe;
+        d = 1 ^ mps;
+        if (q.sw) mps = d;
+        icx = q.nlps;
+      }
+    } else {
+      chigh -= qe;
+      if (a & 0x8000) return mps;
+      if (a < qe) {
+        d = 1 ^ mps;
+        if (q.sw) mps = d;
+        icx = q.nlps;
+      } else {
+        d = mps;
+        icx = q.nmps;
+      }
+    }
+    do {
+      if (ct == 0) bytein();
+      a <<= 1;
+      chigh = ((chigh << 1) & 0xFFFF) | ((clow >> 15) & 1);
+      clow = (clow << 1) & 0xFFFF;
+      ct--;
+    } while (!(a & 0x8000));
+    *cx = static_cast<uint8_t>((icx << 1) | mps);
+    return d;
+  }
+};
+
+struct Pt { int x, y; };
+
+// Coding templates (T.88 6.2.5.3 figures, nominal layouts sans AT).
+static const Pt kT0[] = {{-1, -2}, {0, -2}, {1, -2}, {-2, -1}, {-1, -1},
+                         {0, -1},  {1, -1}, {2, -1}, {-4, 0},  {-3, 0},
+                         {-2, 0},  {-1, 0}};
+static const Pt kT1[] = {{-1, -2}, {0, -2}, {1, -2}, {2, -2}, {-2, -1},
+                         {-1, -1}, {0, -1}, {1, -1}, {2, -1}, {-3, 0},
+                         {-2, 0},  {-1, 0}};
+static const Pt kT2[] = {{-1, -2}, {0, -2}, {1, -2}, {-2, -1}, {-1, -1},
+                         {0, -1},  {1, -1}, {-2, 0}, {-1, 0}};
+static const Pt kT3[] = {{-3, -1}, {-2, -1}, {-1, -1}, {0, -1}, {1, -1},
+                         {-4, 0},  {-3, 0},  {-2, 0},  {-1, 0}};
+
+static const uint32_t kReusedCtx[4] = {0x9B25, 0x0795, 0x00E5, 0x0195};
+
+static inline int px(const uint8_t* bmp, int w, int h, int x, int y) {
+  if (x < 0 || x >= w || y < 0 || y >= h) return 0;
+  return bmp[static_cast<int64_t>(y) * w + x];
+}
+
+}  // namespace jbig2
+
+void* jbig2_mq_new(const uint8_t* data, int64_t len) {
+  auto* m = new jbig2::MQ();
+  m->init(data, len);
+  return m;
+}
+
+void jbig2_mq_free(void* mq) { delete static_cast<jbig2::MQ*>(mq); }
+
+int jbig2_mq_decode_bit(void* mq, uint8_t* cx, int64_t idx) {
+  return static_cast<jbig2::MQ*>(mq)->decode(cx + idx);
+}
+
+// Integer arithmetic decoding (T.88 Annex A.2). cx: 512 bytes.
+// Returns 1 on value (stored in *out), 0 on OOB.
+int jbig2_decode_int(void* mq_, uint8_t* cx, int32_t* out) {
+  auto* mq = static_cast<jbig2::MQ*>(mq_);
+  uint32_t prev = 1;
+  auto bit = [&]() {
+    int b = mq->decode(cx + prev);
+    prev = prev < 256 ? (prev << 1) | b : ((((prev << 1) | b) & 511) | 256);
+    return b;
+  };
+  auto bits = [&](int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    return v;
+  };
+  const int s = bit();
+  int64_t v;
+  if (!bit()) v = bits(2);
+  else if (!bit()) v = bits(4) + 4;
+  else if (!bit()) v = bits(6) + 20;
+  else if (!bit()) v = bits(8) + 84;
+  else if (!bit()) v = bits(12) + 340;
+  else v = static_cast<int64_t>(bits(32)) + 4436;
+  if (s && v == 0) return 0;  // OOB
+  *out = static_cast<int32_t>(s ? -v : v);
+  return 1;
+}
+
+// Symbol ID decoding (T.88 A.3). cx: 1 << (code_len + 1) bytes.
+int jbig2_decode_iaid(void* mq_, uint8_t* cx, int code_len) {
+  auto* mq = static_cast<jbig2::MQ*>(mq_);
+  uint32_t prev = 1;
+  for (int i = 0; i < code_len; ++i) {
+    int b = mq->decode(cx + prev);
+    prev = (prev << 1) | b;
+  }
+  return static_cast<int>(prev - (1u << code_len));
+}
+
+// Generic region decoding (T.88 6.2). out: w*h bytes (0/1).
+// at: 8 ints (4 x,y pairs; templates 1-3 use only the first pair).
+// cx: 1 << 16 bytes, shared across calls for one segment.
+void jbig2_generic_decode(void* mq_, uint8_t* cx, int tmpl, int tpgdon,
+                          const int32_t* at, uint8_t* out, int w, int h) {
+  auto* mq = static_cast<jbig2::MQ*>(mq_);
+  jbig2::Pt tpl[16];
+  int n = 0;
+  const jbig2::Pt* base;
+  int nbase, nat;
+  switch (tmpl) {
+    case 0: base = jbig2::kT0; nbase = 12; nat = 4; break;
+    case 1: base = jbig2::kT1; nbase = 12; nat = 1; break;
+    case 2: base = jbig2::kT2; nbase = 9; nat = 1; break;
+    default: base = jbig2::kT3; nbase = 9; nat = 1; break;
+  }
+  for (int i = 0; i < nbase; ++i) tpl[n++] = base[i];
+  for (int i = 0; i < nat; ++i)
+    tpl[n++] = {static_cast<int>(at[2 * i]), static_cast<int>(at[2 * i + 1])};
+  // context bit order: (y, x)-sorted — with nominal AT this equals the
+  // spec layout, which the kReusedCtx TPGDON constants assume; any
+  // consistent order mirrors the encoder's adaptive stats either way
+  std::sort(tpl, tpl + n, [](const jbig2::Pt& a, const jbig2::Pt& b) {
+    return a.y != b.y ? a.y < b.y : a.x < b.x;
+  });
+  int ltp = 0;
+  for (int y = 0; y < h; ++y) {
+    if (tpgdon) {
+      ltp ^= mq->decode(cx + jbig2::kReusedCtx[tmpl]);
+      if (ltp) {  // typical row: copy the row above
+        uint8_t* row = out + static_cast<int64_t>(y) * w;
+        if (y > 0) std::memcpy(row, row - w, w);
+        else std::memset(row, 0, w);
+        continue;
+      }
+    }
+    for (int x = 0; x < w; ++x) {
+      uint32_t ctx = 0;
+      for (int i = 0; i < n; ++i)
+        ctx = (ctx << 1) | jbig2::px(out, w, h, x + tpl[i].x, y + tpl[i].y);
+      out[static_cast<int64_t>(y) * w + x] =
+          static_cast<uint8_t>(mq->decode(cx + ctx));
+    }
+  }
+}
+
+// Generic refinement decoding (T.88 6.3). ref: rw*rh reference bitmap;
+// (dx, dy) = GRREFERENCEDX/DY. cx: 1 << 13 bytes. at: 4 ints
+// (2 pairs, template 0 only). Returns 0 on success.
+int jbig2_refine_decode(void* mq_, uint8_t* cx, int tmpl, int tpgron,
+                        const int32_t* at, const uint8_t* ref, int rw,
+                        int rh, int dx, int dy, uint8_t* out, int w, int h) {
+  auto* mq = static_cast<jbig2::MQ*>(mq_);
+  using jbig2::Pt;
+  // coding = this bitmap; reference = ref bitmap at (x-dx, y-dy) offsets
+  Pt cod[8], rf[16];
+  int nc = 0, nr = 0;
+  if (tmpl == 0) {
+    const Pt c[] = {{0, -1}, {1, -1}, {-1, 0}};
+    const Pt r[] = {{0, -1}, {1, -1}, {-1, 0}, {0, 0},
+                    {1, 0},  {-1, 1}, {0, 1},  {1, 1}};
+    for (auto& p : c) cod[nc++] = p;
+    cod[nc++] = {static_cast<int>(at[0]), static_cast<int>(at[1])};
+    for (auto& p : r) rf[nr++] = p;
+    rf[nr++] = {static_cast<int>(at[2]), static_cast<int>(at[3])};
+  } else {
+    const Pt c[] = {{-1, -1}, {0, -1}, {1, -1}, {-1, 0}};
+    const Pt r[] = {{0, -1}, {-1, 0}, {0, 0}, {1, 0}, {0, 1}, {1, 1}};
+    for (auto& p : c) cod[nc++] = p;
+    for (auto& p : r) rf[nr++] = p;
+  }
+  const uint32_t pseudo = tmpl == 0 ? 0x0020 : 0x0008;
+  int ltp = 0;
+  for (int y = 0; y < h; ++y) {
+    if (tpgron) ltp ^= mq->decode(cx + pseudo);
+    for (int x = 0; x < w; ++x) {
+      const int rx = x - dx, ry = y - dy;
+      if (ltp) {  // typical prediction: uniform 3x3 ref neighborhood
+        int sum = 0;
+        for (int yy = -1; yy <= 1; ++yy)
+          for (int xx = -1; xx <= 1; ++xx)
+            sum += jbig2::px(ref, rw, rh, rx + xx, ry + yy);
+        if (sum == 0 || sum == 9) {
+          out[static_cast<int64_t>(y) * w + x] = sum ? 1 : 0;
+          continue;
+        }
+      }
+      uint32_t ctx = 0;
+      for (int i = 0; i < nc; ++i)
+        ctx = (ctx << 1) | jbig2::px(out, w, h, x + cod[i].x, y + cod[i].y);
+      for (int i = 0; i < nr; ++i)
+        ctx = (ctx << 1) |
+              jbig2::px(ref, rw, rh, rx + rf[i].x, ry + rf[i].y);
+      out[static_cast<int64_t>(y) * w + x] =
+          static_cast<uint8_t>(mq->decode(cx + ctx));
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -13,8 +13,11 @@ from typing import Any
 import numpy as np
 from PIL import Image
 
+from ..utils.logging import get_logger
 from .cos import Stream
 from .filters import decode_stream, image_codec
+
+logger = get_logger("rapiddoc_tpu.pdfio.images")
 
 
 def _ccitt_to_tiff(data: bytes, width: int, height: int, params: dict) -> bytes:
@@ -206,7 +209,33 @@ def xobject_to_pil(doc, stream: Stream) -> Image.Image | None:
         except Exception:
             return None
     elif codec == "JBIG2Decode":
-        return None  # unsupported codec; caller draws placeholder
+        payload = decode_stream(stream, r)
+        parms = r(d.get("DecodeParms") or d.get("DP")) or {}
+        if isinstance(parms, list):
+            parms = next(
+                (
+                    r(p)
+                    for p in parms
+                    if isinstance(r(p), dict) and "JBIG2Globals" in r(p)
+                ),
+                {},
+            ) or {}
+        glob = None
+        gs = r(parms.get("JBIG2Globals")) if isinstance(parms, dict) else None
+        if gs is not None:
+            try:
+                glob = decode_stream(gs, r)
+            except Exception:
+                glob = None
+        try:
+            from .jbig2 import decode as jbig2_decode
+
+            bitmap = jbig2_decode(payload, glob, width, height)
+        except Exception as e:
+            logger.warning("JBIG2 decode failed (%s); placeholder", e)
+            return None
+        # JBIG2 1 = black; PDF renders as DeviceGray where black = 0
+        img = Image.fromarray(((1 - bitmap) * 255).astype(np.uint8), "L")
     else:
         # raw samples behind zero or more non-image filters
         data = decode_stream(stream, r)

@@ -26,15 +26,24 @@ def _load() -> ctypes.CDLL | None:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO.is_file() and (_NATIVE_DIR / "hostops.cpp").is_file():
+    cpp = _NATIVE_DIR / "hostops.cpp"
+    stale = (
+        _SO.is_file()
+        and cpp.is_file()
+        and cpp.stat().st_mtime > _SO.stat().st_mtime
+    )
+    if (not _SO.is_file() or stale) and cpp.is_file():
         try:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)],
                 check=True, capture_output=True, timeout=120,
             )
         except (subprocess.SubprocessError, OSError) as e:
-            logger.info("native build unavailable (%s); using python paths", e)
-            return None
+            if not _SO.is_file():
+                logger.info(
+                    "native build unavailable (%s); using python paths", e
+                )
+                return None
     if not _SO.is_file():
         return None
     try:
@@ -67,8 +76,43 @@ def _load() -> ctypes.CDLL | None:
         ]
     except AttributeError:  # stale .so without the symbol
         pass
+    try:
+        lib.jbig2_mq_new.restype = ctypes.c_void_p
+        lib.jbig2_mq_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.jbig2_mq_free.argtypes = [ctypes.c_void_p]
+        lib.jbig2_mq_decode_bit.restype = ctypes.c_int
+        lib.jbig2_mq_decode_bit.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.jbig2_decode_int.restype = ctypes.c_int
+        lib.jbig2_decode_int.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.jbig2_decode_iaid.restype = ctypes.c_int
+        lib.jbig2_decode_iaid.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.jbig2_generic_decode.restype = None
+        lib.jbig2_generic_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.jbig2_refine_decode.restype = ctypes.c_int
+        lib.jbig2_refine_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int,
+        ]
+    except AttributeError:  # stale .so without the jbig2 symbols
+        pass
     _lib = lib
     return _lib
+
+
+def lib() -> ctypes.CDLL | None:
+    """The raw CDLL for callers with their own wrappers (pdfio.jbig2)."""
+    return _load()
 
 
 def available() -> bool:

@@ -1,0 +1,351 @@
+"""Minimal JBIG2 encoder (test oracle for rapiddoc_tpu.pdfio.jbig2).
+
+Implements the encoder side of T.88 — MQ coder (E.3), integer (A.2) and
+symbol-ID (A.3) encoding, generic region coding (6.2) and the segment/
+stream layout for page info + generic region + symbol dictionary + text
+region — enough to round-trip arbitrary bitmaps through the decoder.
+Nothing here ships in the package; it exists so the decoder is tested
+against independently-generated streams rather than its own output.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from rapiddoc_tpu.pdfio.jbig2 import (
+    CODING_TEMPLATES,
+    QE_TABLE,
+    TPGDON_CTX,
+    _sorted_template,
+)
+
+
+class MQEncoder:
+    """T.88 E.3 software-conventions MQ encoder."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray([0x00])  # carry sentinel
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _byteout(self):
+        if self.out[-1] == 0xFF:
+            self.out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            self.out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            self.out[-1] += 1  # carry
+            if self.out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self.out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self):
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def encode(self, bit: int, cx: np.ndarray, idx: int):
+        state = int(cx[idx])
+        icx = state >> 1
+        mps = state & 1
+        qe, nmps, nlps, switch = QE_TABLE[icx]
+        if bit == mps:
+            self.a -= qe
+            if not (self.a & 0x8000):
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                cx[idx] = (nmps << 1) | mps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                mps ^= 1
+            cx[idx] = (nlps << 1) | mps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS per the deployed encoders (openjpeg/jbig2enc): round C
+        # up within [C, C+A) — the spec text's round-down variant can
+        # land below the interval base and corrupt the last decision
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.out[-1] != 0xFF:
+            self.out.append(0xFF)
+        self.out.append(0xAC)
+        # drop the sentinel unless a carry made it significant
+        return bytes(self.out[1:] if self.out[0] == 0 else self.out)
+
+    # -- typed helpers ----------------------------------------------------
+
+    def encode_int(self, cx: np.ndarray, value: int | None):
+        """A.2 inverse; value None = OOB."""
+        prev = 1
+
+        def put(b):
+            nonlocal prev
+            self.encode(b, cx, prev)
+            prev = (
+                (prev << 1) | b
+                if prev < 256
+                else ((((prev << 1) | b) & 511) | 256)
+            )
+
+        def put_bits(v, n):
+            for i in range(n - 1, -1, -1):
+                put((v >> i) & 1)
+
+        if value is None:
+            put(1)  # S
+            put(0)
+            put_bits(0, 2)
+            return
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+        put(s)
+        if v < 4:
+            put(0)
+            put_bits(v, 2)
+        elif v < 20:
+            put(1)
+            put(0)
+            put_bits(v - 4, 4)
+        elif v < 84:
+            put(1)
+            put(1)
+            put(0)
+            put_bits(v - 20, 6)
+        elif v < 340:
+            put(1)
+            put(1)
+            put(1)
+            put(0)
+            put_bits(v - 84, 8)
+        elif v < 4436:
+            put(1)
+            put(1)
+            put(1)
+            put(1)
+            put(0)
+            put_bits(v - 340, 12)
+        else:
+            put(1)
+            put(1)
+            put(1)
+            put(1)
+            put(1)
+            put_bits(v - 4436, 32)
+
+    def encode_iaid(self, cx: np.ndarray, code_len: int, value: int):
+        prev = 1
+        code = value + (1 << code_len)
+        for i in range(code_len - 1, -1, -1):
+            b = (code >> i) & 1
+            self.encode(b, cx, prev)
+            prev = (prev << 1) | b
+
+    def encode_generic(
+        self, bitmap: np.ndarray, cx: np.ndarray, template: int,
+        at: list[tuple[int, int]], tpgdon: bool = False,
+    ):
+        h, w = bitmap.shape
+        tpl = _sorted_template(template, at)
+        ltp = 0
+        for y in range(h):
+            if tpgdon:
+                typical = int(y > 0 and bool((bitmap[y] == bitmap[y - 1]).all()))
+                self.encode(typical ^ ltp, cx, TPGDON_CTX[template])
+                ltp = typical
+                if ltp:
+                    continue
+            for x in range(w):
+                ctx = 0
+                for dx, dy in tpl:
+                    xx, yy = x + dx, y + dy
+                    v = (
+                        int(bitmap[yy, xx])
+                        if 0 <= xx < w and 0 <= yy < h
+                        else 0
+                    )
+                    ctx = (ctx << 1) | v
+                self.encode(int(bitmap[y, x]), cx, ctx)
+
+
+def _new_cx(bits: int) -> np.ndarray:
+    return np.zeros(1 << bits, np.uint8)
+
+
+# ----------------------------------------------------------- segments
+
+
+def segment(number: int, seg_type: int, referred: list[int], page: int,
+            data: bytes) -> bytes:
+    out = bytearray(struct.pack(">IB", number, seg_type))
+    assert len(referred) <= 4
+    out.append(len(referred) << 5)
+    for r in referred:
+        assert r <= 256
+        out.append(r)
+    out.append(page)
+    out += struct.pack(">I", len(data))
+    out += data
+    return bytes(out)
+
+
+def page_info(width: int, height: int, default_pixel: int = 0) -> bytes:
+    return struct.pack(
+        ">IIIIBH", width, height, 0, 0, (default_pixel & 1) << 2, 0
+    )
+
+
+def region_info(w: int, h: int, x: int, y: int, comb_op: int = 0) -> bytes:
+    return struct.pack(">IIIIB", w, h, x, y, comb_op)
+
+
+def generic_region_segment(
+    number: int, bitmap: np.ndarray, x: int = 0, y: int = 0,
+    template: int = 0, tpgdon: bool = False, comb_op: int = 0,
+    page: int = 1,
+) -> bytes:
+    h, w = bitmap.shape
+    at = (
+        [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+        if template == 0
+        else [(3, -1)]
+    )
+    flags = ((1 if tpgdon else 0) << 3) | (template << 1)
+    body = bytearray(region_info(w, h, x, y, comb_op))
+    body.append(flags)
+    for ax, ay in at:
+        body += struct.pack(">bb", ax, ay)
+    enc = MQEncoder()
+    enc.encode_generic(bitmap, _new_cx(16), template, at, tpgdon)
+    body += enc.flush()
+    return segment(number, 38, [], page, bytes(body))  # immediate generic
+
+
+def symbol_dict_segment(
+    number: int, symbols: list[np.ndarray], template: int = 0,
+    page: int = 1,
+) -> bytes:
+    """Arithmetic symbol dictionary exporting all symbols, sorted into
+    height classes as 6.5.5 requires (ascending height, then width)."""
+    order = sorted(
+        range(len(symbols)),
+        key=lambda i: (symbols[i].shape[0], symbols[i].shape[1]),
+    )
+    at = (
+        [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+        if template == 0
+        else [(3, -1)]
+    )
+    flags = template << 10
+    body = bytearray(struct.pack(">H", flags))
+    for ax, ay in at:
+        body += struct.pack(">bb", ax, ay)
+    body += struct.pack(">II", len(symbols), len(symbols))
+    enc = MQEncoder()
+    iadh, iadw, iaex = _new_cx(9), _new_cx(9), _new_cx(9)
+    gb_cx = _new_cx(16)
+    height = 0
+    i = 0
+    while i < len(order):
+        j = i
+        hc_height = symbols[order[i]].shape[0]
+        enc.encode_int(iadh, hc_height - height)
+        height = hc_height
+        width = 0
+        while j < len(order) and symbols[order[j]].shape[0] == hc_height:
+            sym = symbols[order[j]]
+            enc.encode_int(iadw, sym.shape[1] - width)
+            width = sym.shape[1]
+            enc.encode_generic(sym, gb_cx, template, at, False)
+            j += 1
+        enc.encode_int(iadw, None)  # OOB ends the height class
+        i = j
+    enc.encode_int(iaex, 0)  # run of 0 non-exported
+    enc.encode_int(iaex, len(symbols))  # export all
+    body += enc.flush()
+    return segment(number, 0, [], page, bytes(body)), order
+
+
+def text_region_segment(
+    number: int, sym_dict_seg: int, symbols: list[np.ndarray],
+    placements: list[tuple[int, int, int]],  # (symbol_id, x, y) top-left
+    w: int, h: int, x: int = 0, y: int = 0, comb_op: int = 0,
+    page: int = 1,
+) -> bytes:
+    """Arithmetic text region, untransposed, TOPLEFT corner, 1 strip.
+
+    `symbols` is the dictionary's export order; placement ids index it."""
+    n_symbols = len(symbols)
+    code_len = max(1, (max(n_symbols - 1, 1)).bit_length())
+    if n_symbols <= 1:
+        code_len = 1
+    flags = 1 << 4  # REFCORNER = TOPLEFT, SBSTRIPS=1, no refine
+    body = bytearray(region_info(w, h, x, y, comb_op))
+    body += struct.pack(">H", flags)
+    body += struct.pack(">I", len(placements))
+    enc = MQEncoder()
+    iadt, iafs, iads = (_new_cx(9) for _ in range(3))
+    iaid_cx = _new_cx(code_len + 1)
+    # SBSTRIPS=1: every distinct T is its own strip; sort by (t, x)
+    placements = sorted(placements, key=lambda p: (p[2], p[1]))
+    strip_t = 0
+    enc.encode_int(iadt, 0)  # STRIPT init: 0
+    i = 0
+    firsts = 0
+    first_strip = True
+    while i < len(placements):
+        t = placements[i][2]
+        enc.encode_int(iadt, t - strip_t)
+        strip_t = t
+        sid, sx, _ = placements[i]
+        enc.encode_int(iafs, sx - firsts)
+        firsts = sx
+        enc.encode_iaid(iaid_cx, code_len, sid)
+        # decoder draws at CURS then advances CURS += w - 1 (TOPLEFT)
+        cur_s = sx + symbols[sid].shape[1] - 1
+        i += 1
+        first_strip = False
+        while i < len(placements) and placements[i][2] == t:
+            sid2, sx2, _ = placements[i]
+            enc.encode_int(iads, sx2 - cur_s)  # IDS (DSOFFSET=0)
+            enc.encode_iaid(iaid_cx, code_len, sid2)
+            cur_s = sx2 + symbols[sid2].shape[1] - 1
+            i += 1
+        enc.encode_int(iads, None)  # OOB: end of strip
+    body += enc.flush()
+    return segment(number, 6, [sym_dict_seg], page, bytes(body))

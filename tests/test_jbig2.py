@@ -1,0 +1,144 @@
+"""JBIG2 decoder tests: round trips against the independent test
+encoder (tests/jbig2_encoder.py) plus native-vs-python parity."""
+import numpy as np
+import pytest
+
+from rapiddoc_tpu.pdfio import jbig2 as J
+
+import jbig2_encoder as E
+
+
+def _random_bitmap(rng, h, w, density=0.3):
+    bmp = (rng.random((h, w)) < density).astype(np.uint8)
+    # text-ish structure: a few runs
+    for _ in range(4):
+        y = rng.integers(0, h)
+        x0 = rng.integers(0, w)
+        bmp[y, x0 : x0 + rng.integers(1, w)] = 1
+    return bmp
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+def test_generic_region_roundtrip(template):
+    rng = np.random.default_rng(template)
+    bmp = _random_bitmap(rng, 40, 61)
+    stream = E.segment(1, 48, [], 1, E.page_info(61, 40)) + \
+        E.generic_region_segment(2, bmp, template=template)
+    out = J.decode(stream)
+    np.testing.assert_array_equal(out, bmp)
+
+
+def test_generic_region_tpgdon():
+    rng = np.random.default_rng(7)
+    bmp = _random_bitmap(rng, 30, 50)
+    bmp[10:20] = bmp[10]  # repeated rows exercise typical prediction
+    stream = E.segment(1, 48, [], 1, E.page_info(50, 30)) + \
+        E.generic_region_segment(2, bmp, template=0, tpgdon=True)
+    out = J.decode(stream)
+    np.testing.assert_array_equal(out, bmp)
+
+
+def test_generic_region_python_fallback_matches():
+    """The pure-Python MQ mirror decodes identically to the native
+    kernels (same stream, same contexts)."""
+    rng = np.random.default_rng(3)
+    bmp = _random_bitmap(rng, 16, 23)
+    at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+    enc = E.MQEncoder()
+    enc.encode_generic(bmp, E._new_cx(16), 0, at, False)
+    data = enc.flush()
+    d_native = J.ArithDecoder(data)
+    d_py = J.ArithDecoder(data, force_python=True)
+    out_native = d_native.generic(J.new_context(16), 0, False, at, 23, 16)
+    out_py = d_py.generic(J.new_context(16), 0, False, at, 23, 16)
+    np.testing.assert_array_equal(out_native, out_py)
+    np.testing.assert_array_equal(out_native, bmp)
+
+
+def test_integer_roundtrip():
+    values = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+              100000, -4436, -75, None, 7]
+    enc = E.MQEncoder()
+    cx = E._new_cx(9)
+    for v in values:
+        enc.encode_int(cx, v)
+    data = enc.flush()
+    for force_py in (False, True):
+        dec = J.ArithDecoder(data, force_python=force_py)
+        dcx = J.new_context(9)
+        got = [dec.integer(dcx) for _ in values]
+        assert got == values
+
+
+def test_symbol_dict_and_text_region():
+    """Symbols decode from the dictionary and place via the text region
+    exactly where the encoder put them."""
+    rng = np.random.default_rng(11)
+    glyph_a = np.zeros((8, 6), np.uint8)
+    glyph_a[1:7, 1:5] = 1
+    glyph_a[3, 2:4] = 0
+    glyph_b = (rng.random((8, 5)) < 0.5).astype(np.uint8)
+    glyph_b[0, 0] = 1
+    glyph_c = np.ones((5, 4), np.uint8)
+
+    symbols = [glyph_a, glyph_b, glyph_c]
+    sd_seg, order = E.symbol_dict_segment(2, symbols)
+    export = [symbols[i] for i in order]
+
+    W, H = 64, 32
+    placements = [(0, 2, 3), (1, 20, 3), (2, 40, 3), (1, 5, 18)]
+    tr_seg = E.text_region_segment(3, 2, export, placements, W, H)
+    stream = E.segment(1, 48, [], 1, E.page_info(W, H)) + sd_seg + tr_seg
+
+    out = J.decode(stream)
+    expect = np.zeros((H, W), np.uint8)
+    for sid, x, y in placements:
+        sym = export[sid]
+        expect[y : y + sym.shape[0], x : x + sym.shape[1]] |= sym
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_composition_ops():
+    """XOR composition of two overlapping generic regions."""
+    a = np.ones((10, 10), np.uint8)
+    b = np.ones((10, 10), np.uint8)
+    stream = (
+        E.segment(1, 48, [], 1, E.page_info(20, 10))
+        + E.generic_region_segment(2, a, x=0, y=0, comb_op=0)
+        + E.generic_region_segment(3, b, x=5, y=0, comb_op=2)  # XOR
+    )
+    out = J.decode(stream)
+    assert out[:, :5].all()          # only a
+    assert not out[:, 5:10].any()    # overlap cancels
+    assert out[:, 10:15].all()       # only b
+    assert not out[:, 15:].any()
+
+
+def test_pdf_image_integration(tmp_path):
+    """A JBIG2Decode image inside a synthesized PDF object decodes
+    through xobject_to_pil."""
+    from rapiddoc_tpu.pdfio.cos import Stream
+    from rapiddoc_tpu.pdfio.images import xobject_to_pil
+
+    rng = np.random.default_rng(5)
+    bmp = _random_bitmap(rng, 24, 33)
+    payload = E.segment(1, 48, [], 1, E.page_info(33, 24)) + \
+        E.generic_region_segment(2, bmp)
+    stream = Stream(
+        {
+            "Type": "XObject", "Subtype": "Image", "Width": 33,
+            "Height": 24, "BitsPerComponent": 1,
+            "ColorSpace": "DeviceGray", "Filter": "JBIG2Decode",
+        },
+        payload,
+    )
+
+    class _Doc:
+        @staticmethod
+        def resolve(x):
+            return x
+
+    img = xobject_to_pil(_Doc(), stream)
+    assert img is not None
+    arr = np.asarray(img.convert("L"))
+    np.testing.assert_array_equal(arr == 0, bmp.astype(bool))
