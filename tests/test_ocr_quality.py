@@ -1,0 +1,127 @@
+"""Quality-bearing OCR assertions on the device path (demo weights).
+
+The reference CI gate asserts fuzzy goldens on real model output
+(reference: tests/unittest/test_e2e.py assert_content, ocr mode); this
+environment has no published checkpoints, so the quality gate runs the
+synthetic-trained demo det/rec through the full det->crop->rec path and
+asserts character error rate against ground truth. A reference-fixture
+ocr-mode check (slow on the CPU test mesh) runs when
+RAPIDDOC_RUN_SLOW=1.
+"""
+import os
+import random
+
+import numpy as np
+import pytest
+
+from rapiddoc_tpu.models.registry import DEMO_ASSETS_DIR
+
+
+def _edit_distance(a: str, b: str) -> int:
+    from rapiddoc_tpu.utils import native
+
+    d = native.levenshtein(a, b)
+    if d is not None:
+        return d
+    m, n = len(a), len(b)
+    row = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev = row[:]
+        row[0] = i
+        for j in range(1, n + 1):
+            row[j] = min(
+                prev[j] + 1, row[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return row[n]
+
+
+def _iou(a, b) -> float:
+    x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+    x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+    if x1 <= x0 or y1 <= y0:
+        return 0.0
+    inter = (x1 - x0) * (y1 - y0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua
+
+
+demo_available = pytest.mark.skipif(
+    not (DEMO_ASSETS_DIR / "ocr_rec_demo.npz").is_file()
+    or not (DEMO_ASSETS_DIR / "ocr_det_demo.npz").is_file(),
+    reason="demo OCR checkpoints unavailable",
+)
+
+
+@demo_available
+def test_synthetic_page_cer():
+    """Full det->crop->rec on a rendered page: detection recall and
+    char error rate both gate (the reference CI runs its ocr-mode gate
+    on real weights; the demo weights are this environment's stand-in).
+    """
+    if os.environ.get("RAPIDDOC_DISABLE_OCR"):
+        del os.environ["RAPIDDOC_DISABLE_OCR"]
+    from rapiddoc_tpu.models.registry import build_ocr_system
+    from rapiddoc_tpu.train.synth import render_page
+
+    ts = build_ocr_system()
+    rng = random.Random(2024)
+    img, boxes, texts = render_page(rng, 480, with_texts=True)
+    results = ts([img])[0]
+
+    matched = 0
+    total_ed = 0
+    total_len = 0
+    for res in results:
+        quad = np.asarray(res["box"], float).reshape(-1, 2)
+        bb = [quad[:, 0].min(), quad[:, 1].min(),
+              quad[:, 0].max(), quad[:, 1].max()]
+        best, bi = 0.0, -1
+        for k, g in enumerate(boxes):
+            v = _iou(bb, [float(c) for c in g])
+            if v > best:
+                best, bi = v, k
+        if best > 0.3:
+            matched += 1
+            gt = texts[bi].replace(" ", "")
+            got = res["text"].replace(" ", "")
+            total_ed += _edit_distance(got, gt)
+            total_len += len(gt)
+
+    assert matched >= 0.7 * len(boxes), (matched, len(boxes))
+    cer = total_ed / max(total_len, 1)
+    assert cer < 0.35, f"char error rate {cer:.3f}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RAPIDDOC_RUN_SLOW"),
+    reason="slow: full-page ocr parse on the CPU test mesh",
+)
+@demo_available
+def test_reference_fixture_ocr_mode():
+    """The reference CI document parsed in ocr mode: captions and body
+    text must fuzzy-match the goldens (reference: tests/unittest/
+    test_e2e.py:169-250, thresholds scaled to the demo checkpoints)."""
+    import difflib
+
+    if os.environ.get("RAPIDDOC_DISABLE_OCR"):
+        del os.environ["RAPIDDOC_DISABLE_OCR"]
+    from rapiddoc_tpu import RapidDoc
+
+    pdf = "/root/reference/tests/unittest/pdfs/test.pdf"
+    if not os.path.isfile(pdf):
+        pytest.skip("reference fixture unavailable")
+    out = RapidDoc(formula_enable=False, table_enable=False)(
+        pdf, parse_method="ocr"
+    )
+    md = out.markdown
+    golden = (
+        "Trump graduated from the Wharton School of the University of "
+        "Pennsylvania with a bachelor's degree in 1968."
+    )
+    best = max(
+        difflib.SequenceMatcher(None, golden, md[i : i + len(golden)])
+        .ratio()
+        for i in range(0, max(len(md) - len(golden), 1), 16)
+    )
+    assert best > 0.6, f"body-text similarity {best:.2f}"
