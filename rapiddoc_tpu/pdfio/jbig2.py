@@ -14,12 +14,14 @@ firmwares using arithmetic coding):
 - generic regions (6.2): arithmetic templates 0-3 with AT pixels and
   TPGDON, plus MMR regions via the CCITT G4 path (images.py TIFF
   wrapper);
-- symbol dictionaries (6.5) and text regions (6.4) with arithmetic
-  coding, including refinement of text-region instances (6.3);
+- symbol dictionaries (6.5) and text regions (6.4) in both arithmetic
+  and Huffman coding (standard tables B.1-B.15, custom table segments,
+  runcode symbol-ID codes, uncompressed/MMR collective bitmaps),
+  including arithmetic refinement of text-region instances (6.3);
 - integer (A.2) and symbol-ID (A.3) arithmetic decoding.
 
-Huffman-coded segments (SDHUFF/SBHUFF) and halftone regions raise
-Jbig2Error; the image path then falls back to its placeholder.
+Halftone regions and Huffman-mode refinement raise Jbig2Error; the
+image path then falls back to its placeholder.
 
 The per-pixel hot loops (MQ decoder, generic/refinement bitmap
 decoding) run in the native host library (native/hostops.cpp) with a
@@ -467,20 +469,40 @@ class SymbolDictionary:
         self.symbols = symbols
 
 
-def _decode_symbol_dict(seg: Segment, referred_dicts: list) -> SymbolDictionary:
+def _pick_table(sel: int, std: list[int], customs: list, used: list[int]):
+    """Huffman table selector: 0..len(std)-1 -> standard table id,
+    3 -> next custom table from the referred table segments."""
+    if sel == 3:
+        idx = used[0]
+        used[0] += 1
+        if idx >= len(customs):
+            raise Jbig2Error("missing custom Huffman table")
+        return customs[idx]
+    if sel >= len(std):
+        raise Jbig2Error(f"bad Huffman table selector {sel}")
+    return standard_table(std[sel])
+
+
+def _decode_symbol_dict(
+    seg: Segment, referred_dicts: list, referred_tables: list | None = None
+) -> SymbolDictionary:
     data = seg.data
     flags = struct.unpack_from(">H", data, 0)[0]
     pos = 2
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
+    huff_dh_sel = (flags >> 2) & 3
+    huff_dw_sel = (flags >> 4) & 3
+    huff_bmsize_sel = (flags >> 6) & 1
+    huff_agginst_sel = (flags >> 7) & 1
+    ctx_used = (flags >> 8) & 1
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
-    ctx_used = (flags >> 8) & 1
-    if sdhuff:
-        raise Jbig2Error("Huffman symbol dictionaries not supported")
     if ctx_used:
         raise Jbig2Error("retained contexts not supported")
-    at, pos = _read_at(data, pos, 4 if template == 0 else 1)
+    at: list[tuple[int, int]] = []
+    if not sdhuff:
+        at, pos = _read_at(data, pos, 4 if template == 0 else 1)
     rat: list[tuple[int, int]] = []
     if sdrefagg and rtemplate == 0:
         rat, pos = _read_at(data, pos, 2)
@@ -490,6 +512,81 @@ def _decode_symbol_dict(seg: Segment, referred_dicts: list) -> SymbolDictionary:
     input_symbols: list[np.ndarray] = []
     for d in referred_dicts:
         input_symbols.extend(d.symbols)
+
+    if sdhuff:
+        if sdrefagg:
+            raise Jbig2Error(
+                "Huffman symbol dictionary with refinement not supported"
+            )
+        used = [0]
+        customs = referred_tables or []
+        t_dh = _pick_table(huff_dh_sel, [4, 5], customs, used)
+        t_dw = _pick_table(huff_dw_sel, [2, 3], customs, used)
+        t_bmsize = (
+            standard_table(1)
+            if huff_bmsize_sel == 0
+            else _pick_table(3, [], customs, used)
+        )
+        t_ex = standard_table(1)
+        br = BitReader(bytes(data[pos:]))
+        new_symbols = []
+        height = 0
+        while len(new_symbols) < num_new:
+            dh = t_dh.decode(br)
+            if dh is None:
+                raise Jbig2Error("unexpected OOB in DH")
+            height += dh
+            width = 0
+            widths: list[int] = []
+            while True:
+                dw = t_dw.decode(br)
+                if dw is None:
+                    break
+                width += dw
+                widths.append(width)
+                if len(new_symbols) + len(widths) > num_new:
+                    raise Jbig2Error("too many symbols")
+            # collective bitmap for the height class (6.5.9)
+            bmsize = t_bmsize.decode(br)
+            br.align()
+            tot_w = sum(widths)
+            start = pos + br.byte_pos()
+            if bmsize == 0:  # uncompressed, byte-aligned rows
+                stride = (tot_w + 7) // 8
+                raw = bytes(data[start : start + stride * height])
+                rows = np.frombuffer(raw, np.uint8).reshape(height, stride)
+                coll = np.unpackbits(rows, axis=1, count=tot_w)
+                br.pos += stride * height * 8
+            else:
+                coll = _mmr_decode(
+                    bytes(data[start : start + bmsize]), tot_w, height
+                )
+                br.pos += bmsize * 8
+            x0 = 0
+            for sw in widths:
+                new_symbols.append(
+                    np.ascontiguousarray(coll[:, x0 : x0 + sw])
+                )
+                x0 += sw
+
+        all_syms = input_symbols + new_symbols
+        exported: list[np.ndarray] = []
+        ex_flag = False
+        i = 0
+        while i < len(all_syms):
+            run = t_ex.decode(br)
+            if run is None:
+                raise Jbig2Error("unexpected OOB in EX")
+            if ex_flag:
+                exported.extend(all_syms[i : i + run])
+            i += run
+            ex_flag = not ex_flag
+        if len(exported) != num_ex:
+            logger.warning(
+                "jbig2: exported %d symbols, header says %d",
+                len(exported), num_ex,
+            )
+        return SymbolDictionary(exported)
 
     dec = ArithDecoder(bytes(data[pos:]))
     iadh = new_context(9)
@@ -542,7 +639,7 @@ def _decode_symbol_dict(seg: Segment, referred_dicts: list) -> SymbolDictionary:
 
     # export flags (6.5.10)
     all_syms = input_symbols + new_symbols
-    exported: list[np.ndarray] = []
+    exported = []
     ex_flag = False
     i = 0
     while i < len(all_syms):
@@ -561,7 +658,10 @@ def _decode_symbol_dict(seg: Segment, referred_dicts: list) -> SymbolDictionary:
     return SymbolDictionary(exported)
 
 
-def _decode_text_region(seg: Segment, symbols: list[np.ndarray]):
+def _decode_text_region(
+    seg: Segment, symbols: list[np.ndarray],
+    referred_tables: list | None = None,
+):
     data = seg.data
     w, h, x, y, ext_op, pos = _region_info(data)
     flags = struct.unpack_from(">H", data, pos)[0]
@@ -578,8 +678,22 @@ def _decode_text_region(seg: Segment, symbols: list[np.ndarray]):
     if ds_offset > 15:
         ds_offset -= 32
     rtemplate = (flags >> 15) & 1
+    huff_tables = None
     if sbhuff:
-        raise Jbig2Error("Huffman text regions not supported")
+        hflags = struct.unpack_from(">H", data, pos)[0]
+        pos += 2
+        used = [0]
+        customs = referred_tables or []
+        huff_tables = {
+            "fs": _pick_table(hflags & 3, [6, 7], customs, used),
+            "ds": _pick_table((hflags >> 2) & 3, [8, 9, 10], customs, used),
+            "dt": _pick_table((hflags >> 4) & 3, [11, 12, 13], customs,
+                              used),
+        }
+        if refine:
+            raise Jbig2Error(
+                "Huffman text region with refinement not supported"
+            )
     rat: list[tuple[int, int]] = []
     if refine and rtemplate == 0:
         rat, pos = _read_at(data, pos, 2)
@@ -593,45 +707,60 @@ def _decode_text_region(seg: Segment, symbols: list[np.ndarray]):
     if n_syms <= 1:
         code_len = 1
 
-    dec = ArithDecoder(bytes(data[pos:]))
-    iadt = new_context(9)
-    iafs = new_context(9)
-    iads = new_context(9)
-    iait = new_context(9)
-    iari = new_context(9)
-    iardw = new_context(9)
-    iardh = new_context(9)
-    iardx = new_context(9)
-    iardy = new_context(9)
-    iaid_cx = new_context(code_len + 1)
-    gr_cx = new_context(13)
+    if sbhuff:
+        br = BitReader(bytes(data[pos:]))
+        sym_table = decode_symbol_id_codes(br, n_syms)
+        br.align()
+        read_dt = lambda: huff_tables["dt"].decode(br)  # noqa: E731
+        read_fs = lambda: huff_tables["fs"].decode(br)  # noqa: E731
+        read_ds = lambda: huff_tables["ds"].decode(br)  # noqa: E731
+        read_it = lambda: br.bits(log_strips)  # noqa: E731
+        read_id = lambda: sym_table.decode(br)  # noqa: E731
+    else:
+        dec = ArithDecoder(bytes(data[pos:]))
+        iadt = new_context(9)
+        iafs = new_context(9)
+        iads = new_context(9)
+        iait = new_context(9)
+        iari = new_context(9)
+        iardw = new_context(9)
+        iardh = new_context(9)
+        iardx = new_context(9)
+        iardy = new_context(9)
+        iaid_cx = new_context(code_len + 1)
+        gr_cx = new_context(13)
+        read_dt = lambda: dec.integer(iadt)  # noqa: E731
+        read_fs = lambda: dec.integer(iafs)  # noqa: E731
+        read_ds = lambda: dec.integer(iads)  # noqa: E731
+        read_it = lambda: dec.integer(iait)  # noqa: E731
+        read_id = lambda: dec.iaid(iaid_cx, code_len)  # noqa: E731
 
     bitmap = np.full((h, w), def_pixel, np.uint8)
-    dt = dec.integer(iadt)
+    dt = read_dt()
     strip_t = -dt * strips
     first_s = 0
     inst = 0
     while inst < num_instances:
-        dt = dec.integer(iadt)
+        dt = read_dt()
         strip_t += dt * strips
-        dfs = dec.integer(iafs)
+        dfs = read_fs()
         first_s += dfs
         cur_s = first_s
         first = True
         while True:
             if not first:
-                ids = dec.integer(iads)
+                ids = read_ds()
                 if ids is None:
                     break
                 cur_s += ids + ds_offset
             first = False
             if inst >= num_instances:
                 break
-            cur_t = 0 if strips == 1 else dec.integer(iait)
+            cur_t = 0 if strips == 1 else read_it()
             t = strip_t + cur_t
-            sym_id = dec.iaid(iaid_cx, code_len)
+            sym_id = read_id()
             sym = symbols[sym_id]
-            if refine:
+            if refine and not sbhuff:
                 ri = dec.integer(iari)
                 if ri:
                     rdw = dec.integer(iardw)
@@ -713,7 +842,7 @@ def decode(data: bytes, globals_data: bytes | None = None,
     segments.extend(parse_segments(data))
 
     dicts: dict[int, SymbolDictionary] = {}
-    patterns: dict[int, list[np.ndarray]] = {}
+    tables: dict[int, HuffmanTable] = {}
     page: np.ndarray | None = None
     page_default = 0
 
@@ -746,13 +875,15 @@ def decode(data: bytes, globals_data: bytes | None = None,
             )
         elif seg.type == 0:  # symbol dictionary
             refs = [dicts[r] for r in seg.referred if r in dicts]
-            dicts[seg.number] = _decode_symbol_dict(seg, refs)
+            seg_tables = [tables[r] for r in seg.referred if r in tables]
+            dicts[seg.number] = _decode_symbol_dict(seg, refs, seg_tables)
         elif seg.type in (4, 6, 7):  # text region
             symbols: list[np.ndarray] = []
             for r in seg.referred:
                 if r in dicts:
                     symbols.extend(dicts[r].symbols)
-            bmp, x, y, op = _decode_text_region(seg, symbols)
+            seg_tables = [tables[r] for r in seg.referred if r in tables]
+            bmp, x, y, op = _decode_text_region(seg, symbols, seg_tables)
             ensure_page(y + bmp.shape[0], x + bmp.shape[1])
             _compose(page, bmp, x, y, op)
         elif seg.type in (36, 38, 39):  # generic region
@@ -765,8 +896,8 @@ def decode(data: bytes, globals_data: bytes | None = None,
             raise Jbig2Error(
                 "standalone refinement regions not supported"
             )
-        elif seg.type == 53:
-            raise Jbig2Error("custom Huffman tables not supported")
+        elif seg.type == 53:  # custom code table
+            tables[seg.number] = parse_table_segment(bytes(seg.data))
         elif seg.type in (49, 50, 51, 62):  # end-of-*, extension
             continue
         else:
@@ -783,3 +914,215 @@ def decode(data: bytes, globals_data: bytes | None = None,
         out[:h0, :w0] = page[:h0, :w0]
         page = out
     return page
+
+
+# ------------------------------------------------------- Huffman (B.*)
+
+
+class BitReader:
+    """MSB-first bit reader over a bytes buffer."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise Jbig2Error("huffman: out of data")
+        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class HuffmanTable:
+    """Prefix-code table per T.88 B.3 code assignment.
+
+    lines: (prefix_len, range_len, range_low, kind) where kind is
+    'normal' | 'lower' | 'upper' | 'oob'. range_len 32 on lower/upper.
+    """
+
+    def __init__(self, lines):
+        coded = [ln for ln in lines if ln[0] > 0]
+        max_len = max((ln[0] for ln in coded), default=0)
+        count = [0] * (max_len + 1)
+        for ln in coded:
+            count[ln[0]] += 1
+        next_code = [0] * (max_len + 1)
+        code = 0
+        for length in range(1, max_len + 1):
+            code = (code + count[length - 1]) << 1 if length > 1 else 0
+            next_code[length] = code
+        # assign codes in table order within each length (B.3)
+        self.codes = {}  # (length, code) -> line
+        for ln in lines:
+            plen = ln[0]
+            if plen == 0:
+                continue
+            c = next_code[plen]
+            next_code[plen] += 1
+            self.codes[(plen, c)] = ln
+
+    def decode(self, br: BitReader):
+        """-> int value or None (OOB)."""
+        length = 0
+        code = 0
+        while length <= 32:
+            code = (code << 1) | br.bit()
+            length += 1
+            ln = self.codes.get((length, code))
+            if ln is None:
+                continue
+            plen, rlen, rlow, kind = ln
+            if kind == "oob":
+                return None
+            if kind == "lower":
+                return rlow - br.bits(32)
+            v = br.bits(rlen) if rlen else 0
+            return rlow + v
+        raise Jbig2Error("huffman: no code matched")
+
+
+def _std_lines(spec, oob_len=None):
+    lines = []
+    for entry in spec:
+        if len(entry) == 4:
+            lines.append(entry)
+        else:
+            lines.append((entry[0], entry[1], entry[2], "normal"))
+    if oob_len:
+        lines.append((oob_len, 0, 0, "oob"))
+    return lines
+
+
+# T.88 Annex B standard tables. Entries: (prefix len, range len, low).
+STANDARD_TABLES = {
+    1: _std_lines([(1, 4, 0), (2, 8, 16), (3, 16, 272),
+                   (3, 32, 65808, "upper")]),
+    2: _std_lines([(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+                   (5, 6, 11), (6, 32, 75, "upper")], oob_len=6),
+    3: _std_lines([(8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2),
+                   (4, 3, 3), (5, 6, 11), (8, 32, -257, "lower"),
+                   (7, 32, 75, "upper")], oob_len=6),
+    4: _std_lines([(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+                   (5, 6, 12), (5, 32, 76, "upper")]),
+    5: _std_lines([(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3),
+                   (4, 3, 4), (5, 6, 12), (7, 32, -256, "lower"),
+                   (6, 32, 76, "upper")]),
+    6: _std_lines([(5, 10, -2048), (4, 9, -1024), (4, 8, -512),
+                   (4, 7, -256), (5, 6, -128), (5, 5, -64), (4, 5, -32),
+                   (2, 7, 0), (3, 7, 128), (3, 8, 256), (4, 9, 512),
+                   (4, 10, 1024), (6, 32, -2049, "lower"),
+                   (6, 32, 2048, "upper")]),
+    7: _std_lines([(4, 9, -1024), (3, 8, -512), (4, 7, -256),
+                   (5, 6, -128), (5, 5, -64), (4, 5, -32), (4, 5, 0),
+                   (5, 5, 32), (5, 6, 64), (4, 7, 128), (3, 8, 256),
+                   (3, 9, 512), (3, 10, 1024), (5, 32, -1025, "lower"),
+                   (5, 32, 2048, "upper")]),
+    8: _std_lines([(8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3),
+                   (7, 0, -2), (4, 0, -1), (2, 1, 0), (5, 0, 2),
+                   (6, 0, 3), (3, 4, 4), (6, 1, 20), (4, 4, 22),
+                   (4, 5, 38), (5, 6, 70), (5, 7, 134), (6, 7, 262),
+                   (7, 8, 390), (6, 10, 646), (9, 32, -16, "lower"),
+                   (9, 32, 1670, "upper")], oob_len=2),
+    9: _std_lines([(8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7),
+                   (7, 1, -5), (4, 1, -3), (3, 1, -1), (3, 1, 1),
+                   (5, 1, 3), (6, 1, 5), (3, 5, 7), (6, 2, 39),
+                   (4, 5, 43), (4, 6, 75), (5, 7, 139), (5, 8, 267),
+                   (6, 8, 523), (7, 9, 779), (6, 11, 1291),
+                   (9, 32, -32, "lower"), (9, 32, 3339, "upper")],
+                  oob_len=2),
+    10: _std_lines([(7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3),
+                    (2, 2, -2), (5, 0, 2), (6, 0, 3), (7, 0, 4),
+                    (8, 0, 5), (2, 6, 6), (5, 5, 70), (6, 5, 102),
+                    (6, 6, 134), (6, 7, 198), (6, 8, 326), (6, 9, 582),
+                    (6, 10, 1094), (7, 11, 2118),
+                    (8, 32, -22, "lower"), (8, 32, 4166, "upper")],
+                   oob_len=2),
+    11: _std_lines([(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5),
+                    (5, 1, 7), (5, 2, 9), (6, 2, 13), (7, 2, 17),
+                    (7, 3, 21), (7, 4, 29), (7, 5, 45), (7, 6, 77),
+                    (7, 32, 141, "upper")]),
+    12: _std_lines([(1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5),
+                    (5, 1, 6), (6, 1, 8), (7, 0, 10), (7, 1, 11),
+                    (7, 2, 13), (7, 3, 17), (7, 4, 25), (8, 5, 41),
+                    (8, 32, 73, "upper")]),
+    13: _std_lines([(1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4),
+                    (4, 1, 5), (3, 3, 7), (6, 1, 15), (6, 2, 17),
+                    (6, 3, 21), (6, 4, 29), (6, 5, 45), (7, 6, 77),
+                    (7, 32, 141, "upper")]),
+    14: _std_lines([(3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1),
+                    (3, 0, 2)]),
+    15: _std_lines([(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2),
+                    (3, 0, -1), (1, 0, 0), (3, 0, 1), (4, 0, 2),
+                    (5, 1, 3), (6, 2, 5), (7, 4, 9),
+                    (7, 32, -25, "lower"), (7, 32, 25, "upper")]),
+}
+
+
+def standard_table(n: int) -> HuffmanTable:
+    return HuffmanTable(STANDARD_TABLES[n])
+
+
+def parse_table_segment(data: bytes) -> HuffmanTable:
+    """Custom code table segment (7.4.13 / B.2)."""
+    flags = data[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    low, high = struct.unpack_from(">ii", data, 1)
+    br = BitReader(data[9:])
+    lines = []
+    cur = low
+    while cur < high:
+        plen = br.bits(htps)
+        rlen = br.bits(htrs)
+        lines.append((plen, rlen, cur, "normal"))
+        cur += 1 << rlen
+    lines.append((br.bits(htps), 32, low - 1, "lower"))
+    lines.append((br.bits(htps), 32, high, "upper"))
+    if htoob:
+        lines.append((br.bits(htps), 0, 0, "oob"))
+    return HuffmanTable(lines)
+
+
+def decode_symbol_id_codes(br: BitReader, n_syms: int) -> HuffmanTable:
+    """Text region symbol-ID code table via runcodes (7.4.4.4.1)."""
+    runcode_lens = [br.bits(4) for _ in range(35)]
+    runcode_table = HuffmanTable(
+        [(l, 0, i, "normal") for i, l in enumerate(runcode_lens)]
+    )
+    lengths: list[int] = []
+    prev = 0
+    while len(lengths) < n_syms:
+        code = runcode_table.decode(br)
+        if code is None:
+            raise Jbig2Error("runcode OOB")
+        if code < 32:
+            lengths.append(code)
+            prev = code
+        elif code == 32:
+            rep = br.bits(2) + 3
+            lengths.extend([prev] * rep)
+        elif code == 33:
+            rep = br.bits(3) + 3
+            lengths.extend([0] * rep)
+        else:  # 34
+            rep = br.bits(7) + 11
+            lengths.extend([0] * rep)
+    lengths = lengths[:n_syms]
+    return HuffmanTable(
+        [(l, 0, i, "normal") for i, l in enumerate(lengths)]
+    )

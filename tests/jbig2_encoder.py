@@ -349,3 +349,171 @@ def text_region_segment(
         enc.encode_int(iads, None)  # OOB: end of strip
     body += enc.flush()
     return segment(number, 6, [sym_dict_seg], page, bytes(body))
+
+
+# ------------------------------------------------------ Huffman (B.*)
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def put_bytes(self, data: bytes):
+        self.align()
+        for b in data:
+            self.put(b, 8)
+
+    def tobytes(self) -> bytes:
+        self.align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for b in self.bits[i : i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+
+class HuffmanEnc:
+    """Encoder mirror of jbig2.HuffmanTable (same canonical codes)."""
+
+    def __init__(self, lines):
+        from rapiddoc_tpu.pdfio.jbig2 import HuffmanTable
+
+        table = HuffmanTable(lines)
+        self.by_line = {}  # id(line) -> (length, code)
+        for (length, code), ln in table.codes.items():
+            self.by_line[ln] = (length, code)
+        self.lines = [ln for ln in lines if ln[0] > 0]
+
+    def encode(self, bw: BitWriter, value: int | None):
+        if value is None:
+            ln = next(l for l in self.lines if l[3] == "oob")
+            length, code = self.by_line[ln]
+            bw.put(code, length)
+            return
+        for ln in self.lines:
+            plen, rlen, rlow, kind = ln
+            if kind == "normal" and rlow <= value < rlow + (1 << rlen):
+                length, code = self.by_line[ln]
+                bw.put(code, length)
+                bw.put(value - rlow, rlen)
+                return
+            if kind == "lower" and value <= rlow:
+                length, code = self.by_line[ln]
+                bw.put(code, length)
+                bw.put(rlow - value, 32)
+                return
+            if kind == "upper" and value >= rlow:
+                length, code = self.by_line[ln]
+                bw.put(code, length)
+                bw.put(value - rlow, 32)
+                return
+        raise ValueError(f"value {value} not encodable")
+
+
+def _std_enc(n: int) -> HuffmanEnc:
+    from rapiddoc_tpu.pdfio.jbig2 import STANDARD_TABLES
+
+    return HuffmanEnc(STANDARD_TABLES[n])
+
+
+def symbol_dict_segment_huffman(
+    number: int, symbols: list[np.ndarray], page: int = 1,
+) -> tuple[bytes, list[int]]:
+    """SDHUFF=1 dictionary: DH via B.4, DW via B.2, BMSIZE via B.1,
+    uncompressed collective bitmaps."""
+    order = sorted(
+        range(len(symbols)),
+        key=lambda i: (symbols[i].shape[0], symbols[i].shape[1]),
+    )
+    flags = 1  # SDHUFF, selectors 0
+    body = bytearray(struct.pack(">H", flags))
+    body += struct.pack(">II", len(symbols), len(symbols))
+    bw = BitWriter()
+    t_dh, t_dw, t_bm, t_ex = _std_enc(4), _std_enc(2), _std_enc(1), _std_enc(1)
+    height = 0
+    i = 0
+    while i < len(order):
+        hc = symbols[order[i]].shape[0]
+        t_dh.encode(bw, hc - height)
+        height = hc
+        cls = []
+        width = 0
+        while i < len(order) and symbols[order[i]].shape[0] == hc:
+            sym = symbols[order[i]]
+            t_dw.encode(bw, sym.shape[1] - width)
+            width = sym.shape[1]
+            cls.append(sym)
+            i += 1
+        t_dw.encode(bw, None)  # OOB
+        t_bm.encode(bw, 0)  # uncompressed
+        bw.align()
+        coll = np.concatenate(cls, axis=1)
+        packed = np.packbits(coll, axis=1)
+        bw.put_bytes(packed.tobytes())
+    t_ex.encode(bw, 0)
+    t_ex.encode(bw, len(symbols))
+    body += bw.tobytes()
+    return segment(number, 0, [], page, bytes(body)), order
+
+
+def text_region_segment_huffman(
+    number: int, sym_dict_seg: int, symbols: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    w: int, h: int, x: int = 0, y: int = 0, comb_op: int = 0,
+    page: int = 1,
+) -> bytes:
+    """SBHUFF=1 text region: FS via B.6, DS via B.8, DT via B.11,
+    equal-length symbol codes via a single-entry runcode table."""
+    n = len(symbols)
+    code_len = max(1, (n - 1).bit_length()) if n > 1 else 1
+    flags = 1 | (1 << 4)  # SBHUFF, REFCORNER=TOPLEFT
+    hflags = 0  # all selectors 0
+    body = bytearray(region_info(w, h, x, y, comb_op))
+    body += struct.pack(">H", flags)
+    body += struct.pack(">H", hflags)
+    body += struct.pack(">I", len(placements))
+    bw = BitWriter()
+    # runcode lengths: runcode `code_len` has prefix length 1, rest 0
+    for rc in range(35):
+        bw.put(1 if rc == code_len else 0, 4)
+    for _ in range(n):  # each symbol's code length, via runcode code_len
+        bw.put(0, 1)
+    bw.align()
+    t_fs, t_ds, t_dt = _std_enc(6), _std_enc(8), _std_enc(11)
+    sym_enc = HuffmanEnc(
+        [(code_len, 0, i, "normal") for i in range(n)]
+    )
+    placements = sorted(placements, key=lambda p: (p[2], p[1]))
+    t_dt.encode(bw, 1)  # STRIPT init: strip_t = -1
+    strip_t = -1
+    firsts = 0
+    i = 0
+    while i < len(placements):
+        t = placements[i][2]
+        t_dt.encode(bw, t - strip_t)
+        strip_t = t
+        sid, sx, _ = placements[i]
+        t_fs.encode(bw, sx - firsts)
+        firsts = sx
+        sym_enc.encode(bw, sid)
+        cur_s = sx + symbols[sid].shape[1] - 1
+        i += 1
+        while i < len(placements) and placements[i][2] == t:
+            sid2, sx2, _ = placements[i]
+            t_ds.encode(bw, sx2 - cur_s)
+            sym_enc.encode(bw, sid2)
+            cur_s = sx2 + symbols[sid2].shape[1] - 1
+            i += 1
+        t_ds.encode(bw, None)  # OOB
+    body += bw.tobytes()
+    return segment(number, 6, [sym_dict_seg], page, bytes(body))

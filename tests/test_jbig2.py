@@ -142,3 +142,76 @@ def test_pdf_image_integration(tmp_path):
     assert img is not None
     arr = np.asarray(img.convert("L"))
     np.testing.assert_array_equal(arr == 0, bmp.astype(bool))
+
+
+def test_huffman_standard_tables():
+    """Every standard table round-trips representative values through
+    the independent encoder mirror (prefix assignment + range lines +
+    lower/upper/OOB)."""
+    from rapiddoc_tpu.pdfio.jbig2 import (
+        BitReader,
+        STANDARD_TABLES,
+        standard_table,
+    )
+
+    cases = {
+        1: [0, 15, 16, 271, 272, 65807, 65808, 1000000],
+        2: [0, 1, 2, 3, 10, 11, 74, 75, 200, None],
+        3: [-256, -1, 0, 11, 74, 75, 200, -257, -5000, None],
+        4: [1, 2, 3, 4, 11, 12, 75, 76, 500],
+        5: [-255, -1, 1, 12, 75, 76, 500, -256, -999],
+        6: [-2048, -1024, -512, -256, -128, -64, -32, 0, 127, 128, 255,
+            256, 511, 512, 1023, 1024, 2047, 2048, 9999, -2049, -9999],
+        7: [-1024, -512, -256, -128, -64, -32, 0, 31, 32, 63, 64, 127,
+            128, 255, 256, 511, 512, 1023, 1024, 2047, 2048, -1025],
+        8: [-15, -7, -5, -3, -2, -1, 0, 1, 2, 3, 4, 19, 20, 21, 22, 37,
+            38, 69, 70, 133, 134, 261, 262, 389, 390, 645, 646, 1669,
+            1670, -16, None],
+        9: [-31, -15, -11, -7, -5, -3, -1, 1, 3, 5, 7, 38, 39, 43, 75,
+            139, 267, 523, 779, 1291, 3338, 3339, -32, None],
+        10: [-21, -5, -4, -3, -2, 1, 2, 3, 4, 5, 6, 69, 70, 102, 134,
+             198, 326, 582, 1094, 2118, 4165, 4166, -22, None],
+        11: [1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 16, 17, 20, 21, 28, 29,
+             44, 45, 76, 77, 140, 141, 999],
+        12: [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16, 17, 24, 25,
+             40, 41, 72, 73, 999],
+        13: [1, 2, 3, 4, 5, 6, 7, 14, 15, 16, 17, 20, 21, 28, 29, 44,
+             45, 76, 77, 140, 141, 999],
+        14: [-2, -1, 0, 1, 2],
+        15: [-24, -9, -8, -4, -2, -1, 0, 1, 2, 3, 4, 5, 8, 9, 24, 25,
+             99, -25, -99],
+    }
+    import jbig2_encoder as E2
+
+    for n, values in cases.items():
+        enc = E2.HuffmanEnc(STANDARD_TABLES[n])
+        bw = E2.BitWriter()
+        for v in values:
+            enc.encode(bw, v)
+        br = BitReader(bw.tobytes())
+        table = standard_table(n)
+        got = [table.decode(br) for _ in values]
+        assert got == values, f"table B.{n}: {got} != {values}"
+
+
+def test_huffman_symbol_dict_and_text_region():
+    rng = np.random.default_rng(21)
+    glyph_a = np.zeros((8, 6), np.uint8)
+    glyph_a[1:7, 1:5] = 1
+    glyph_b = (rng.random((8, 5)) < 0.5).astype(np.uint8)
+    glyph_c = np.ones((5, 4), np.uint8)
+    symbols = [glyph_a, glyph_b, glyph_c]
+    sd_seg, order = E.symbol_dict_segment_huffman(2, symbols)
+    export = [symbols[i] for i in order]
+
+    W, H = 64, 32
+    placements = [(0, 2, 3), (1, 20, 3), (2, 40, 3), (1, 5, 18)]
+    tr_seg = E.text_region_segment_huffman(3, 2, export, placements, W, H)
+    stream = E.segment(1, 48, [], 1, E.page_info(W, H)) + sd_seg + tr_seg
+
+    out = J.decode(stream)
+    expect = np.zeros((H, W), np.uint8)
+    for sid, x, y in placements:
+        sym = export[sid]
+        expect[y : y + sym.shape[0], x : x + sym.shape[1]] |= sym
+    np.testing.assert_array_equal(out, expect)
