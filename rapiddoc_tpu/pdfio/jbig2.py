@@ -794,6 +794,95 @@ def _decode_text_region(
     return bitmap, x, y, ext_op
 
 
+def _decode_pattern_dict(seg: Segment) -> list[np.ndarray]:
+    """Pattern dictionary (6.7): one collective generic bitmap sliced
+    into GRAYMAX+1 patterns of HDPW x HDPH."""
+    data = seg.data
+    flags = data[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw = data[1]
+    hdph = data[2]
+    graymax = struct.unpack_from(">I", data, 3)[0]
+    pos = 7
+    tot_w = (graymax + 1) * hdpw
+    if hdmmr:
+        coll = _mmr_decode(bytes(data[pos:]), tot_w, hdph)
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+        if template != 0:
+            at = at[:1]
+        dec = ArithDecoder(bytes(data[pos:]))
+        coll = dec.generic(new_context(16), template, False, at, tot_w,
+                           hdph)
+    return [
+        np.ascontiguousarray(coll[:, i * hdpw : (i + 1) * hdpw])
+        for i in range(graymax + 1)
+    ]
+
+
+def _decode_halftone_region(seg: Segment, patterns: list[np.ndarray]):
+    """Halftone region (6.6): gray-coded bitplanes index the pattern
+    dictionary onto the halftone grid."""
+    data = seg.data
+    w, h, x, y, ext_op, pos = _region_info(data)
+    flags = data[pos]
+    pos += 1
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = (flags >> 3) & 1
+    comb_op = (flags >> 4) & 7
+    def_pixel = (flags >> 7) & 1
+    if enable_skip:
+        raise Jbig2Error("halftone HENABLESKIP not supported")
+    if not patterns:
+        raise Jbig2Error("halftone region without pattern dictionary")
+    hgw, hgh = struct.unpack_from(">II", data, pos)
+    hgx, hgy = struct.unpack_from(">ii", data, pos + 8)
+    hrx, hry = struct.unpack_from(">HH", data, pos + 16)
+    pos += 20
+
+    n_pats = len(patterns)
+    bits = max(1, (n_pats - 1).bit_length()) if n_pats > 1 else 1
+    planes: list[np.ndarray] = []
+    if hmmr:
+        # all bitplanes in one MMR stream, stacked vertically
+        stack = _mmr_decode(bytes(data[pos:]), hgw, hgh * bits)
+        planes = [
+            stack[i * hgh : (i + 1) * hgh] for i in range(bits)
+        ]
+    else:
+        at = [(template <= 1 and 3 or 2, -1), (-3, -1), (2, -2),
+              (-2, -2)]
+        if template != 0:
+            at = at[:1]
+        dec = ArithDecoder(bytes(data[pos:]))
+        cx = new_context(16)  # shared stats across planes (C.5)
+        for _ in range(bits):
+            planes.append(
+                dec.generic(cx, template, False, at, hgw, hgh)
+            )
+    # gray decode, MSB plane first (C.5)
+    value = planes[0].astype(np.int32)
+    prev = planes[0]
+    for plane in planes[1:]:
+        bit = plane ^ prev
+        value = (value << 1) | bit
+        prev = bit
+    value = np.clip(value, 0, n_pats - 1)
+
+    bitmap = np.full((h, w), def_pixel, np.uint8)
+    ph, pw = patterns[0].shape
+    for mg in range(hgh):
+        for ng in range(hgw):
+            px = (hgx + mg * hry + ng * hrx) >> 8
+            py = (hgy + mg * hrx - ng * hry) >> 8
+            _compose(
+                bitmap, patterns[int(value[mg, ng])], px, py, comb_op
+            )
+    return bitmap, x, y, ext_op
+
+
 def _decode_generic_region(seg: Segment):
     data = seg.data
     w, h, x, y, ext_op, pos = _region_info(data)
@@ -843,6 +932,7 @@ def decode(data: bytes, globals_data: bytes | None = None,
 
     dicts: dict[int, SymbolDictionary] = {}
     tables: dict[int, HuffmanTable] = {}
+    pattern_dicts: dict[int, list[np.ndarray]] = {}
     page: np.ndarray | None = None
     page_default = 0
 
@@ -890,8 +980,16 @@ def decode(data: bytes, globals_data: bytes | None = None,
             bmp, x, y, op = _decode_generic_region(seg)
             ensure_page(y + bmp.shape[0], x + bmp.shape[1])
             _compose(page, bmp, x, y, op)
-        elif seg.type in (16, 20, 22, 23):
-            raise Jbig2Error("halftone regions not supported")
+        elif seg.type == 16:  # pattern dictionary
+            pattern_dicts[seg.number] = _decode_pattern_dict(seg)
+        elif seg.type in (20, 22, 23):  # halftone region
+            pats: list[np.ndarray] = []
+            for r in seg.referred:
+                if r in pattern_dicts:
+                    pats.extend(pattern_dicts[r])
+            bmp, x, y, op = _decode_halftone_region(seg, pats)
+            ensure_page(y + bmp.shape[0], x + bmp.shape[1])
+            _compose(page, bmp, x, y, op)
         elif seg.type in (40, 42, 43):
             raise Jbig2Error(
                 "standalone refinement regions not supported"

@@ -517,3 +517,43 @@ def text_region_segment_huffman(
         t_ds.encode(bw, None)  # OOB
     body += bw.tobytes()
     return segment(number, 6, [sym_dict_seg], page, bytes(body))
+
+
+def pattern_dict_segment(
+    number: int, patterns: list[np.ndarray], page: int = 1,
+) -> bytes:
+    """Arithmetic pattern dictionary (6.7), template 0."""
+    hdph, hdpw = patterns[0].shape
+    coll = np.concatenate(patterns, axis=1)
+    body = bytearray([0, hdpw, hdph])
+    body += struct.pack(">I", len(patterns) - 1)  # GRAYMAX
+    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+    enc = MQEncoder()
+    enc.encode_generic(coll, _new_cx(16), 0, at, False)
+    body += enc.flush()
+    return segment(number, 16, [], page, bytes(body))
+
+
+def halftone_region_segment(
+    number: int, pat_seg: int, gray: np.ndarray, n_patterns: int,
+    pattern_size: int, w: int, h: int, x: int = 0, y: int = 0,
+    comb_op: int = 0, page: int = 1,
+) -> bytes:
+    """Arithmetic halftone region, axis-aligned grid of square
+    patterns. gray: (HGH, HGW) pattern indices."""
+    hgh, hgw = gray.shape
+    body = bytearray(region_info(w, h, x, y, comb_op))
+    body.append(0)  # flags: arithmetic, template 0, OR, defpixel 0
+    body += struct.pack(">II", hgw, hgh)
+    body += struct.pack(">ii", 0, 0)  # HGX, HGY
+    body += struct.pack(">HH", pattern_size << 8, 0)  # HRX, HRY (8.8)
+    bits = max(1, (n_patterns - 1).bit_length()) if n_patterns > 1 else 1
+    g = gray.astype(np.int64) ^ (gray.astype(np.int64) >> 1)  # gray code
+    at = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+    enc = MQEncoder()
+    cx = _new_cx(16)
+    for i in range(bits):
+        plane = ((g >> (bits - 1 - i)) & 1).astype(np.uint8)
+        enc.encode_generic(plane, cx, 0, at, False)
+    body += enc.flush()
+    return segment(number, 22, [pat_seg], page, bytes(body))

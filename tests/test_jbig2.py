@@ -215,3 +215,29 @@ def test_huffman_symbol_dict_and_text_region():
         sym = export[sid]
         expect[y : y + sym.shape[0], x : x + sym.shape[1]] |= sym
     np.testing.assert_array_equal(out, expect)
+
+
+def test_halftone_region():
+    """Pattern dictionary + halftone region: gray-coded bitplanes index
+    square patterns onto the grid."""
+    rng = np.random.default_rng(31)
+    P = 4
+    patterns = []
+    for level in range(4):  # density ramp
+        pat = np.zeros((P, P), np.uint8)
+        pat.flat[: level * 5] = 1
+        patterns.append(pat)
+    gray = rng.integers(0, 4, size=(6, 8))
+    W, H = 8 * P, 6 * P
+    stream = (
+        E.segment(1, 48, [], 1, E.page_info(W, H))
+        + E.pattern_dict_segment(2, patterns)
+        + E.halftone_region_segment(3, 2, gray, 4, P, W, H)
+    )
+    out = J.decode(stream)
+    expect = np.zeros((H, W), np.uint8)
+    for mg in range(6):
+        for ng in range(8):
+            expect[mg * P : (mg + 1) * P, ng * P : (ng + 1) * P] |= \
+                patterns[int(gray[mg, ng])]
+    np.testing.assert_array_equal(out, expect)
