@@ -36,8 +36,10 @@ from .rec import SVTRRec, ctc_greedy_decode
 
 logger = get_logger("rapiddoc_tpu.ocr")
 
-_REFERENCE_DICT = Path(
-    "/root/reference/rapid_doc/resources/ppocrv6_small_dict.txt"
+_VENDORED_DICT = (
+    Path(__file__).resolve().parent.parent.parent
+    / "assets"
+    / "ppocrv6_small_dict.txt"
 )
 
 
@@ -52,8 +54,10 @@ def default_charset_path() -> Path | None:
     cand = get_models_dir() / "ppocrv6_small_dict.txt"
     if cand.is_file():
         return cand
-    if _REFERENCE_DICT.is_file():
-        return _REFERENCE_DICT
+    # vendored upstream PaddleOCR v6-small vocabulary (an artifact like
+    # the model weights, shipped so the package is standalone)
+    if _VENDORED_DICT.is_file():
+        return _VENDORED_DICT
     return None
 
 

@@ -29,8 +29,8 @@ _END = 1024
 _BLOCK = 4096
 _PAD = 256
 
-_REFERENCE_MODEL_DIR = Path(
-    "/root/reference/rapid_doc/model/magika/models/standard_v3_3"
+_VENDORED_MODEL_DIR = (
+    Path(__file__).resolve().parent.parent / "assets" / "magika"
 )
 
 
@@ -43,8 +43,9 @@ def _model_dir() -> Path | None:
     local = get_models_dir() / "magika"
     if (local / "model.onnx").is_file():
         return local
-    if (_REFERENCE_MODEL_DIR / "model.onnx").is_file():
-        return _REFERENCE_MODEL_DIR
+    # vendored trained magika checkpoint (Apache-2.0 upstream artifact)
+    if (_VENDORED_MODEL_DIR / "model.onnx").is_file():
+        return _VENDORED_MODEL_DIR
     return None
 
 
