@@ -914,7 +914,9 @@ def _mmr_decode(data: bytes, w: int, h: int) -> np.ndarray:
     img = Image.open(io.BytesIO(tiff))
     img.load()
     arr = np.asarray(img.convert("L"))
-    return (arr > 127).astype(np.uint8)  # BlackIs1: 1/255 = foreground
+    # PIL normalizes through the photometric tag: black renders as 0
+    # regardless of bit polarity; JBIG2 foreground (1) = black
+    return (arr < 128).astype(np.uint8)
 
 
 def decode(data: bytes, globals_data: bytes | None = None,

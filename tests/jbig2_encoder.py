@@ -557,3 +557,39 @@ def halftone_region_segment(
         enc.encode_generic(plane, cx, 0, at, False)
     body += enc.flush()
     return segment(number, 22, [pat_seg], page, bytes(body))
+
+
+def g4_encode(bitmap: np.ndarray) -> bytes:
+    """MMR (T.6/G4) payload for a bitmap (1 = black) via PIL's TIFF
+    writer — strip bytes extracted from the container."""
+    import io
+
+    from PIL import Image
+
+    img = Image.fromarray(((1 - bitmap) * 255).astype(np.uint8)).convert(
+        "1"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="TIFF", compression="group4")
+    data = buf.getvalue()
+    assert data[:2] == b"II"
+    ifd = struct.unpack("<I", data[4:8])[0]
+    n = struct.unpack("<H", data[ifd : ifd + 2])[0]
+    tags = {}
+    for i in range(n):
+        tag, _, _, v = struct.unpack(
+            "<HHII", data[ifd + 2 + i * 12 : ifd + 2 + (i + 1) * 12]
+        )
+        tags[tag] = v
+    return data[tags[273] : tags[273] + tags[279]]
+
+
+def mmr_generic_region_segment(
+    number: int, bitmap: np.ndarray, x: int = 0, y: int = 0,
+    comb_op: int = 0, page: int = 1,
+) -> bytes:
+    h, w = bitmap.shape
+    body = bytearray(region_info(w, h, x, y, comb_op))
+    body.append(1)  # flags: MMR
+    body += g4_encode(bitmap)
+    return segment(number, 38, [], page, bytes(body))

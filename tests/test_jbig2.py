@@ -241,3 +241,15 @@ def test_halftone_region():
             expect[mg * P : (mg + 1) * P, ng * P : (ng + 1) * P] |= \
                 patterns[int(gray[mg, ng])]
     np.testing.assert_array_equal(out, expect)
+
+
+def test_mmr_generic_region():
+    """MMR-coded generic region: G4 payload decodes with JBIG2
+    foreground polarity (1 = black)."""
+    bmp = np.zeros((20, 40), np.uint8)
+    bmp[3:17, 5:35] = 1
+    bmp[8:12, 10:30] = 0
+    stream = E.segment(1, 48, [], 1, E.page_info(40, 20)) + \
+        E.mmr_generic_region_segment(2, bmp)
+    out = J.decode(stream)
+    np.testing.assert_array_equal(out, bmp)
