@@ -14,8 +14,41 @@ from pathlib import Path
 import numpy as np
 from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
-FONT_DIR = Path("/usr/share/fonts/truetype/dejavu")
-FONTS = sorted(FONT_DIR.glob("*.ttf")) or []
+def _find_fonts() -> list[Path]:
+    """Text fonts on this box: system DejaVu + matplotlib's bundled
+    faces (STIXGeneral is Times-like serif, cmr10 Computer Modern, plus
+    DejaVu oblique/italic variants) — face diversity is what makes the
+    demo recognizer generalize to real PDF typography. Symbol-only
+    faces (STIXSiz*/STIXNonUni/cmex/cmsy/cmmi) are excluded."""
+    out: list[Path] = []
+    out += sorted(Path("/usr/share/fonts/truetype/dejavu").glob("*.ttf"))
+    try:
+        import matplotlib
+
+        mpl_ttf = Path(matplotlib.get_data_path()) / "fonts" / "ttf"
+        for p in sorted(mpl_ttf.glob("*.ttf")):
+            name = p.stem
+            if name.startswith(("STIXSiz", "STIXNonUni", "cmex", "cmsy",
+                                "cmmi")):
+                continue
+            # cm* (Computer Modern) use TeX OT1 encoding — several ASCII
+            # symbols map to different glyphs, which would inject label
+            # noise into training crops
+            if name.startswith(("STIXGeneral", "DejaVu")):
+                out.append(p)
+    except Exception:
+        pass
+    # de-dup by file name (system DejaVu repeats in matplotlib)
+    seen: set[str] = set()
+    uniq = []
+    for p in out:
+        if p.name not in seen:
+            seen.add(p.name)
+            uniq.append(p)
+    return uniq
+
+
+FONTS = _find_fonts()
 
 # rec charset: printable ASCII sans space (space is the implicit final
 # vocab entry, matching CTCLabelDecoder layout)
