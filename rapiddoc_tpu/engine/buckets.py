@@ -63,6 +63,37 @@ FIXED_480 = BucketSpec(heights=(480,), widths=(480,), batch_sizes=(1, 2, 4, 8, 1
 FIXED_1024 = BucketSpec(heights=(1024,), widths=(1024,), batch_sizes=(1, 2, 4))
 
 
+def pad_rows(batch, target: int):
+    """Pad axis 0 to `target` rows by repeating the last row (real pixels
+    keep the padded rows on the fast numeric path; results are sliced off)."""
+    import numpy as np
+
+    n = batch.shape[0]
+    if n == target:
+        return batch
+    return np.concatenate(
+        [batch, np.repeat(batch[-1:], target - n, axis=0)], axis=0
+    )
+
+
+def batch_chunks(
+    n: int, sizes: tuple[int, ...] = (1, 2, 4, 8, 16)
+) -> list[tuple[int, int, int]]:
+    """Split n rows into (start, stop, padded_size) chunks whose padded
+    sizes all come from the closed `sizes` set — jit then traces at most
+    len(sizes) batch shapes no matter how many tables/formulas a document
+    has (the same discipline JaxSession applies via BucketSpec.bucket_batch)."""
+    out: list[tuple[int, int, int]] = []
+    start = 0
+    mx = sizes[-1]
+    while start < n:
+        take = min(mx, n - start)
+        padded = next(b for b in sizes if take <= b)
+        out.append((start, start + take, padded))
+        start += take
+    return out
+
+
 def group_by_bucket(
     shapes: Sequence[tuple[int, int]], spec: BucketSpec
 ) -> dict[tuple[int, int], list[int]]:

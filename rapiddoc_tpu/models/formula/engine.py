@@ -190,16 +190,23 @@ class FormulaRecognizer:
         out: list[str] = [""] * len(crops)
         fn = self._decode_fn(max_len)
         # dispatch all shape buckets before fetching any result — decodes
-        # of different buckets pipeline on the device stream
+        # of different buckets pipeline on the device stream; batch dims
+        # are padded to a closed bucket set so compile count stays
+        # O(shape-buckets x batch-buckets), not O(distinct group sizes)
+        from ...engine.buckets import batch_chunks, pad_rows
+
         handles = []
         for bucket, idxs in groups.items():
-            batch = np.stack([prepped[i] for i in idxs])
-            handles.append(
-                (idxs, fn(
-                    self.variables["encoder"], self.variables["decoder"],
-                    self.variables["mem_proj"], jnp.asarray(batch),
-                ))
-            )
+            for s, e, padded in batch_chunks(len(idxs)):
+                batch = pad_rows(
+                    np.stack([prepped[i] for i in idxs[s:e]]), padded
+                )
+                handles.append(
+                    (idxs[s:e], fn(
+                        self.variables["encoder"], self.variables["decoder"],
+                        self.variables["mem_proj"], jnp.asarray(batch),
+                    ))
+                )
         for idxs, (tokens, lengths) in handles:
             tokens = np.asarray(tokens)
             lengths = np.asarray(lengths)

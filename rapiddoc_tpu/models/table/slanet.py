@@ -296,15 +296,23 @@ class SLANetStructure:
     ) -> list[tuple[list[str], list[list[float]]]]:
         if not imgs:
             return []
-        batch = np.stack([self._preprocess(im) for im in imgs])
+        from ...engine.buckets import batch_chunks, pad_rows
+
+        all_imgs = np.stack([self._preprocess(im) for im in imgs])
         fn = self._compiled()
-        tokens, locs, lengths = fn(
-            self.variables["backbone"], self.variables["neck"],
-            self.variables["fea_key"], self.variables["step"],
-            jnp.asarray(batch),
-        )
-        tokens, locs, lengths = (np.asarray(tokens), np.asarray(locs),
-                                 np.asarray(lengths))
+        # batch dim padded to a closed bucket set (anti-recompile)
+        parts = []
+        for s, e, padded in batch_chunks(len(imgs)):
+            t, l, n = fn(
+                self.variables["backbone"], self.variables["neck"],
+                self.variables["fea_key"], self.variables["step"],
+                jnp.asarray(pad_rows(all_imgs[s:e], padded)),
+            )
+            parts.append((np.asarray(t)[: e - s], np.asarray(l)[: e - s],
+                          np.asarray(n)[: e - s]))
+        tokens = np.concatenate([p[0] for p in parts])
+        locs = np.concatenate([p[1] for p in parts])
+        lengths = np.concatenate([p[2] for p in parts])
         results = []
         for i, img in enumerate(imgs):
             n = int(lengths[i])

@@ -361,16 +361,23 @@ class UniTableStructure:
         """Returns per-table (structure_tokens, cell bboxes in source px)."""
         if not imgs:
             return []
-        batch = np.stack(
+        from ...engine.buckets import batch_chunks, pad_rows
+
+        all_imgs = np.stack(
             [cv2.resize(im, (IMG_SIZE, IMG_SIZE)) for im in imgs]
         )  # uint8 HWC RGB; normalize happens on device
         fn = self._compiled(max_len)
-        tokens, lengths = fn(
-            self.variables["encoder"], self.variables["decoder"],
-            self.variables["mem_proj"], jnp.asarray(batch),
-        )
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
+        # batch dim padded to a closed bucket set (anti-recompile)
+        parts = []
+        for s, e, padded in batch_chunks(len(imgs)):
+            t, l = fn(
+                self.variables["encoder"], self.variables["decoder"],
+                self.variables["mem_proj"],
+                jnp.asarray(pad_rows(all_imgs[s:e], padded)),
+            )
+            parts.append((np.asarray(t)[: e - s], np.asarray(l)[: e - s]))
+        tokens = np.concatenate([p[0] for p in parts])
+        lengths = np.concatenate([p[1] for p in parts])
         results = []
         for i, img in enumerate(imgs):
             toks = self.vocab.decode(tokens[i, : int(lengths[i])].tolist())

@@ -277,3 +277,26 @@ def _load_small_head(refnets):
         max_new_tokens=32, decoder_layers=2, decoder_ffn_dim=128,
         decoder_hidden_size=64, encoder_hidden_size=128, in_channels=128,
     ).eval()
+
+
+def test_formula_batch_predict_recompile_bound():
+    """batch_predict pads batch dims to the closed bucket set: varying
+    formula counts reuse at most O(shape x batch buckets) programs."""
+    import numpy as np
+
+    from rapiddoc_tpu.models.formula.engine import (
+        FormulaConfig,
+        FormulaRecognizer,
+    )
+
+    rec = FormulaRecognizer(
+        config=FormulaConfig(max_len=16, vocab_size=64, layers=1,
+                             backbone_size="B0", default_length_bucket=8)
+    )
+    crop = np.full((24, 60, 3), 255, np.uint8)
+    crop[8:14, 10:40] = 0
+    for n in (1, 3, 2, 4, 1):
+        out = rec.batch_predict([crop] * n)
+        assert len(out) == n and all(isinstance(s, str) for s in out)
+    # one image bucket x batches padded to {1, 2, 4} -> <= 3 programs
+    assert rec._compiled[8]._cache_size() <= 3

@@ -257,3 +257,32 @@ def test_in_table_image_uuid_placeholder():
     assert uid not in span["html"]
     assert '<img src="images/' in span["html"]
     assert written  # the crop was saved
+
+
+def test_batch_chunks_closed_set():
+    """AR decoders pad batch dims to a closed bucket set (anti-recompile)."""
+    from rapiddoc_tpu.engine.buckets import batch_chunks, pad_rows
+
+    sizes = (1, 2, 4, 8, 16)
+    for n in range(1, 60):
+        chunks = batch_chunks(n, sizes)
+        assert sum(e - s for s, e, _ in chunks) == n
+        assert all(p in sizes for _, _, p in chunks)
+        assert all(p >= e - s for s, e, p in chunks)
+    padded = pad_rows(np.zeros((3, 2, 2), np.uint8), 8)
+    assert padded.shape == (8, 2, 2)
+
+
+def test_slanet_batch_recompile_bound():
+    """Varying table counts must not grow the jit cache beyond the
+    closed batch-bucket set (ROADMAP: extend recompile-count regression
+    tests to formula/table decoders)."""
+    from rapiddoc_tpu.models.table.slanet import SLANetConfig, SLANetStructure
+
+    m = SLANetStructure(config=SLANetConfig(scale=0.5, max_steps=6))
+    img = (np.random.rand(60, 90, 3) * 255).astype(np.uint8)
+    for n in (1, 2, 3, 2, 1, 4, 3):
+        out = m([img] * n)
+        assert len(out) == n
+    # batches padded to {1, 2, 4} -> at most 3 traced programs
+    assert m._compiled()._cache_size() <= 3
