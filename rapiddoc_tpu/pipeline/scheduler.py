@@ -532,16 +532,19 @@ class DocumentAnalyzer:
                     y1 = min(int(max(poly[1::2])) + 1, h)
                     img[y0:y1, x0:x1] = 255
             images.append(img)
-        det_results = self.ocr.detector(images)
+        with stage_timer("ocr_det", len(images)):
+            det_results = self.ocr.detector(images)
         crops: list[np.ndarray] = []
         owners: list[tuple[int, np.ndarray, float]] = []
         from ..models.ocr.engine import crop_quad
 
-        for page_i, det in zip(page_idxs, det_results):
-            for quad, score in zip(det.boxes, det.scores):
-                crops.append(crop_quad(page_images[page_i], quad))
-                owners.append((page_i, quad, float(score)))
-        rec_results = _rec_with_fallback(self.ocr.recognizer, crops)
+        with stage_timer("ocr_crop", len(images)):
+            for page_i, det in zip(page_idxs, det_results):
+                for quad, score in zip(det.boxes, det.scores):
+                    crops.append(crop_quad(page_images[page_i], quad))
+                    owners.append((page_i, quad, float(score)))
+        with stage_timer("ocr_rec", len(images)):
+            rec_results = _rec_with_fallback(self.ocr.recognizer, crops)
         for (page_i, quad, det_score), rec in zip(owners, rec_results):
             x0, y0 = float(quad[:, 0].min()), float(quad[:, 1].min())
             x1, y1 = float(quad[:, 0].max()), float(quad[:, 1].max())
