@@ -329,7 +329,12 @@ class RapidDoc:
                     future = pool.submit(render_window, starts[wi + 1])
                 infos = ckpt.load(start) if ckpt is not None else None
                 if infos is None:
-                    arrays = [np.asarray(im.convert("RGB")) for im in w_imgs]
+                    arrays = [
+                        np.asarray(
+                            im if im.mode == "RGB" else im.convert("RGB")
+                        )
+                        for im in w_imgs
+                    ]
                     w_modes = [parse_method] * len(w_imgs)
                     infos = stack.analyzer.analyze_pages(
                         arrays, w_modes, w_text, w_boxes, [scale] * len(w_imgs)

@@ -50,8 +50,12 @@ class BucketSpec:
         return self.batch_sizes[-1]
 
 
+# det max batch 4: full pages are large transfers (~1-3 MB each), and
+# smaller chunks pipeline host->device copies under compute instead of
+# serializing one big copy before any math (measured ~25% faster on a
+# 12-page window over the tunneled link)
 DET_BUCKETS = BucketSpec(stride=160, min_side=320, max_side=1280,
-                         batch_sizes=(1, 2, 4, 8, 16))
+                         batch_sizes=(1, 2, 4))
 REC_BUCKETS = BucketSpec(
     heights=(48,),
     widths=(80, 160, 240, 320, 480, 640),

@@ -97,7 +97,7 @@ class JaxSession:
         self.compute_dtype = compute_dtype
         self.preproc = preproc
         self.stats = SessionStats()
-        self._compiled: dict[tuple[int, int, int], Callable] = {}
+        self._compiled: dict[tuple[int, int, int, int], Callable] = {}
         self._lock = threading.Lock()
         self.mesh = get_mesh() if multi_device else None
         self.n_shards = (
@@ -111,7 +111,7 @@ class JaxSession:
     # ----------------------------------------------------------------- jit
 
     def _get_compiled(self, batch: int, h: int, w: int, c: int) -> Callable:
-        key = (batch, h, w)
+        key = (batch, h, w, c)
         fn = self._compiled.get(key)
         if fn is not None:
             return fn

@@ -7,6 +7,7 @@ bucket-grouped det and width-sorted rec, with all geometry on the host.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Sequence
@@ -30,6 +31,7 @@ from .pre_post import (
     rec_resize,
     rec_width_bucket,
     split_words,
+    to_luma,
     word_boxes_in_crop,
 )
 from .rec import SVTRRec, ctc_greedy_decode
@@ -94,6 +96,11 @@ class TextDetector:
         self.post_params = post_params or DBPostParams()
         self.limit_side_len = limit_side_len
         self.limit_type = limit_type
+        # ship 1-byte/px luminance over the host->device link (the
+        # measured bottleneck: ~30-50 MB/s on a tunneled chip); text is
+        # achromatic so det geometry is unchanged. RAPIDDOC_RGB_TRANSFER=1
+        # restores 3-channel transfers (e.g. for color-sensitive corpora).
+        self.gray_transfer = not os.environ.get("RAPIDDOC_RGB_TRANSFER")
         thresh = self.post_params.thresh
 
         def det_apply(v, x):
@@ -114,6 +121,9 @@ class TextDetector:
                 [128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8
             )
             packed = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+            # 2x pooling only: thin text lines (~12 px at a 960px page)
+            # lose box score to background dilution at 4x and drop below
+            # box_thresh — measured recall 0.88 -> 0.77 on the page eval
             prob_small = jnp.round(
                 prob.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
                 * 255.0
@@ -139,6 +149,8 @@ class TextDetector:
         for img in images:
             resized, ry, rx = det_resize(img, self.limit_side_len, self.limit_type)
             metas.append((img.shape[0], img.shape[1], resized.shape[0], resized.shape[1]))
+            if self.gray_transfer:
+                resized = to_luma(resized)
             prepped.append(resized)  # uint8; normalize happens on device
         spec = self.session.bucket_spec
         groups = group_by_bucket([(m[2], m[3]) for m in metas], spec)
@@ -216,6 +228,9 @@ class TextRecognizer:
                 jax.random.PRNGKey(seed), np.zeros((1, 48, 80, 3), np.float32)
             )
         self.drop_score = drop_score
+        # luminance transfer (see TextDetector.gray_transfer)
+        self.gray_transfer = not os.environ.get("RAPIDDOC_RGB_TRANSFER")
+
         def rec_apply(v, x):
             import os
 
@@ -271,6 +286,8 @@ class TextRecognizer:
             # sort by true aspect so padded tails cluster (cache-friendly)
             idxs = sorted(idxs, key=lambda i: crops[i].shape[1] / max(crops[i].shape[0], 1))
             batch = [rec_resize(crops[i], wb) for i in idxs]  # uint8
+            if self.gray_transfer:
+                batch = [to_luma(b) for b in batch]
             handles = [
                 self.session.dispatch(np.stack(batch[j : j + max_b]))
                 for j in range(0, len(batch), max_b)

@@ -47,18 +47,35 @@ def det_normalize(img: np.ndarray) -> np.ndarray:
 
 def det_normalize_device(x):
     """Device-side det normalize (uint8 NHWC in-graph; see
-    JaxSession(preproc=...)). Keeps host->device traffic at 1 byte/px."""
+    JaxSession(preproc=...)). Keeps host->device traffic at 1 byte/px.
+    Single-channel (luminance) batches broadcast to RGB in-graph — the
+    tunneled host->device link is the det bottleneck, and text pages are
+    achromatic, so callers may ship 1/3 of the bytes."""
     import jax.numpy as jnp
 
+    if x.shape[-1] == 1:
+        x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
     x = x.astype(jnp.float32) / 255.0
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
 def rec_normalize_device(x):
-    """Device-side rec normalize: uint8 -> [-1, 1]."""
+    """Device-side rec normalize: uint8 -> [-1, 1]; 1-channel batches
+    broadcast to RGB in-graph (see det_normalize_device)."""
     import jax.numpy as jnp
 
+    if x.shape[-1] == 1:
+        x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
     return x.astype(jnp.float32) / 127.5 - 1.0
+
+
+def to_luma(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC RGB -> (H, W, 1) luminance for low-bandwidth transfer."""
+    if img.ndim == 2:
+        return img[..., None]
+    if img.shape[-1] == 1:
+        return img
+    return cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None]
 
 
 # ----------------------------------------------------------------- det post
