@@ -143,7 +143,20 @@ class TextDetector:
         return cls(det_variables_from_torch(state_dict), **kw)
 
     def __call__(self, images: Sequence[np.ndarray]) -> list[DetResult]:
-        """images: uint8 RGB HWC arrays of any sizes."""
+        """images: uint8 RGB HWC arrays of any sizes.
+
+        Dense pages downscaled to the det limit can merge adjacent text
+        lines into paragraph blobs (the reference avoids this by running
+        det on layout-region crops, rapid_doc/backend/pipeline/
+        analyze_utils.py:105; this full-page design refines instead):
+        boxes much taller than the page's line height are re-detected at
+        full crop resolution in one extra batched pass and replaced by
+        their sub-lines.
+        """
+        results = self._detect(images)
+        return self._refine_merged(images, results)
+
+    def _detect(self, images: Sequence[np.ndarray]) -> list[DetResult]:
         prepped = []
         metas = []
         for img in images:
@@ -175,6 +188,57 @@ class TextDetector:
                 boxes, scores = self._post(prob2d, src_h, src_w, rh, rw)
                 results[i] = DetResult(boxes, scores)
         return results  # type: ignore[return-value]
+
+    def _refine_merged(
+        self, images: Sequence[np.ndarray], results: list[DetResult]
+    ) -> list[DetResult]:
+        """Split multi-line det blobs via a second det pass on the crops."""
+        jobs: list[tuple[int, int, int, int]] = []  # (img_i, box_j, x0, y0)
+        crops: list[np.ndarray] = []
+        for i, (img, res) in enumerate(zip(images, results)):
+            if not len(res.boxes):
+                continue
+            heights = [
+                float(q[:, 1].max() - q[:, 1].min()) for q in res.boxes
+            ]
+            small = [h for h in heights if h <= 80]
+            med = float(np.median(small)) if small else 32.0
+            limit = max(80.0, 2.5 * med)
+            ih, iw = img.shape[:2]
+            for j, (q, h) in enumerate(zip(res.boxes, heights)):
+                w = float(q[:, 0].max() - q[:, 0].min())
+                if h > limit and w >= 2.0 * med:
+                    x0 = max(int(q[:, 0].min()) - 2, 0)
+                    y0 = max(int(q[:, 1].min()) - 2, 0)
+                    x1 = min(int(q[:, 0].max()) + 2, iw)
+                    y1 = min(int(q[:, 1].max()) + 2, ih)
+                    if y1 - y0 < 16 or x1 - x0 < 16:
+                        continue
+                    jobs.append((i, j, x0, y0))
+                    crops.append(img[y0:y1, x0:x1])
+        if not jobs:
+            return results
+        sub_results = self._detect(crops)
+        drop: dict[int, set[int]] = {}
+        extra: dict[int, tuple[list, list]] = {}
+        for (img_i, box_j, x0, y0), sub in zip(jobs, sub_results):
+            if len(sub.boxes) <= 1:
+                continue  # genuinely one line (e.g. a display heading)
+            drop.setdefault(img_i, set()).add(box_j)
+            eb, es = extra.setdefault(img_i, ([], []))
+            for q, s in zip(sub.boxes, sub.scores):
+                eb.append(q + np.asarray([x0, y0], q.dtype))
+                es.append(s)
+        for img_i, kill in drop.items():
+            res = results[img_i]
+            boxes = [q for j, q in enumerate(res.boxes) if j not in kill]
+            scores = [s for j, s in enumerate(res.scores) if j not in kill]
+            eb, es = extra[img_i]
+            results[img_i] = DetResult(
+                np.stack(boxes + eb).astype(np.float32),
+                np.asarray(list(scores) + es, dtype=np.float32),
+            )
+        return results
 
     def _reconstruct_prob(self, out) -> np.ndarray:
         """Rebuild a prob map from the packed device output: the bitmap

@@ -130,11 +130,43 @@ def render_line(
     return cv2.resize(arr, (max(1, int(arr.shape[1] * scale)), height))
 
 
+def _fill_line(
+    rng: random.Random, font: ImageFont.FreeTypeFont, max_w: int,
+    fill_ratio: float,
+) -> tuple[str, tuple[int, int, int, int]]:
+    """Text that fills ~fill_ratio of max_w at the given font (real body
+    paragraphs are set near-full measure; det must separate such lines
+    from their tight neighbors)."""
+    text = ""
+    bbox = (0, 0, 0, 0)
+    while True:
+        cand = (text + " " if text else "") + random_text(rng, max_words=3)
+        b = font.getbbox(cand)
+        if b[2] - b[0] > max_w * fill_ratio:
+            if not text:
+                text, bbox = cand, b
+                while text and bbox[2] - bbox[0] > max_w:
+                    text = (
+                        text.rsplit(" ", 1)[0] if " " in text else text[:-2]
+                    )
+                    bbox = font.getbbox(text) if text else (0, 0, 0, 0)
+            break
+        text, bbox = cand, b
+    return text, bbox
+
+
 def render_page(
     rng: random.Random, size: int = 640, with_texts: bool = False
 ):
     """A synthetic page (uint8 RGB size x size) + text-line pixel boxes
-    (+ ground-truth line texts when with_texts)."""
+    (+ ground-truth line texts when with_texts).
+
+    Block mix mirrors real document pages (the det training target):
+    tight-leading body paragraphs in one face (the common case a page
+    downscaled to the det limit must still separate), headings, sparse
+    isolated lines, and non-text graphics (figure blocks, rule lines,
+    table grids) the detector must NOT fire on.
+    """
     bg = rng.randint(240, 255)
     img = Image.new("RGB", (size, size), (bg, bg, bg))
     draw = ImageDraw.Draw(img)
@@ -147,33 +179,105 @@ def render_page(
         if two_col
         else [(rng.randint(16, 60), size - rng.randint(16, 60))]
     )
+
+    def put_line(text, bbox, x, y, font, fg):
+        tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        if tw < 4 or th < 4:  # degenerate getbbox (e.g. dashes-only text)
+            return th
+        draw.text((x - bbox[0], y - bbox[1]), text, fill=(fg, fg, fg),
+                  font=font)
+        boxes.append((x, y, x + tw, y + th))
+        texts.append(text)
+        return th
+
     for x0_col, x1_col in cols:
+        max_w = x1_col - x0_col
         y = rng.randint(16, 60)
         while y < size - 60:
-            fsize = rng.randint(13, 30)
-            font = _font(rng, fsize)
-            text = random_text(rng, max_words=10)
-            fg = rng.randint(0, 80)
-            bbox = font.getbbox(text)
-            tw = bbox[2] - bbox[0]
-            th = bbox[3] - bbox[1]
-            max_w = x1_col - x0_col
-            if tw > max_w:  # trim words until the line fits
-                while text and tw > max_w:
+            r = rng.random()
+            if r < 0.45:  # body paragraph: one face, tight leading
+                fsize = rng.randint(11, 22)
+                font = _font(rng, fsize)
+                fg = rng.randint(0, 80)
+                leading = max(2, int(fsize * rng.uniform(0.25, 0.7)))
+                n_lines = rng.randint(2, 7)
+                for li in range(n_lines):
+                    if y >= size - 40:
+                        break
+                    last = li == n_lines - 1
+                    text, bbox = _fill_line(
+                        rng, font, max_w,
+                        rng.uniform(0.3, 0.8) if last else
+                        rng.uniform(0.85, 0.98),
+                    )
+                    if not text:
+                        break
+                    th = put_line(text, bbox, x0_col, y, font, fg)
+                    y += th + leading
+                y += rng.randint(8, 30)  # paragraph gap
+            elif r < 0.6:  # heading / caption: short, larger or bold face
+                fsize = rng.randint(16, 30)
+                font = _font(rng, fsize)
+                text = random_text(rng, max_words=6)
+                bbox = font.getbbox(text)
+                while text and bbox[2] - bbox[0] > max_w:
                     text = text.rsplit(" ", 1)[0] if " " in text else text[:-2]
-                    bbox = font.getbbox(text)
-                    tw = bbox[2] - bbox[0]
+                    bbox = font.getbbox(text) if text else (0, 0, 0, 0)
+                if text:
+                    x = x0_col + rng.randint(0, max(
+                        0, max_w - (bbox[2] - bbox[0])) // 2)
+                    th = put_line(text, bbox, x, y, font, rng.randint(0, 60))
+                    y += th + rng.randint(10, 36)
+            elif r < 0.8:  # sparse isolated lines (lists, fields, numbers)
+                fsize = rng.randint(13, 30)
+                font = _font(rng, fsize)
+                text = random_text(rng, max_words=10)
+                bbox = font.getbbox(text)
+                while text and bbox[2] - bbox[0] > max_w:
+                    text = text.rsplit(" ", 1)[0] if " " in text else text[:-2]
+                    bbox = font.getbbox(text) if text else (0, 0, 0, 0)
                 if not text:
                     y += fsize + rng.randint(4, 16)
                     continue
-            x = x0_col + rng.randint(0, max(0, max_w - tw) // 2)
-            draw.text((x - bbox[0], y - bbox[1]), text, fill=(fg, fg, fg),
-                      font=font)
-            boxes.append((x, y, x + tw, y + th))
-            texts.append(text)
-            y += th + rng.randint(6, 28)
-            if rng.random() < 0.12:  # paragraph gap
-                y += rng.randint(16, 48)
+                x = x0_col + rng.randint(0, max(
+                    0, max_w - (bbox[2] - bbox[0])) // 2)
+                th = put_line(text, bbox, x, y, font, rng.randint(0, 80))
+                y += th + rng.randint(6, 28)
+            else:  # non-text graphics: figure block / rule / table grid
+                gh = rng.randint(24, max(32, size // 5))
+                gw = rng.randint(max_w // 3, max_w)
+                gx = x0_col + rng.randint(0, max(0, max_w - gw))
+                kind = rng.random()
+                if kind < 0.45:  # figure: noise or flat gray patch
+                    shade = rng.randint(120, 230)
+                    if rng.random() < 0.5:
+                        patch = np.random.default_rng(
+                            rng.randrange(1 << 30)
+                        ).integers(60, 220, (gh, gw, 3), np.uint8)
+                        img.paste(
+                            Image.fromarray(np.asarray(patch, np.uint8)),
+                            (gx, y),
+                        )
+                    else:
+                        draw.rectangle(
+                            [gx, y, gx + gw, y + gh],
+                            fill=(shade, shade, shade),
+                            outline=(80, 80, 80),
+                        )
+                elif kind < 0.7:  # horizontal rule
+                    gh = rng.randint(1, 3)
+                    draw.line(
+                        [gx, y, gx + gw, y], fill=(60, 60, 60), width=gh
+                    )
+                else:  # empty table grid
+                    nr, nc = rng.randint(2, 5), rng.randint(2, 5)
+                    for ri in range(nr + 1):
+                        yy = y + ri * gh // nr
+                        draw.line([gx, yy, gx + gw, yy], fill=(90, 90, 90))
+                    for ci in range(nc + 1):
+                        xx = gx + ci * gw // nc
+                        draw.line([xx, y, xx, y + gh], fill=(90, 90, 90))
+                y += gh + rng.randint(10, 36)
     arr = np.asarray(img, np.uint8)
     if with_texts:
         return arr, boxes, texts
