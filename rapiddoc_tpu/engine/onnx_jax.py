@@ -938,9 +938,14 @@ class OnnxJaxFunction:
     O(#buckets).
     """
 
-    def __init__(self, model: OnnxModel):
+    def __init__(self, model: OnnxModel, preproc: dict | None = None):
+        """`preproc` maps input name -> device-side fn applied in-graph
+        before the ONNX ops — callers ship uint8 and normalization fuses
+        into the first conv (host->device bytes are the bottleneck on a
+        tunneled chip, and float32 image feeds are 4x uint8)."""
         self.model = model
         self.executor = _Executor(model)
+        self.preproc = preproc or {}
         # Float tensors ride as jit arguments (device-resident, shared by
         # all shape buckets); integer/bool tensors stay static numpy so
         # Shape/Reshape/Slice chains resolve at trace time.
@@ -955,8 +960,8 @@ class OnnxJaxFunction:
         self._jitted: dict[tuple, Callable] = {}
 
     @classmethod
-    def from_file(cls, path) -> "OnnxJaxFunction":
-        return cls(read_onnx_model(path))
+    def from_file(cls, path, preproc: dict | None = None) -> "OnnxJaxFunction":
+        return cls(read_onnx_model(path), preproc=preproc)
 
     @property
     def input_names(self):
@@ -971,6 +976,10 @@ class OnnxJaxFunction:
         fn = self._jitted.get(key)
         if fn is None:
             def run(params, inp):
+                inp = {
+                    k: (self.preproc[k](v) if k in self.preproc else v)
+                    for k, v in inp.items()
+                }
                 return self.executor.run({**self.static, **params}, inp)
 
             fn = jax.jit(run)

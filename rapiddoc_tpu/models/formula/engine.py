@@ -46,8 +46,14 @@ def crop_margin(img: np.ndarray, pad: int = 8) -> np.ndarray:
 
 
 def preprocess_formula(img: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
-    """uint8 RGB -> normalized bucket image; returns (array, bucket_hw)."""
+    """uint8 RGB -> uint8 luminance bucket canvas; returns (array
+    (bh, bw, 1), bucket_hw). The reference preprocess grayscales then
+    replicates to 3 channels (pre_process.py UniMERNet norm), so a
+    1-channel transfer is exact — normalization and the 3-channel
+    broadcast run in-graph on device."""
     img = crop_margin(img)
+    if img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
     h, w = img.shape[:2]
     # pick the smallest bucket that fits at uniform scale
     for bh, bw in IMAGE_BUCKETS:
@@ -57,13 +63,9 @@ def preprocess_formula(img: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
     scale = min(bh / max(h, 1), bw / max(w, 1), 1.5)
     rh, rw = max(1, int(h * scale)), max(1, int(w * scale))
     resized = cv2.resize(img, (rw, rh))
-    if resized.ndim == 2:
-        resized = np.stack([resized] * 3, axis=-1)
-    canvas = np.full((bh, bw, 3), 255, np.uint8)
+    canvas = np.full((bh, bw), 255, np.uint8)
     canvas[:rh, :rw] = resized
-    x = canvas.astype(np.float32) / 255.0
-    x = (x - UNIMER_MEAN) / UNIMER_STD
-    return x, (bh, bw)
+    return canvas[..., None], (bh, bw)
 
 
 class FormulaTokenizer:
@@ -162,8 +164,14 @@ class FormulaRecognizer:
         fn = self._compiled.get(max_len)
         if fn is None:
             def run(enc_vars, dec_vars, mem_vars, images):
+                # uint8 luma on the wire; normalize + 3ch broadcast fuse
+                # into the encoder's first conv
+                x = images.astype(jnp.float32) / 255.0
+                x = (x - UNIMER_MEAN) / UNIMER_STD
+                if x.shape[-1] == 1:
+                    x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
                 memory = self.encoder.apply(
-                    enc_vars, images.astype(jnp.bfloat16)
+                    enc_vars, x.astype(jnp.bfloat16)
                 ).astype(jnp.float32)
                 mem_mask = jnp.ones(memory.shape[:2], bool)
                 return greedy_decode(

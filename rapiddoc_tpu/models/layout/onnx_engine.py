@@ -128,7 +128,22 @@ class OnnxLayoutDetector:
         spec = MODEL_SPECS[self.config.model_type]
         self.labels, self.cls_dict, self.input_size, self.imagenet, \
             self.native_order = spec
-        self.fn = OnnxJaxFunction.from_file(onnx_path)
+        imagenet = self.imagenet
+
+        def _norm_image(x):
+            # uint8 NCHW on the wire; float math fuses into the graph
+            import jax.numpy as jnp
+
+            x = x.astype(jnp.float32) / 255.0
+            if imagenet:
+                mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1)
+                std = jnp.asarray(_IMAGENET_STD).reshape(1, 3, 1, 1)
+                x = (x - mean) / std
+            return x
+
+        self.fn = OnnxJaxFunction.from_file(
+            onnx_path, preproc={"image": _norm_image}
+        )
 
     def batch_predict(self, images: list[np.ndarray]) -> list[list[dict]]:
         if not images:
@@ -139,12 +154,9 @@ class OnnxLayoutDetector:
         for img in images:
             h, w = img.shape[:2]
             x = cv2.resize(img, (size, size), interpolation=2)
-            x = x.astype(np.float32) / 255.0
-            if self.imagenet:
-                x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
-            batch.append(x.transpose(2, 0, 1))
+            batch.append(x.transpose(2, 0, 1))  # uint8 NCHW
             scales.append([size / h, size / w])
-        feeds = {"image": np.stack(batch).astype(np.float32)}
+        feeds = {"image": np.stack(batch)}
         names = self.fn.input_names
         if "scale_factor" in names:
             feeds["scale_factor"] = np.asarray(scales, np.float32)
