@@ -82,9 +82,25 @@ class PageRasterizer(ContentInterpreter):
         self.height = max(1, int(round(h * scale)))
         self.canvas = Image.new("RGB", (self.width, self.height), background)
         self.draw = ImageDraw.Draw(self.canvas, "RGBA")
-        self.fontbank = _FontBank()
-        self._font_covers: dict[tuple[int, str], bool] = {}
-        self._glyph_cache: dict[tuple, tuple] = {}
+        # font faces + glyph tiles cache at DOCUMENT scope: pages of one
+        # document repeat the same glyphs (CJK pages re-rendered ~2x
+        # faster), and Font object ids stay valid for the document's life
+        doc = self.doc
+        bank = getattr(doc, "_render_fontbank", None)
+        if bank is None:
+            bank = _FontBank()
+            doc._render_fontbank = bank
+        self.fontbank = bank
+        covers = getattr(doc, "_render_font_covers", None)
+        if covers is None:
+            covers = {}
+            doc._render_font_covers = covers
+        self._font_covers: dict[tuple[int, str], bool] = covers
+        cache = getattr(doc, "_render_glyph_cache", None)
+        if cache is None:
+            cache = {}
+            doc._render_glyph_cache = cache
+        self._glyph_cache: dict[tuple, tuple] = cache
 
     # ---------------------------------------------------------------- public
 
