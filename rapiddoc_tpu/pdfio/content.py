@@ -66,7 +66,7 @@ class GraphicsState:
 
 def tokenize_content(data: bytes):
     """Yield (operands, operator, inline_image_or_None) triples."""
-    parser = ObjectParser(data, 0)
+    parser = ObjectParser(data, 0, allow_refs=False)
     operands: list[Any] = []
     n = len(data)
     while True:
@@ -74,9 +74,18 @@ def tokenize_content(data: bytes):
         if parser.pos >= n:
             break
         c = data[parser.pos]
-        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or (
-            0x30 <= c <= 0x39
-        ) or c in (0x2B, 0x2D, 0x2E):
+        if (0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E):
+            # fast number path: operand streams are number-dense
+            tok = parser.read_regular_token()
+            try:
+                operands.append(
+                    float(tok) if (b"." in tok or b"e" in tok or b"E" in tok)
+                    else int(tok)
+                )
+            except ValueError:
+                pass
+            continue
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B:
             try:
                 operands.append(parser.parse_object())
             except (ValueError, EOFError):

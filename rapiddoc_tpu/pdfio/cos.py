@@ -77,11 +77,17 @@ _ESCAPES = {
 
 
 class Lexer:
-    """Tokenizer over a bytes buffer with a movable position."""
+    """Tokenizer over a bytes buffer with a movable position.
 
-    def __init__(self, data: bytes, pos: int = 0):
+    `allow_refs=False` skips the "num gen R" indirect-reference lookahead
+    — content streams cannot contain refs (PDF 1.7 §7.8.2) and their TJ
+    arrays are integer-dense, so the saved double-lex is a hot-path win.
+    """
+
+    def __init__(self, data: bytes, pos: int = 0, allow_refs: bool = True):
         self.data = data
         self.pos = pos
+        self.allow_refs = allow_refs
 
     # --- low-level ---
 
@@ -220,7 +226,7 @@ class ObjectParser(Lexer):
             return None
         if _NUM_RE.fullmatch(token):
             # Might be the start of "num gen R"
-            if b"." not in token:
+            if b"." not in token and self.allow_refs:
                 save = self.pos
                 self.skip_ws()
                 tok2 = self.read_regular_token()
