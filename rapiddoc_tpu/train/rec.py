@@ -79,6 +79,10 @@ def train(steps: int = 3000, out_path=None, pool_size: int = 4096,
         variables, opt_state, loss = step(
             variables, opt_state, imgs[idx], labels[idx], label_pad[idx]
         )
+        if i % 20 == 0:
+            # bound in-flight async dispatches (see train/det.py: a
+            # stalled tunnel otherwise queues GBs before the logging sync)
+            loss.block_until_ready()
         if i % 200 == 0 or i == steps - 1:
             logger.info(
                 "step %d loss %.4f (%.1fs)", i, float(loss),
