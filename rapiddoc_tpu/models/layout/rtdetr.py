@@ -306,6 +306,12 @@ class RTDETR(nn.Module):
     # embedding dotted with a stride-8 pixel feature map.
     with_masks: bool = False
     mask_dim: int = 32
+    # training mode: also emit per-decoder-layer logits/boxes and the
+    # encoder query-selection head's predictions (DETR aux losses; the
+    # enc head gets NO gradient otherwise because tgt/ref are detached
+    # after query selection). Adds no parameters — checkpoints are
+    # interchangeable with aux=False.
+    aux: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
@@ -353,6 +359,9 @@ class RTDETR(nn.Module):
         ref = jax.lax.stop_gradient(ref)
 
         query_pos_head = MLP(self.dim * 2, self.dim, name="query_pos_head")
+        class_head = nn.Dense(self.num_classes, name="class_head")
+        aux_feats: list[jax.Array] = []
+        aux_boxes: list[jax.Array] = []
         for i in range(self.dec_layers):
             query_pos = query_pos_head(ref.astype(tgt.dtype))
             tgt = DecoderLayer(
@@ -363,9 +372,12 @@ class RTDETR(nn.Module):
             ref = jax.nn.sigmoid(
                 delta.astype(jnp.float32) + inverse_sigmoid(ref.astype(jnp.float32))
             )
+            if self.aux:
+                aux_feats.append(tgt)
+                aux_boxes.append(ref)
             ref = jax.lax.stop_gradient(ref) if i < self.dec_layers - 1 else ref
 
-        logits = nn.Dense(self.num_classes, name="class_head")(tgt)
+        logits = class_head(tgt)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         scores = jnp.max(probs, axis=-1)
         labels = jnp.argmax(probs, axis=-1)
@@ -374,6 +386,17 @@ class RTDETR(nn.Module):
             "labels": labels,          # (B, Nq)
             "boxes": ref,              # (B, Nq, 4) cxcywh in [0,1]
         }
+        if self.aux:
+            out["aux_logits"] = jnp.stack(
+                [class_head(f) for f in aux_feats]
+            )  # (L, B, Nq, C)
+            out["aux_boxes"] = jnp.stack(aux_boxes)  # (L, B, Nq, 4)
+            out["enc_logits"] = jnp.take_along_axis(
+                enc_logits, topk[..., None], axis=1
+            )  # (B, Nq, C)
+            out["enc_boxes"] = jnp.take_along_axis(
+                enc_boxes, topk[..., None], axis=1
+            )  # (B, Nq, 4)
         if self.with_masks:
             # pixel feature: finest level refined by one 3x3 conv
             pix = nn.Conv(self.mask_dim, (3, 3), padding="SAME",
