@@ -203,6 +203,29 @@ class LayoutDetector:
                 )
 
         variables = _load_variables(models_dir / "layout_doclayout_v3.npz")
+        if variables is None:
+            # in-repo demo checkpoint trained on synthetic labeled pages
+            # (rapiddoc_tpu/train/layout.py) — real layout detections
+            # without network egress. Opt-in until quality on real PDFs
+            # is established (RAPIDDOC_DEMO_LAYOUT=1 / configs flag).
+            import json
+            import os
+
+            from ..registry import DEMO_ASSETS_DIR
+
+            demo_on = configs.get(
+                "demo_layout",
+                os.environ.get("RAPIDDOC_DEMO_LAYOUT", "").lower()
+                in ("1", "true", "yes"),
+            )
+            demo_npz = DEMO_ASSETS_DIR / "layout_demo.npz"
+            demo_cfg = demo_npz.with_suffix(".json")
+            if demo_on and demo_cfg.is_file():
+                variables = _load_variables(demo_npz)
+                if variables is not None:
+                    logger.info("layout: demo synthetic-trained checkpoint")
+                    arch = json.loads(demo_cfg.read_text())
+                    configs = {**arch, **configs}
         if variables is None and not configs.get("allow_random_init", False):
             # without trained weights a random detector is worse than the
             # structural fallback (native text / OCR det drive the layout)

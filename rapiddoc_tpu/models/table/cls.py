@@ -26,7 +26,7 @@ class TableClsNet(nn.Module):
             x = ConvBNAct(f, 3, strides=2, act="hardswish", name=f"conv{i}")(x)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(64, name="fc1")(x)
-        x = jax.nn.hardswish(x)
+        x = jax.nn.hard_swish(x)
         return nn.Dense(self.num_classes, name="fc2")(x)
 
 

@@ -1,0 +1,380 @@
+"""Demo trainers for the table stack (UNET / wired-wireless cls / SLANet).
+
+Usage:
+    python -m rapiddoc_tpu.train.table unet   [steps] [out.npz]
+    python -m rapiddoc_tpu.train.table cls    [steps] [out.npz]
+    python -m rapiddoc_tpu.train.table slanet [steps] [out.npz]
+
+All three train on rapiddoc_tpu.train.synth_table tables, whose drawn
+grid lines / wiring / HTML token stream are exact ground truth. The
+resulting checkpoints load straight into the production modules
+(models/table/{unet,cls,slanet}.py) — same architectures, no key maps.
+"""
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.table.cls import TableClsNet
+from ..models.table.slanet import (
+    IMG_SIZE as SLA_SIZE,
+    FeaKey,
+    SLAHeadStep,
+    SLANetBackbone,
+    SLANetConfig,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    PANNeck,
+    SLANetVocab,
+)
+from ..models.table.unet import UNet
+from ..utils.logging import get_logger
+from .synth_table import render_table, slanet_sample
+
+logger = get_logger("rapiddoc_tpu.train.table")
+
+UNET_SIZE = 1024  # the production WiredTableStructure input
+CLS_SIZE = 224
+SLA_TRAIN_STEPS = 160  # token budget for training tables (decode uses 512)
+
+
+# ----------------------------------------------------------------- UNET
+
+def make_unet_pool(n: int, seed: int = 0):
+    rng = random.Random(seed)
+    imgs = np.zeros((n, UNET_SIZE, UNET_SIZE, 3), np.uint8)
+    masks = np.zeros((n, UNET_SIZE, UNET_SIZE), np.uint8)
+    for i in range(n):
+        s = render_table(rng, wired=True)
+        imgs[i] = cv2.resize(s.img, (UNET_SIZE, UNET_SIZE))
+        m = cv2.resize(
+            s.line_mask * 255, (UNET_SIZE, UNET_SIZE),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        masks[i] = (m > 64).astype(np.uint8)
+    return imgs, masks
+
+
+def train_unet(steps: int = 1500, out_path=None, pool_n: int = 256,
+               batch: int = 2, lr: float = 1e-3, seed: int = 0):
+    model = UNet()
+    variables = model.init(
+        jax.random.PRNGKey(seed), np.zeros((1, 256, 256, 3), np.float32)
+    )
+    tx = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(100, steps // 10), steps
+    ))
+    opt_state = tx.init(variables)
+
+    def loss_fn(variables, x_u8, y_u8):
+        x = (x_u8.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+        y = y_u8.astype(jnp.float32)
+        logits = model.apply(variables, x).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -(y * logp[..., 1] + (1 - y) * logp[..., 0])
+        pos = y.sum() + 1.0
+        w = pos / (y.size - pos + 1.0) * 3.0
+        ce = jnp.where(y > 0.5, ce, ce * w).mean()
+        p = jax.nn.softmax(logits, axis=-1)[..., 1]
+        dice = 1.0 - 2.0 * (p * y).sum() / (p.sum() + y.sum() + 1.0)
+        return ce + dice
+
+    @jax.jit
+    def step(variables, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(variables, x, y)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    logger.info("rendering %d wired tables @%d", pool_n, UNET_SIZE)
+    imgs, masks = make_unet_pool(pool_n, seed)
+    nrng = np.random.default_rng(seed)
+    tic = time.perf_counter()
+    for i in range(steps):
+        idx = nrng.integers(0, pool_n, batch)
+        variables, opt_state, loss = step(
+            variables, opt_state, imgs[idx], masks[idx]
+        )
+        if i % 20 == 0:
+            loss.block_until_ready()
+        if i % 100 == 0 or i == steps - 1:
+            logger.info("unet step %d loss %.4f (%.1fs)", i, float(loss),
+                        time.perf_counter() - tic)
+    if out_path is not None:
+        from ..models.registry import save_variables
+
+        save_variables(variables, out_path)
+        logger.info("unet weights -> %s", out_path)
+    return variables
+
+
+def eval_unet(variables, n_tables: int = 10, seed: int = 7777) -> float:
+    """Cell recall at IoU 0.5 through the production host recovery."""
+    from ..models.table.unet import WiredTableStructure
+
+    wired = WiredTableStructure(variables)
+    rng = random.Random(seed)
+    hit = total = 0
+    for _ in range(n_tables):
+        s = render_table(rng, wired=True)
+        cells, _grid = wired(s.img)
+        pred = np.array(cells, np.float32).reshape(-1, 4)
+        for x0, y0, x1, y1 in s.cell_boxes:
+            total += 1
+            if not len(pred):
+                continue
+            ix0 = np.maximum(pred[:, 0], x0)
+            iy0 = np.maximum(pred[:, 1], y0)
+            ix1 = np.minimum(pred[:, 2], x1)
+            iy1 = np.minimum(pred[:, 3], y1)
+            inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+            union = (
+                (pred[:, 2] - pred[:, 0]) * (pred[:, 3] - pred[:, 1])
+                + (x1 - x0) * (y1 - y0) - inter
+            )
+            if (inter / np.maximum(union, 1e-9)).max() >= 0.5:
+                hit += 1
+    return hit / max(total, 1)
+
+
+# ------------------------------------------------------------------ cls
+
+def train_cls(steps: int = 1200, out_path=None, pool_n: int = 512,
+              batch: int = 16, lr: float = 1e-3, seed: int = 0):
+    model = TableClsNet()
+    variables = model.init(
+        jax.random.PRNGKey(seed), np.zeros((1, CLS_SIZE, CLS_SIZE, 3),
+                                           np.float32)
+    )
+    tx = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(100, steps // 10), steps
+    ))
+    opt_state = tx.init(variables)
+
+    def loss_fn(variables, x_u8, y):
+        x = (x_u8.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+        logits = model.apply(variables, x).astype(jnp.float32)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y
+        ).mean()
+
+    @jax.jit
+    def step(variables, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(variables, x, y)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    logger.info("rendering %d cls tables", pool_n)
+    rng = random.Random(seed)
+    imgs = np.zeros((pool_n, CLS_SIZE, CLS_SIZE, 3), np.uint8)
+    labels = np.zeros((pool_n,), np.int32)
+    for i in range(pool_n):
+        wired = i % 2 == 0
+        s = render_table(rng, wired=wired)
+        imgs[i] = cv2.resize(s.img, (CLS_SIZE, CLS_SIZE))
+        labels[i] = 0 if wired else 1
+    nrng = np.random.default_rng(seed)
+    tic = time.perf_counter()
+    for i in range(steps):
+        idx = nrng.integers(0, pool_n, batch)
+        variables, opt_state, loss = step(
+            variables, opt_state, imgs[idx], labels[idx]
+        )
+        if i % 20 == 0:
+            loss.block_until_ready()
+        if i % 100 == 0 or i == steps - 1:
+            logger.info("cls step %d loss %.4f (%.1fs)", i, float(loss),
+                        time.perf_counter() - tic)
+    if out_path is not None:
+        from ..models.registry import save_variables
+
+        save_variables(variables, out_path)
+        logger.info("cls weights -> %s", out_path)
+    return variables
+
+
+def eval_cls(variables, n: int = 40, seed: int = 5555) -> float:
+    from ..models.table.cls import TableClassifier
+
+    clf = TableClassifier(variables)
+    rng = random.Random(seed)
+    ok = 0
+    for i in range(n):
+        wired = i % 2 == 0
+        s = render_table(rng, wired=wired)
+        pred = clf([s.img])[0]
+        ok += int(pred == ("wired" if wired else "wireless"))
+    return ok / n
+
+
+# --------------------------------------------------------------- SLANet
+
+def make_sla_pool(n: int, vocab, seed: int = 0):
+    rng = random.Random(seed)
+    imgs = np.zeros((n, SLA_SIZE, SLA_SIZE, 3), np.uint8)
+    toks = np.zeros((n, SLA_TRAIN_STEPS), np.int32)
+    locs = np.zeros((n, SLA_TRAIN_STEPS, 8), np.float32)
+    lmask = np.zeros((n, SLA_TRAIN_STEPS), np.float32)
+    lens = np.zeros((n,), np.int32)
+    i = 0
+    while i < n:
+        s = slanet_sample(rng, vocab, SLA_TRAIN_STEPS)
+        if s is None:
+            continue
+        imgs[i], toks[i], locs[i], lmask[i], lens[i] = s
+        i += 1
+    return imgs, toks, locs, lmask, lens
+
+
+def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
+                 batch: int = 8, lr: float = 1e-3, seed: int = 0):
+    cfg = SLANetConfig()
+    vocab = SLANetVocab()
+    backbone = SLANetBackbone(cfg.scale)
+    neck = PANNeck(cfg.neck_ch)
+    step_mod = SLAHeadStep(len(vocab), cfg.hidden)
+    fea_key = FeaKey(cfg.hidden)
+    rng = jax.random.PRNGKey(seed)
+    x0 = np.zeros((1, SLA_SIZE, SLA_SIZE, 3), np.float32)
+    bb_vars = backbone.init(rng, x0)
+    feats = backbone.apply(bb_vars, x0)
+    neck_vars = neck.init(rng, feats)
+    fea_map = neck.apply(neck_vars, feats)
+    S = fea_map.shape[1] * fea_map.shape[2]
+    fea0 = np.zeros((1, S, cfg.neck_ch), np.float32)
+    fk_vars = fea_key.init(rng, fea0)
+    step_vars = step_mod.init(
+        rng, np.zeros((1, cfg.hidden), np.float32), np.zeros((1,), np.int32),
+        fea0, np.zeros((1, S, cfg.hidden), np.float32),
+    )
+    variables = {"backbone": bb_vars, "neck": neck_vars,
+                 "fea_key": fk_vars, "step": step_vars}
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.warmup_cosine_decay_schedule(
+            0.0, lr, min(200, steps // 10), steps
+        )),
+    )
+    opt_state = tx.init(variables)
+
+    def loss_fn(variables, x_u8, tok, loc, lmask, lens):
+        x = x_u8.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        feats = backbone.apply(variables["backbone"], x.astype(jnp.bfloat16))
+        fea_map = neck.apply(variables["neck"], feats)
+        b, h, w, c = fea_map.shape
+        fea = fea_map.reshape(b, h * w, c).astype(jnp.float32)
+        fkey = fea_key.apply(variables["fea_key"], fea)
+        B, T = tok.shape
+        # teacher forcing: prev token stream = [sos, tok[:-1]]
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), vocab.sos_id, jnp.int32), tok[:, :-1]], axis=1
+        )
+        hidden = jnp.zeros((B, cfg.hidden), fea.dtype)
+
+        def scan_body(hidden, inputs):
+            prev_t, = inputs
+            hidden, logits, locp = step_mod.apply(
+                variables["step"], hidden, prev_t, fea, fkey
+            )
+            return hidden, (logits, locp)
+
+        _, (logits, locp) = jax.lax.scan(
+            scan_body, hidden, (prev.T,)
+        )  # (T, B, V), (T, B, 8)
+        logits = jnp.transpose(logits, (1, 0, 2)).astype(jnp.float32)
+        locp = jnp.transpose(locp, (1, 0, 2)).astype(jnp.float32)
+        step_mask = (
+            jnp.arange(T)[None, :] < lens[:, None]
+        ).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, tok)
+        ce = (ce * step_mask).sum() / jnp.maximum(step_mask.sum(), 1.0)
+        l1 = (jnp.abs(locp - loc).sum(-1) * lmask).sum() / jnp.maximum(
+            lmask.sum(), 1.0
+        )
+        return ce + 2.0 * l1
+
+    @jax.jit
+    def train_step(variables, opt_state, x, tok, loc, lmask, lens):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            variables, x, tok, loc, lmask, lens
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    logger.info("rendering %d slanet tables", pool_n)
+    imgs, toks, locs, lmask, lens = make_sla_pool(pool_n, vocab, seed)
+    nrng = np.random.default_rng(seed)
+    tic = time.perf_counter()
+    for i in range(steps):
+        idx = nrng.integers(0, pool_n, batch)
+        variables, opt_state, loss = train_step(
+            variables, opt_state, imgs[idx], toks[idx], locs[idx],
+            lmask[idx], lens[idx],
+        )
+        if i % 20 == 0:
+            loss.block_until_ready()
+        if i % 100 == 0 or i == steps - 1:
+            logger.info("slanet step %d loss %.4f (%.1fs)", i, float(loss),
+                        time.perf_counter() - tic)
+        if out_path is not None and i and i % 1000 == 0:
+            from ..models.registry import save_variables
+
+            save_variables(variables, out_path)
+    if out_path is not None:
+        from ..models.registry import save_variables
+
+        save_variables(variables, out_path)
+        logger.info("slanet weights -> %s", out_path)
+    return variables
+
+
+def eval_slanet(variables, n: int = 12, seed: int = 3333):
+    """Structure-token exact-sequence rate + mean cell-box IoU."""
+    from ..models.table.slanet import SLANetStructure
+
+    sla = SLANetStructure(variables)
+    rng = random.Random(seed)
+    seq_ok = 0
+    ious = []
+    for _ in range(n):
+        s = render_table(rng, wired=rng.random() < 0.5)
+        (structure, bboxes), = sla([s.img])
+        if structure == s.tokens:
+            seq_ok += 1
+        for pred, gt in zip(bboxes, s.cell_boxes):
+            x0, y0, x1, y1 = gt
+            px0, py0, px1, py1 = pred
+            iw = max(0.0, min(px1, x1) - max(px0, x0))
+            ih = max(0.0, min(py1, y1) - max(py0, y0))
+            inter = iw * ih
+            union = (
+                (px1 - px0) * (py1 - py0) + (x1 - x0) * (y1 - y0) - inter
+            )
+            ious.append(inter / max(union, 1e-9))
+    return {"seq_acc": seq_ok / n,
+            "cell_iou": float(np.mean(ious)) if ious else 0.0}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "unet"
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    out = sys.argv[3] if len(sys.argv) > 3 else None
+    if which == "unet":
+        v = train_unet(steps or 1500, out)
+        logger.info("unet cell recall: %.3f", eval_unet(v))
+    elif which == "cls":
+        v = train_cls(steps or 1200, out)
+        logger.info("cls acc: %.3f", eval_cls(v))
+    elif which == "slanet":
+        v = train_slanet(steps or 4000, out)
+        logger.info("slanet eval: %s", eval_slanet(v))
+    else:
+        raise SystemExit(f"unknown target {which}")
