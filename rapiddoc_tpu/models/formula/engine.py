@@ -91,6 +91,24 @@ class FormulaTokenizer:
         return fix_latex(text)
 
 
+class DemoFormulaVocab:
+    """Closed-token-list decoder for the demo checkpoint (the vocabulary
+    ships in formula_demo.json next to the weights)."""
+
+    def __init__(self, vocab: list[str]):
+        self.vocab = vocab
+
+    def available(self) -> bool:
+        return True
+
+    def decode(self, ids: list[int]) -> str:
+        from ...train.formula import detokenize
+
+        toks = [self.vocab[i] for i in ids
+                if 3 <= i < len(self.vocab)]
+        return detokenize(toks)
+
+
 def fix_latex(text: str) -> str:
     """Post-decode LaTeX cleanup (spacing artifacts from BPE)."""
     text = text.replace("\\ ", "\\")
@@ -156,6 +174,37 @@ class FormulaRecognizer:
         from ..registry import _load_variables
 
         variables = _load_variables(get_models_dir() / "formula_net_plus_m.npz")
+        if variables is None:
+            # in-repo demo checkpoint trained on mathtext renders
+            # (rapiddoc_tpu/train/formula.py) — real LaTeX output without
+            # network egress
+            import json
+
+            from ..registry import DEMO_ASSETS_DIR
+
+            demo_npz = DEMO_ASSETS_DIR / "formula_demo.npz"
+            demo_meta = demo_npz.with_suffix(".json")
+            if demo_meta.is_file():
+                variables = _load_variables(demo_npz)
+                if variables is not None:
+                    meta = json.loads(demo_meta.read_text())
+                    arch = meta["arch"]
+                    vocab = meta["vocab"]
+                    logger.info("formula: demo synthetic-trained checkpoint")
+                    rec = cls(
+                        variables,
+                        config=FormulaConfig(
+                            max_len=arch["max_len"], vocab_size=len(vocab),
+                            layers=arch["layers"],
+                            backbone_size=arch["backbone_size"],
+                            default_length_bucket=min(
+                                arch["max_len"],
+                                FormulaConfig.default_length_bucket,
+                            ),
+                        ),
+                    )
+                    rec.tokenizer = DemoFormulaVocab(vocab)
+                    return rec
         if variables is None and not configs.get("allow_random_init", False):
             raise FileNotFoundError("formula checkpoint missing")
         return cls(variables)

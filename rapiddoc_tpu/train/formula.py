@@ -1,0 +1,277 @@
+"""Demo trainer for the formula recognizer (image -> LaTeX).
+
+Usage: python -m rapiddoc_tpu.train.formula [steps] [out.npz]
+
+Trains the production PP-FormulaNet-style stack (models/formula: HGNet
+encoder + MBart decoder + memory projector) at a demo scale (B0
+backbone, 2 decoder layers, closed LaTeX token vocabulary) on
+matplotlib-mathtext renders of random LaTeX from the same grammar the
+synthetic layout pages embed (train/synth_layout.random_latex).
+Teacher forcing is a single multi-token decoder call (the cached
+decoder accepts (B, T) token blocks with a causal mask).
+
+The saved pair (formula_demo.npz + formula_demo.json holding the arch
+and the token vocabulary) loads into FormulaRecognizer via
+models/formula/engine.build's demo fallback.
+"""
+from __future__ import annotations
+
+import io
+import random
+import re
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.formula.engine import UNIMER_MEAN, UNIMER_STD, FormulaConfig
+from ..models.formula.model import build_formula_modules
+from ..utils.logging import get_logger
+from .synth_layout import random_latex
+
+logger = get_logger("rapiddoc_tpu.train.formula")
+
+BUCKET_H, BUCKET_W = 96, 384
+MAX_T = 64  # token budget (bos/eos included)
+
+DEMO_ARCH = dict(max_len=160, layers=2, backbone_size="B0")
+
+_TOKEN_RE = re.compile(r"\\[a-zA-Z]+|[^\s]")
+
+SPECIALS = ["<s>", "<pad>", "</s>"]  # ids 0/1/2 = bos/pad/eos (MBartConfig)
+
+
+def latex_tokenize(s: str) -> list[str]:
+    return _TOKEN_RE.findall(s)
+
+
+def build_vocab(seed: int = 0, probe: int = 2000) -> list[str]:
+    """Closed vocabulary of the random_latex grammar (probed, sorted)."""
+    rng = random.Random(seed)
+    seen: set[str] = set()
+    for _ in range(probe):
+        seen.update(latex_tokenize(random_latex(rng)))
+    return SPECIALS + sorted(seen)
+
+
+def detokenize(tokens: list[str]) -> str:
+    out = []
+    for i, t in enumerate(tokens):
+        out.append(t)
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else ""
+        if t.startswith("\\") and t[1:].isalpha() and (
+            nxt[:1].isalpha() and not nxt.startswith("\\")
+        ):
+            out.append(" ")
+    return "".join(out)
+
+
+def render_formula(latex: str, rng: random.Random) -> np.ndarray | None:
+    """mathtext render -> uint8 luminance canvas (BUCKET_H, BUCKET_W, 1),
+    white-padded, or None when the render fails/overflows."""
+    import cv2
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import mathtext
+    from PIL import Image
+
+    try:
+        buf = io.BytesIO()
+        mathtext.math_to_image(
+            f"${latex}$", buf, dpi=rng.choice([80, 100, 120]), format="png"
+        )
+        buf.seek(0)
+        img = np.asarray(Image.open(buf).convert("L"), np.uint8)
+    except Exception:
+        return None
+    h, w = img.shape
+    if h < 6 or w < 6:
+        return None
+    scale = min(BUCKET_H / h, BUCKET_W / w, 1.5)
+    rh, rw = max(1, int(h * scale)), max(1, int(w * scale))
+    resized = cv2.resize(img, (rw, rh))
+    canvas = np.full((BUCKET_H, BUCKET_W), 255, np.uint8)
+    y0 = (BUCKET_H - rh) // 2
+    canvas[y0:y0 + rh, :rw] = resized
+    return canvas[..., None]
+
+
+def make_pool(n: int, vocab: list[str], seed: int = 0):
+    tok_to_id = {t: i for i, t in enumerate(vocab)}
+    rng = random.Random(seed)
+    imgs = np.zeros((n, BUCKET_H, BUCKET_W, 1), np.uint8)
+    toks = np.full((n, MAX_T), 1, np.int32)  # pad=1
+    lens = np.zeros((n,), np.int32)
+    texts: list[str] = []
+    i = 0
+    while i < n:
+        latex = random_latex(rng)
+        ids = [tok_to_id[t] for t in latex_tokenize(latex)
+               if t in tok_to_id]
+        if not ids or len(ids) + 1 > MAX_T:
+            continue
+        img = render_formula(latex, rng)
+        if img is None:
+            continue
+        imgs[i] = img
+        seq = ids + [2]  # eos
+        toks[i, : len(seq)] = seq
+        lens[i] = len(seq)
+        texts.append(latex)
+        i += 1
+        if i % 500 == 0:
+            logger.info("pool %d/%d", i, n)
+    return imgs, toks, lens, texts
+
+
+def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
+          batch: int = 16, lr: float = 4e-4, seed: int = 0):
+    vocab = build_vocab()
+    cfg = FormulaConfig(
+        max_len=DEMO_ARCH["max_len"], vocab_size=len(vocab),
+        layers=DEMO_ARCH["layers"], backbone_size=DEMO_ARCH["backbone_size"],
+    )
+    encoder, decoder, mem_proj, mcfg = build_formula_modules(
+        max_len=cfg.max_len, vocab_size=cfg.vocab_size, layers=cfg.layers,
+        backbone_size=cfg.backbone_size,
+    )
+    rng = jax.random.PRNGKey(seed)
+    x0 = np.zeros((1, BUCKET_H, BUCKET_W, 3), np.float32)
+    enc_vars = encoder.init(rng, x0)
+    mem0 = np.asarray(encoder.apply(enc_vars, x0))
+    S = mem0.shape[1]
+    mem_vars = mem_proj.init(rng, mem0)
+    hd = mcfg.d_model // mcfg.heads
+    dec_vars = decoder.init(
+        rng, np.zeros((1, MAX_T), np.int32),
+        np.zeros((cfg.layers, 1, MAX_T, mcfg.heads, hd), np.float32),
+        np.zeros((cfg.layers, 1, MAX_T, mcfg.heads, hd), np.float32),
+        0,
+        np.zeros((cfg.layers, 1, S, mcfg.heads, hd), np.float32),
+        np.zeros((cfg.layers, 1, S, mcfg.heads, hd), np.float32),
+        np.ones((1, S), bool),
+    )
+    variables = {"encoder": enc_vars, "decoder": dec_vars,
+                 "mem_proj": mem_vars}
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.warmup_cosine_decay_schedule(
+            0.0, lr, min(300, steps // 10), steps
+        ), weight_decay=1e-4),
+    )
+    opt_state = tx.init(variables)
+
+    def loss_fn(variables, x_u8, tok, lens):
+        x = x_u8.astype(jnp.float32) / 255.0
+        x = (x - UNIMER_MEAN) / UNIMER_STD
+        x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
+        memory = encoder.apply(
+            variables["encoder"], x.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
+        mem_mask = jnp.ones(memory.shape[:2], bool)
+        mem_k, mem_v = mem_proj.apply(variables["mem_proj"], memory)
+        B, T = tok.shape
+        prev = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), tok[:, :-1]], axis=1
+        )  # bos=0
+        caches_k = jnp.zeros((cfg.layers, B, T, mcfg.heads, hd), jnp.float32)
+        caches_v = jnp.zeros_like(caches_k)
+        logits, _, _ = decoder.apply(
+            variables["decoder"], prev, caches_k, caches_v, 0,
+            mem_k, mem_v, mem_mask,
+        )
+        mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), tok
+        )
+        return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+    @jax.jit
+    def step(variables, opt_state, x, tok, lens):
+        loss, grads = jax.value_and_grad(loss_fn)(variables, x, tok, lens)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    logger.info("rendering %d formulas (mathtext, host-bound)", pool_n)
+    imgs, toks, lens, _texts = make_pool(pool_n, vocab, seed)
+    nrng = np.random.default_rng(seed)
+    tic = time.perf_counter()
+    for i in range(steps):
+        idx = nrng.integers(0, pool_n, batch)
+        variables, opt_state, loss = step(
+            variables, opt_state, imgs[idx], toks[idx], lens[idx]
+        )
+        if i % 20 == 0:
+            loss.block_until_ready()
+        if i % 100 == 0 or i == steps - 1:
+            logger.info("step %d loss %.4f (%.1fs)", i, float(loss),
+                        time.perf_counter() - tic)
+        if out_path is not None and i and i % 2000 == 0:
+            save_demo(variables, vocab, out_path)
+    if out_path is not None:
+        save_demo(variables, vocab, out_path)
+    return variables, vocab
+
+
+def save_demo(variables, vocab: list[str], out_path) -> None:
+    import json
+    from pathlib import Path
+
+    from ..models.registry import save_variables
+
+    out_path = Path(out_path)
+    save_variables(variables, out_path)
+    out_path.with_suffix(".json").write_text(
+        json.dumps({"arch": DEMO_ARCH, "vocab": vocab})
+    )
+    logger.info("formula weights -> %s (+ .json arch/vocab)", out_path)
+
+
+def evaluate(variables=None, vocab=None, n: int = 24, seed: int = 4242):
+    """Greedy-decode held-out renders: exact-match + char error rate."""
+    from ..models.formula.engine import DemoFormulaVocab, FormulaRecognizer
+
+    cfg = FormulaConfig(
+        max_len=DEMO_ARCH["max_len"], vocab_size=len(vocab),
+        layers=DEMO_ARCH["layers"], backbone_size=DEMO_ARCH["backbone_size"],
+    )
+    rec = FormulaRecognizer(variables, config=cfg)
+    rec.tokenizer = DemoFormulaVocab(vocab)
+    rng = random.Random(seed)
+    crops = []
+    truths = []
+    while len(crops) < n:
+        latex = random_latex(rng)
+        if len(latex_tokenize(latex)) + 1 > MAX_T:
+            continue
+        img = render_formula(latex, rng)
+        if img is None:
+            continue
+        crops.append(np.repeat(img, 3, axis=-1))
+        truths.append(latex)
+    preds = rec.batch_predict(crops, length_bucket=MAX_T)
+
+    def norm(s):
+        return re.sub(r"\s+", "", s)
+
+    import difflib
+
+    exact = cers = 0.0
+    for p, t in zip(preds, truths):
+        pn, tn = norm(p), norm(t)
+        exact += pn == tn
+        sm = difflib.SequenceMatcher(a=pn, b=tn)
+        cers += 1.0 - sm.ratio()
+    return {"exact": exact / n, "cer~": cers / n}
+
+
+if __name__ == "__main__":
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    v, vocab = train(steps, out)
+    logger.info("eval: %s", evaluate(v, vocab))
