@@ -173,9 +173,19 @@ def build_analyzer(
         try:
             from .orientation.engine import build_orientation_classifier
 
+            orient_vars = _load_variables(
+                get_models_dir() / "orientation_cls.npz"
+            )
+            if orient_vars is None:
+                orient_vars = _load_variables(
+                    DEMO_ASSETS_DIR / "orientation_demo.npz"
+                )
+                if orient_vars is not None:
+                    logger.info(
+                        "orientation: demo synthetic-trained checkpoint"
+                    )
             orientation = build_orientation_classifier(
-                get_models_dir(),
-                _load_variables(get_models_dir() / "orientation_cls.npz"),
+                get_models_dir(), orient_vars
             )
         except Exception:
             orientation = None

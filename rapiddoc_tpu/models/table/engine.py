@@ -89,6 +89,20 @@ class TableRecognizer:
             "slanet": _load_variables(models_dir / "table_slanet.npz"),
             "cls": _load_variables(models_dir / "table_cls.npz"),
         }
+        # in-repo demo checkpoints trained on synthetic tables
+        # (rapiddoc_tpu/train/table.py) — real structure output without
+        # network egress; converted published checkpoints take priority
+        from ..registry import DEMO_ASSETS_DIR
+
+        for key in ("unet", "slanet", "cls"):
+            if variables[key] is None:
+                demo = _load_variables(
+                    DEMO_ASSETS_DIR / f"table_{key}_demo.npz"
+                )
+                if demo is not None:
+                    logger.info("table %s: demo synthetic-trained "
+                                "checkpoint", key)
+                    variables[key] = demo
         # published ONNX checkpoints run via the JAX ONNX interpreter
         unet_onnx = models_dir / "unet.onnx"
         paddle_cls = models_dir / "paddle_cls.onnx"

@@ -128,6 +128,29 @@ def make_pool(n: int, vocab: list[str], seed: int = 0):
     return imgs, toks, lens, texts
 
 
+def load_or_make_pool(n: int, vocab: list[str], seed: int = 0):
+    """Disk-cached pool (mathtext renders are ~250 ms each on the single
+    host CPU — pre-render with `python -m rapiddoc_tpu.train.formula
+    pool` while the chip is busy elsewhere)."""
+    import os
+
+    cache = os.environ.get("RAPIDDOC_FORMULA_POOL", "/tmp/formula_pool.npz")
+    if cache and os.path.isfile(cache):
+        d = np.load(cache, allow_pickle=False)
+        if (
+            len(d["imgs"]) >= n
+            and d["vocab_size"] == len(vocab)
+            and int(d["seed"]) == seed
+        ):
+            logger.info("formula pool from cache %s", cache)
+            return d["imgs"][:n], d["toks"][:n], d["lens"][:n], []
+    imgs, toks, lens, texts = make_pool(n, vocab, seed)
+    if cache:
+        np.savez(cache, imgs=imgs, toks=toks, lens=lens,
+                 vocab_size=len(vocab), seed=seed)
+    return imgs, toks, lens, texts
+
+
 def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
           batch: int = 16, lr: float = 4e-4, seed: int = 0):
     vocab = build_vocab()
@@ -198,7 +221,7 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
         return optax.apply_updates(variables, updates), opt_state, loss
 
     logger.info("rendering %d formulas (mathtext, host-bound)", pool_n)
-    imgs, toks, lens, _texts = make_pool(pool_n, vocab, seed)
+    imgs, toks, lens, _texts = load_or_make_pool(pool_n, vocab, seed)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
     for i in range(steps):
@@ -271,7 +294,11 @@ def evaluate(variables=None, vocab=None, n: int = 24, seed: int = 4242):
 
 
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    out = sys.argv[2] if len(sys.argv) > 2 else None
-    v, vocab = train(steps, out)
-    logger.info("eval: %s", evaluate(v, vocab))
+    if len(sys.argv) > 1 and sys.argv[1] == "pool":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+        load_or_make_pool(n, build_vocab())
+    else:
+        steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+        out = sys.argv[2] if len(sys.argv) > 2 else None
+        v, vocab = train(steps, out)
+        logger.info("eval: %s", evaluate(v, vocab))
