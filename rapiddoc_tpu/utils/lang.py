@@ -28,6 +28,59 @@ _SCRIPT_RANGES = [
 ]
 
 
+# Latin-script language discrimination (role of fasttext lid.176 for the
+# languages the script ranges cannot separate): tiny stopword profiles +
+# characteristic diacritics. Stopword lists are the highest-frequency
+# function words per language — a dozen each is enough to separate
+# running text reliably.
+_LATIN_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with",
+           "was", "are", "this"},
+    "fr": {"le", "la", "les", "des", "du", "et", "est", "une", "dans",
+           "pour", "que", "qui", "sur", "pas"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "für", "auf", "den", "von", "zu"},
+    "es": {"el", "los", "las", "y", "que", "en", "es", "una", "por",
+           "con", "para", "se", "del", "lo"},
+    "it": {"il", "di", "che", "per", "con", "una", "del", "non", "sono",
+           "della", "gli", "nel"},
+    "pt": {"o", "os", "as", "que", "em", "uma", "para", "com", "não",
+           "dos", "do", "da", "como"},
+    "nl": {"de", "het", "een", "en", "van", "is", "niet", "met", "op",
+           "voor", "dat", "zijn"},
+}
+_LATIN_DIACRITICS = {
+    "fr": "éèêëàâîïôûùç«»",
+    "de": "äöüßÄÖÜ",
+    "es": "ñáíóúü¿¡",
+    "it": "àèéìòù",
+    "pt": "ãõçáâêôí",
+}
+_WORD_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
+
+
+def _detect_latin_lang(text: str) -> str:
+    words = [w.lower() for w in _WORD_RE.findall(text[:4000])]
+    if not words:
+        return "en"
+    scores: Counter[str] = Counter()
+    for w in words:
+        for lang, stops in _LATIN_STOPWORDS.items():
+            if w in stops:
+                scores[lang] += 1
+    for ch in text[:4000]:
+        for lang, marks in _LATIN_DIACRITICS.items():
+            if ch in marks:
+                scores[lang] += 2
+    if not scores:
+        return "en"
+    lang, n = scores.most_common(1)[0]
+    # demand a real signal before leaving the default dictionary family
+    if lang != "en" and n < max(3, len(words) // 50):
+        return "en"
+    return lang
+
+
 def detect_lang(text: str, default: str = "ch") -> str:
     """Dominant script of the text -> OCR language family id."""
     if not text:
@@ -48,7 +101,7 @@ def detect_lang(text: str, default: str = "ch") -> str:
     if lang == "latin" and counts.get("ch", 0) + counts.get("japan", 0) > n * 0.15:
         return "ch"
     if lang == "latin":
-        return "en"
+        return _detect_latin_lang(text)
     if lang == "japan" and counts.get("ch", 0) > n * 3:
         return "ch"
     return lang

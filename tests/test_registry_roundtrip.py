@@ -83,6 +83,24 @@ def test_lang_detection():
     assert detect_lang("This is clearly an English document sample.") == "en"
     assert detect_lang("Это русский текст документа") == "cyrillic"
     assert detect_lang("한국어 문서 내용입니다") == "korean"
+    # Latin-script discrimination via stopword/diacritic profiles
+    # (lid.176 role for the languages script ranges cannot separate)
+    assert detect_lang(
+        "Les résultats de l'expérience sont présentés dans le tableau "
+        "et sont cohérents avec les travaux."
+    ) == "fr"
+    assert detect_lang(
+        "Die Ergebnisse der Untersuchung sind in der Tabelle dargestellt "
+        "und stimmen mit früheren Arbeiten überein."
+    ) == "de"
+    assert detect_lang(
+        "Los resultados del experimento se muestran en la tabla y son "
+        "consistentes con el trabajo anterior."
+    ) == "es"
+    assert detect_lang(
+        "Os resultados do experimento são mostrados na tabela e são "
+        "consistentes com o trabalho anterior."
+    ) == "pt"
     assert guess_suffix_by_bytes(b"%PDF-1.7\n...") == "pdf"
     assert guess_suffix_by_bytes(b"\x89PNG\r\n\x1a\n") == "png"
     assert guess_suffix_by_bytes(b"hello plain text") == "txt"
