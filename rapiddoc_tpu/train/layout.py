@@ -54,13 +54,36 @@ def make_model(aux: bool) -> RTDETR:
     )
 
 
+# page aspect ratios (h/w): square scans, 4:3, letter, A4 — the
+# detector squishes every page to a fixed square (as the reference
+# PP-DocLayout preprocess does), so training must see squished portrait
+# pages too
+ASPECTS = (1.0, 1.2, 1.294, 1.414)
+
+
+def _render_training_page(rng: random.Random):
+    """(SIZE x SIZE squished page, gt in squished pixels)."""
+    import cv2
+
+    aspect = rng.choice(ASPECTS)
+    h = int(SIZE * aspect)
+    img, gt = render_layout_page(rng, SIZE, height=h)
+    if h != SIZE:
+        img = cv2.resize(img, (SIZE, SIZE), interpolation=cv2.INTER_AREA)
+        sy = SIZE / h
+        gt = [
+            (cid, x0, y0 * sy, x1, y1 * sy) for cid, x0, y0, x1, y1 in gt
+        ]
+    return img, gt
+
+
 def make_pool(n_pages: int, seed: int = 0):
     rng = random.Random(seed)
     imgs = np.zeros((n_pages, SIZE, SIZE, 3), np.uint8)
     tcls = np.full((n_pages, MAX_T), -1, np.int32)
     tbox = np.zeros((n_pages, MAX_T, 4), np.float32)  # cxcywh [0,1]
     for i in range(n_pages):
-        img, gt = render_layout_page(rng, SIZE)
+        img, gt = _render_training_page(rng)
         imgs[i] = img
         for j, (cid, x0, y0, x1, y1) in enumerate(gt[:MAX_T]):
             tcls[i, j] = cid
@@ -280,7 +303,8 @@ def evaluate(variables=None, n_pages: int = 12, seed: int = 9999,
     from ..models.layout.engine import DOCLAYOUT_V2_LABELS
 
     for _ in range(n_pages):
-        img, gt = render_layout_page(rng, SIZE)
+        aspect = rng.choice(ASPECTS)
+        img, gt = render_layout_page(rng, SIZE, height=int(SIZE * aspect))
         dets = det.batch_predict([img])[0]
         n_pred += len(dets)
         pred = np.array(

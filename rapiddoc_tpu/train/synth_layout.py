@@ -139,7 +139,7 @@ def _paragraph(draw, rng, x0, y, max_w, size, n_lines=None):
     font = _font(rng, fsize)
     fg = rng.randint(0, 80)
     leading = max(2, int(fsize * rng.uniform(0.3, 0.7)))
-    n_lines = n_lines or rng.randint(2, 7)
+    n_lines = n_lines or rng.randint(2, 11)
     bx0 = bx1 = by0 = by1 = None
     for li in range(n_lines):
         if y >= size - 30:
@@ -264,31 +264,36 @@ def _figure_block(img, draw, rng, x0, y, max_w, size):
 # ------------------------------------------------------------- page
 
 def render_layout_page(
-    rng: random.Random, size: int = 640
+    rng: random.Random, size: int = 640, height: int | None = None
 ) -> tuple[np.ndarray, list[tuple[int, int, int, int, int]]]:
-    """A labeled page: (uint8 RGB size x size, [(class_id, x0,y0,x1,y1)]).
+    """A labeled page: (uint8 RGB (height or size) x size,
+    [(class_id, x0,y0,x1,y1)]).
 
     Block mix follows real document pages: optional page furniture
     (header/footer/page number), optional doc title, 1-2 columns of
     paragraphs / section headings / figures+captions / tables / display
-    formulas.
+    formulas. Non-square heights model portrait pages — the detector
+    squishes any page to a fixed square (the reference PP-DocLayout
+    preprocess stretches to 800x800 the same way), so the trainer
+    renders portrait aspects and resizes.
     """
+    w, h = size, height or size
     bg = rng.randint(240, 255)
-    img = Image.new("RGB", (size, size), (bg, bg, bg))
+    img = Image.new("RGB", (w, h), (bg, bg, bg))
     draw = ImageDraw.Draw(img)
     gt: list[tuple[int, int, int, int, int]] = []
 
     top = rng.randint(14, 40)
     # header / footer / page number furniture
     if rng.random() < 0.4:
-        box, _ = _short_line(draw, rng, rng.randint(20, 60), 6, size - 120,
+        box, _ = _short_line(draw, rng, rng.randint(20, 60), 6, w - 120,
                              (9, 12), max_words=5, fg_max=120)
         if box:
             gt.append((LABEL["header"], *box))
             top = max(top, box[3] + 8)
     if rng.random() < 0.4:
-        box, _ = _short_line(draw, rng, rng.randint(40, 80), size - 16,
-                             size - 160, (9, 12), max_words=5, fg_max=120)
+        box, _ = _short_line(draw, rng, rng.randint(40, 80), h - 16,
+                             w - 160, (9, 12), max_words=5, fg_max=120)
         if box:
             gt.append((LABEL["footer"], *box))
     if rng.random() < 0.5:
@@ -296,8 +301,8 @@ def render_layout_page(
         font = _font(rng, fsize)
         text = str(rng.randint(1, 99))
         bbox = font.getbbox(text)
-        x = size // 2 + rng.randint(-30, 30)
-        y = size - 14
+        x = w // 2 + rng.randint(-30, 30)
+        y = h - 14
         draw.text((x - bbox[0], y - bbox[1]), text, fill=(90, 90, 90),
                   font=font)
         gt.append((LABEL["number"], x, y, x + bbox[2] - bbox[0],
@@ -307,7 +312,7 @@ def render_layout_page(
     # doc title: large, centered, spans full width
     if rng.random() < 0.45:
         box, y_after = _short_line(
-            draw, rng, 40, y_start, size - 80, (22, 32), center=True,
+            draw, rng, 40, y_start, w - 80, (22, 32), center=True,
             max_words=7,
         )
         if box:
@@ -316,19 +321,19 @@ def render_layout_page(
 
     two_col = rng.random() < 0.4
     cols = (
-        [(rng.randint(16, 36), size // 2 - 14),
-         (size // 2 + 14, size - rng.randint(16, 36))]
+        [(rng.randint(16, 36), w // 2 - 14),
+         (w // 2 + 14, w - rng.randint(16, 36))]
         if two_col
-        else [(rng.randint(16, 56), size - rng.randint(16, 56))]
+        else [(rng.randint(16, 56), w - rng.randint(16, 56))]
     )
 
     for x0_col, x1_col in cols:
         max_w = x1_col - x0_col
         y = y_start + rng.randint(0, 16)
-        while y < size - 70:
+        while y < h - 70:
             r = rng.random()
             if r < 0.38:  # body paragraph
-                box, y = _paragraph(draw, rng, x0_col, y, max_w, size)
+                box, y = _paragraph(draw, rng, x0_col, y, max_w, h)
                 if box:
                     gt.append((LABEL["text"], *box))
                 y += rng.randint(10, 28)
@@ -342,10 +347,10 @@ def render_layout_page(
                 else:
                     y += 20
             elif r < 0.68:  # figure + caption
-                box = _figure_block(img, draw, rng, x0_col, y, max_w, size)
+                box = _figure_block(img, draw, rng, x0_col, y, max_w, h)
                 gt.append((LABEL["image"], *box))
                 y = box[3] + rng.randint(4, 10)
-                if rng.random() < 0.7 and y < size - 40:
+                if rng.random() < 0.7 and y < h - 40:
                     cap, y_after = _short_line(
                         draw, rng, x0_col, y, max_w, (10, 13),
                         center=True, max_words=8, fg_max=90,
@@ -355,7 +360,7 @@ def render_layout_page(
                         y = y_after
                 y += rng.randint(12, 30)
             elif r < 0.84:  # table
-                box = _table_block(img, draw, rng, x0_col, y, max_w, size)
+                box = _table_block(img, draw, rng, x0_col, y, max_w, h)
                 gt.append((LABEL["table"], *box))
                 y = box[3] + rng.randint(12, 30)
             else:  # display formula
@@ -368,7 +373,7 @@ def render_layout_page(
                         Image.fromarray(rgba).resize((nw, nh)), np.uint8
                     )
                     fh, fw = nh, nw
-                if y + fh > size - 20:
+                if y + fh > h - 20:
                     y += 20
                     continue
                 fx = x0_col + max(0, (max_w - fw) // 2)
@@ -381,7 +386,7 @@ def render_layout_page(
     out = []
     for cid, x0, y0, x1, y1 in gt:
         x0, y0 = max(0, x0), max(0, y0)
-        x1, y1 = min(size, x1), min(size, y1)
+        x1, y1 = min(w, x1), min(h, y1)
         if x1 - x0 >= 4 and y1 - y0 >= 4:
             out.append((cid, x0, y0, x1, y1))
     return arr, out
