@@ -203,6 +203,7 @@ class LayoutDetector:
                 )
 
         variables = _load_variables(models_dir / "layout_doclayout_v3.npz")
+        demo_used = False
         if variables is None:
             # in-repo demo checkpoint trained on synthetic labeled pages
             # (rapiddoc_tpu/train/layout.py) — real layout detections
@@ -226,6 +227,7 @@ class LayoutDetector:
                     logger.info("layout: demo synthetic-trained checkpoint")
                     arch = json.loads(demo_cfg.read_text())
                     configs = {**arch, **configs}
+                    demo_used = True
         if variables is None and not configs.get("allow_random_init", False):
             # without trained weights a random detector is worse than the
             # structural fallback (native text / OCR det drive the layout)
@@ -248,7 +250,12 @@ class LayoutDetector:
                     configs["markdown_ignore_labels"]
                 ),
             )
-        return cls(variables, config=cfg)
+        det = cls(variables, config=cfg)
+        if demo_used:
+            # scheduler routes txt-mode pages to the structural fallback
+            # (native text beats a synthetic-trained detector there)
+            det.demo_txt_fallback = True
+        return det
 
     def batch_predict(self, images: list[np.ndarray]) -> list[list[dict]]:
         """images: uint8 RGB arrays. Returns per-image layout_dets

@@ -259,15 +259,30 @@ class DocumentAnalyzer:
                         page_images[i] = rotate_image(page_images[i], angle)
                         rotations[i] = angle
 
-        # ① layout detection
+        # ① layout detection. A demo-trained layout checkpoint opts out
+        # of txt-mode pages (demo_txt_fallback): native-text structural
+        # layout is stronger there, while ocr-mode (scanned) pages gain
+        # real region structure from the detector.
+        layout_pages: list[int] = []
         if self.layout_model is not None:
-            with stage_timer("layout", n):
-                layout_results = self.layout_model.batch_predict(page_images)
-            for i, dets in enumerate(layout_results):
-                model_infos[i]["layout_dets"].extend(dets)
-        else:
+            txt_fallback = getattr(
+                self.layout_model, "demo_txt_fallback", False
+            )
+            layout_pages = [
+                i for i in range(n)
+                if not (txt_fallback and parse_modes[i] == "txt")
+            ]
+            if layout_pages:
+                with stage_timer("layout", len(layout_pages)):
+                    layout_results = self.layout_model.batch_predict(
+                        [page_images[i] for i in layout_pages]
+                    )
+                for i, dets in zip(layout_pages, layout_results):
+                    model_infos[i]["layout_dets"].extend(dets)
+        fallback_pages = sorted(set(range(n)) - set(layout_pages))
+        if fallback_pages:
             repeated = decoration_texts(text_dicts)
-            for i in range(n):
+            for i in fallback_pages:
                 self._fallback_layout(
                     model_infos[i],
                     parse_modes[i],
