@@ -341,6 +341,19 @@ def evaluate(variables=None, n_pages: int = 12, seed: int = 9999,
     }
 
 
+def tune_conf(variables, confs=(0.25, 0.3, 0.35, 0.4, 0.5),
+              n_pages: int = 8):
+    """Pick the confidence threshold maximizing recall*precision on
+    held-out pages; returns (best_conf, {conf: metrics})."""
+    results = {}
+    for c in confs:
+        results[c] = evaluate(variables, n_pages=n_pages, conf=c)
+    best = max(
+        results, key=lambda c: results[c]["recall"] * results[c]["precision"]
+    )
+    return best, results
+
+
 if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
     out = sys.argv[2] if len(sys.argv) > 2 else None
