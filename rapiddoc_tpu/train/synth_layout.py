@@ -230,11 +230,47 @@ def _figure_block(img, draw, rng, x0, y, max_w, size):
         gh = size - 24 - y
     gx = x0 + rng.randint(0, max(0, max_w - gw))
     kind = rng.random()
-    if kind < 0.4:  # noise patch
+    if kind < 0.25:  # noise patch
         patch = np.random.default_rng(rng.randrange(1 << 30)).integers(
             60, 220, (gh, gw, 3), np.uint8
         )
         img.paste(Image.fromarray(patch), (gx, y))
+    elif kind < 0.45:  # multi-panel figure: sub-images in a grid with
+        # white gutters — pages with photo/edge-map panels must read as
+        # image, not table (the grid arrangement is the confusable cue)
+        prng = np.random.default_rng(rng.randrange(1 << 30))
+        nr, nc = rng.randint(2, 4), rng.randint(2, 4)
+        gut = rng.randint(2, 6)
+        ph = (gh - (nr - 1) * gut) // nr
+        pw = (gw - (nc - 1) * gut) // nc
+        if ph > 4 and pw > 4:
+            for r in range(nr):
+                for c in range(nc):
+                    px = gx + c * (pw + gut)
+                    py = y + r * (ph + gut)
+                    style = prng.integers(0, 3)
+                    if style == 0:
+                        panel = prng.integers(40, 220, (ph, pw, 3), np.uint8)
+                    elif style == 1:  # edge-map-like: white + dark strokes
+                        panel = np.full((ph, pw, 3), 245, np.uint8)
+                        for _ in range(int(prng.integers(3, 9))):
+                            x1p = int(prng.integers(0, pw))
+                            y1p = int(prng.integers(0, ph))
+                            x2p = int(prng.integers(0, pw))
+                            y2p = int(prng.integers(0, ph))
+                            ImageDraw.Draw(
+                                im_p := Image.fromarray(panel)
+                            ).line([x1p, y1p, x2p, y2p], fill=(20, 20, 20),
+                                   width=1)
+                            panel = np.asarray(im_p, np.uint8)
+                    else:  # smooth gradient (depth-map-like)
+                        gy_, gx_ = np.mgrid[0:ph, 0:pw]
+                        base = (
+                            gy_ / max(ph - 1, 1) * prng.integers(80, 180)
+                            + gx_ / max(pw - 1, 1) * prng.integers(0, 60)
+                        ).astype(np.uint8)
+                        panel = np.stack([base] * 3, axis=-1)
+                    img.paste(Image.fromarray(panel), (px, py))
     elif kind < 0.7:  # chart-ish: axes + polyline/bars
         draw.rectangle([gx, y, gx + gw, y + gh], outline=(90, 90, 90))
         n = rng.randint(4, 9)
