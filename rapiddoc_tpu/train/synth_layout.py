@@ -395,10 +395,34 @@ def render_layout_page(
                         gt.append((LABEL["figure_title"], *cap))
                         y = y_after
                 y += rng.randint(12, 30)
-            elif r < 0.84:  # table
-                box = _table_block(img, draw, rng, x0_col, y, max_w, h)
-                gt.append((LABEL["table"], *box))
-                y = box[3] + rng.randint(12, 30)
+            elif r < 0.84:  # table (occasionally 90-degree rotated, as
+                # wide tables are printed sideways in portrait layouts)
+                if rng.random() < 0.12:
+                    from .synth_table import render_table
+
+                    s = render_table(rng)
+                    rot = np.rot90(
+                        s.img, 1 if rng.random() < 0.5 else 3
+                    )
+                    th_r, tw_r = rot.shape[:2]
+                    scale = min(max_w / tw_r, (h - 24 - y) / max(th_r, 1),
+                                1.0)
+                    if scale > 0.25:
+                        tw_s = max(16, int(tw_r * scale))
+                        th_s = max(16, int(th_r * scale))
+                        rot_img = Image.fromarray(rot).resize((tw_s, th_s))
+                        tx = x0_col + max(0, (max_w - tw_s) // 2)
+                        img.paste(rot_img, (tx, y))
+                        gt.append(
+                            (LABEL["table"], tx, y, tx + tw_s, y + th_s)
+                        )
+                        y += th_s + rng.randint(12, 30)
+                    else:
+                        y += 20
+                else:
+                    box = _table_block(img, draw, rng, x0_col, y, max_w, h)
+                    gt.append((LABEL["table"], *box))
+                    y = box[3] + rng.randint(12, 30)
             else:  # display formula
                 latex, rgba = FORMULAS.sample(rng)
                 fh, fw = rgba.shape[:2]
