@@ -23,7 +23,11 @@ logger = get_logger("rapiddoc_tpu.registry")
 
 
 def _load_variables(path: Path):
-    """Load a flax variables tree from .npz (flat keys 'a/b/c')."""
+    """Load a flax variables tree from .npz (flat keys 'a/b/c').
+
+    float16 leaves (the demo checkpoints ship half-precision to halve
+    the asset size) are upcast to float32 — the compute dtype policy
+    (bfloat16 casts in each engine) is unchanged."""
     if not path.is_file():
         return None
     flat = dict(np.load(str(path), allow_pickle=False))
@@ -33,11 +37,16 @@ def _load_variables(path: Path):
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
+        if val.dtype == np.float16:
+            val = val.astype(np.float32)
         node[parts[-1]] = val
     return tree
 
 
-def save_variables(variables, path: Path | str) -> None:
+def save_variables(variables, path: Path | str,
+                   half: bool = False) -> None:
+    """half=True stores float32 leaves as float16 (demo assets —
+    _load_variables upcasts on read)."""
     path = Path(path)
     flat: dict[str, np.ndarray] = {}
 
@@ -47,7 +56,10 @@ def save_variables(variables, path: Path | str) -> None:
             if isinstance(v, dict):
                 walk(v, key)
             else:
-                flat[key] = np.asarray(v)
+                arr = np.asarray(v)
+                if half and arr.dtype == np.float32:
+                    arr = arr.astype(np.float16)
+                flat[key] = arr
 
     walk(variables)
     path.parent.mkdir(parents=True, exist_ok=True)

@@ -248,7 +248,7 @@ def save_demo(variables, vocab: list[str], out_path) -> None:
     from ..models.registry import save_variables
 
     out_path = Path(out_path)
-    save_variables(variables, out_path)
+    save_variables(variables, out_path, half=True)
     out_path.with_suffix(".json").write_text(
         json.dumps({"arch": DEMO_ARCH, "vocab": vocab})
     )

@@ -274,7 +274,7 @@ def save_demo(variables, out_path) -> None:
     from ..models.registry import save_variables
 
     out_path = Path(out_path)
-    save_variables(variables, out_path)
+    save_variables(variables, out_path, half=True)
     cfg = dict(DEMO_ARCH)
     cfg["conf_threshold"] = 0.4
     out_path.with_suffix(".json").write_text(json.dumps(cfg))
