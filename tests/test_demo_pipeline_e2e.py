@@ -28,6 +28,9 @@ def test_layout_driven_page_to_markdown(tmp_path, monkeypatch):
     if not (DEMO_ASSETS_DIR / "layout_demo.npz").is_file():
         pytest.skip("layout_demo not trained yet")
     monkeypatch.setenv("RAPIDDOC_DEMO_LAYOUT", "1")
+    # conftest disables the heavyweight stacks by default; this test is
+    # exactly about the layout-model-driven path
+    monkeypatch.delenv("RAPIDDOC_DISABLE_LAYOUT", raising=False)
 
     from PIL import Image
 
