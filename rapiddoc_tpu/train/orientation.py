@@ -45,11 +45,14 @@ def make_pool(n: int, seed: int = 0):
 
 
 def train(steps: int = 1500, out_path=None, pool_n: int = 512,
-          batch: int = 16, lr: float = 1e-3, seed: int = 0):
+          batch: int = 16, lr: float = 1e-3, seed: int = 0,
+          variables=None):
     model = OrientationNet()
-    variables = model.init(
-        jax.random.PRNGKey(seed), np.zeros((1, SIZE, SIZE, 3), np.float32)
-    )
+    if variables is None:
+        variables = model.init(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, SIZE, SIZE, 3), np.float32),
+        )
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10), steps
     ))
@@ -108,7 +111,20 @@ def evaluate(variables, n: int = 40, seed: int = 1111) -> float:
 
 
 if __name__ == "__main__":
+    import os
+
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     out = sys.argv[2] if len(sys.argv) > 2 else None
-    v = train(steps, out)
+    init = None
+    if out and os.path.isfile(out) and not os.environ.get(
+        "RAPIDDOC_TRAIN_FRESH"
+    ):
+        from pathlib import Path
+
+        from ..models.registry import _load_variables
+
+        init = _load_variables(Path(out))
+        if init is not None:
+            logger.info("warm start from %s", out)
+    v = train(steps, out, variables=init)
     logger.info("orientation acc: %.3f", evaluate(v))

@@ -233,7 +233,8 @@ def make_sla_pool(n: int, vocab, seed: int = 0):
 
 
 def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
-                 batch: int = 8, lr: float = 1e-3, seed: int = 0):
+                 batch: int = 8, lr: float = 1e-3, seed: int = 0,
+                 variables=None):
     cfg = SLANetConfig()
     vocab = SLANetVocab()
     backbone = SLANetBackbone(cfg.scale)
@@ -253,8 +254,9 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
         rng, np.zeros((1, cfg.hidden), np.float32), np.zeros((1,), np.int32),
         fea0, np.zeros((1, S, cfg.hidden), np.float32),
     )
-    variables = {"backbone": bb_vars, "neck": neck_vars,
-                 "fea_key": fk_vars, "step": step_vars}
+    if variables is None:
+        variables = {"backbone": bb_vars, "neck": neck_vars,
+                     "fea_key": fk_vars, "step": step_vars}
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -367,6 +369,18 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "unet"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else None
     out = sys.argv[3] if len(sys.argv) > 3 else None
+    init = None
+    import os
+
+    if out and os.path.isfile(out) and not os.environ.get(
+        "RAPIDDOC_TRAIN_FRESH"
+    ):
+        from ..models.registry import _load_variables
+        from pathlib import Path
+
+        init = _load_variables(Path(out))
+        if init is not None:
+            logger.info("warm start from %s", out)
     if which == "unet":
         v = train_unet(steps or 1500, out)
         logger.info("unet cell recall: %.3f", eval_unet(v))
@@ -374,7 +388,7 @@ if __name__ == "__main__":
         v = train_cls(steps or 1200, out)
         logger.info("cls acc: %.3f", eval_cls(v))
     elif which == "slanet":
-        v = train_slanet(steps or 4000, out)
+        v = train_slanet(steps or 4000, out, variables=init)
         logger.info("slanet eval: %s", eval_slanet(v))
     else:
         raise SystemExit(f"unknown target {which}")
