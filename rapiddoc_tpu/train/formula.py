@@ -70,14 +70,17 @@ def detokenize(tokens: list[str]) -> str:
 
 
 def render_formula(latex: str, rng: random.Random) -> np.ndarray | None:
-    """mathtext render -> uint8 luminance canvas (BUCKET_H, BUCKET_W, 1),
-    white-padded, or None when the render fails/overflows."""
-    import cv2
+    """mathtext render -> the EXACT production input: engine
+    preprocess_formula (crop-margin, smallest-fitting bucket, top-left
+    placement). Returns the (BUCKET_H, BUCKET_W, 1) canvas or None when
+    the render fails or lands in a larger bucket."""
     import matplotlib
 
     matplotlib.use("Agg")
     from matplotlib import mathtext
     from PIL import Image
+
+    from ..models.formula.engine import preprocess_formula
 
     try:
         buf = io.BytesIO()
@@ -85,19 +88,15 @@ def render_formula(latex: str, rng: random.Random) -> np.ndarray | None:
             f"${latex}$", buf, dpi=rng.choice([80, 100, 120]), format="png"
         )
         buf.seek(0)
-        img = np.asarray(Image.open(buf).convert("L"), np.uint8)
+        img = np.asarray(Image.open(buf).convert("RGB"), np.uint8)
     except Exception:
         return None
-    h, w = img.shape
-    if h < 6 or w < 6:
+    if img.shape[0] < 6 or img.shape[1] < 6:
         return None
-    scale = min(BUCKET_H / h, BUCKET_W / w, 1.5)
-    rh, rw = max(1, int(h * scale)), max(1, int(w * scale))
-    resized = cv2.resize(img, (rw, rh))
-    canvas = np.full((BUCKET_H, BUCKET_W), 255, np.uint8)
-    y0 = (BUCKET_H - rh) // 2
-    canvas[y0:y0 + rh, :rw] = resized
-    return canvas[..., None]
+    canvas, bucket = preprocess_formula(img)
+    if bucket != (BUCKET_H, BUCKET_W):
+        return None
+    return canvas
 
 
 def make_pool(n: int, vocab: list[str], seed: int = 0):
