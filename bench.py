@@ -50,17 +50,36 @@ def _bench_pdf_bytes() -> bytes:
     return pdfio.images_to_pdf(imgs, dpi=144)
 
 
-def _bench_e2e() -> tuple[float, dict]:
-    """pages/sec through RapidDoc + per-stage ms/page."""
-    os.environ.setdefault("RAPIDDOC_DISABLE_LAYOUT", "1")
-    os.environ.setdefault("RAPIDDOC_DISABLE_FORMULA", "1")
-    os.environ.setdefault("RAPIDDOC_DISABLE_TABLE", "1")
+def _bench_e2e() -> tuple[float, dict, int]:
+    """pages/sec through RapidDoc + per-stage ms/page.
+
+    Default: ALL stages enabled (layout + ocr + formula + table, demo
+    checkpoints standing in for the published ones) over a real
+    document (demo1.pdf) in ocr mode — the BASELINE.md metric
+    definition. RAPIDDOC_BENCH_OCR_ONLY=1 restores the det/rec-only
+    synthetic-page run (the round-1 metric, kept for trajectory
+    comparison; it is also the fallback when the demo PDF is absent).
+    """
+    ocr_only = bool(os.environ.get("RAPIDDOC_BENCH_OCR_ONLY")) or TINY
+    if ocr_only or not os.path.isfile(DEMO_PDF):
+        os.environ.setdefault("RAPIDDOC_DISABLE_LAYOUT", "1")
+        os.environ.setdefault("RAPIDDOC_DISABLE_FORMULA", "1")
+        os.environ.setdefault("RAPIDDOC_DISABLE_TABLE", "1")
+        pdf = _bench_pdf_bytes()
+        pages = PAGES
+    else:
+        os.environ.setdefault("RAPIDDOC_DEMO_LAYOUT", "1")
+        from rapiddoc_tpu import pdfio
+        from rapiddoc_tpu.cli.common import convert_pdf_bytes_to_bytes_by_pages
+
+        raw = open(DEMO_PDF, "rb").read()
+        pages = min(PAGES, len(pdfio.open_pdf(raw)))
+        pdf = convert_pdf_bytes_to_bytes_by_pages(raw, 0, pages - 1)
     from rapiddoc_tpu import RapidDoc
     from rapiddoc_tpu.api import stage_report
 
-    pdf = _bench_pdf_bytes()
     doc = RapidDoc()
-    # warm run compiles every det/rec bucket the document needs
+    # warm run compiles every bucket the document needs
     doc(pdf, parse_method="ocr")
     from rapiddoc_tpu.api import GLOBAL_TRACER
 
@@ -72,7 +91,7 @@ def _bench_e2e() -> tuple[float, dict]:
     report = {
         k: v.get("ms_per_item", 0.0) for k, v in stage_report().items()
     }
-    return PAGES / dt, report
+    return pages / dt, report, pages
 
 
 def _bench_torch_reference() -> float | None:
@@ -156,7 +175,7 @@ def _bench_torch_reference() -> float | None:
 
 
 def main() -> None:
-    pps, stages = _bench_e2e()
+    pps, stages, pages = _bench_e2e()
     base_pps = None
     if not os.environ.get("RAPIDDOC_BENCH_SKIP_BASELINE"):
         try:
@@ -174,7 +193,7 @@ def main() -> None:
                 "stage_ms_per_page": {
                     k: round(v, 1) for k, v in (stages or {}).items()
                 },
-                "pages": PAGES,
+                "pages": pages,
             }
         )
     )
