@@ -9,11 +9,31 @@ ConvTranspose2d).
 """
 from __future__ import annotations
 
+import contextvars
+from contextlib import contextmanager
 from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Trace-time switch: inside `bn_training()` BatchNorm layers normalize
+# with the current batch's statistics and update the running stats in
+# the mutable "batch_stats" collection (the caller must pass
+# mutable=["batch_stats"] to apply). Outside (inference, converted
+# checkpoints) they use the stored running stats. The flag is read when
+# a jitted function is TRACED, so trainers must trace their step inside
+# the context.
+_BN_TRAIN = contextvars.ContextVar("rapiddoc_bn_train", default=False)
+
+
+@contextmanager
+def bn_training():
+    token = _BN_TRAIN.set(True)
+    try:
+        yield
+    finally:
+        _BN_TRAIN.reset(token)
 
 
 def act_fn(name: str | None) -> Callable:
@@ -75,8 +95,8 @@ class ConvBNAct(nn.Module):
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=True, epsilon=1e-5, name="bn",
-                dtype=x.dtype,
+                use_running_average=not _BN_TRAIN.get(), epsilon=1e-5,
+                name="bn", dtype=x.dtype,
             )(x)
         return act_fn(self.act)(x)
 
@@ -146,7 +166,8 @@ class Deconv2x2BNAct(nn.Module):
         x = deconv2x2(x, kernel, bias)
         if self.use_bn:
             x = nn.BatchNorm(
-                use_running_average=True, epsilon=1e-5, name="bn", dtype=x.dtype
+                use_running_average=not _BN_TRAIN.get(), epsilon=1e-5,
+                name="bn", dtype=x.dtype,
             )(x)
         return act_fn(self.act)(x)
 

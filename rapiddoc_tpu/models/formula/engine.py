@@ -127,6 +127,7 @@ class FormulaConfig:
     vocab_size: int = 50000
     layers: int = 6
     backbone_size: str = "B6"
+    out_index: int = 3  # backbone stage for memory (3=stride 32, 2=16)
     default_length_bucket: int = 256
 
 
@@ -139,6 +140,7 @@ class FormulaRecognizer:
             build_formula_modules(
                 max_len=cfg.max_len, vocab_size=cfg.vocab_size,
                 layers=cfg.layers, backbone_size=cfg.backbone_size,
+                out_index=cfg.out_index,
             )
         )
         variables = dict(variables) if variables else {}
@@ -148,7 +150,9 @@ class FormulaRecognizer:
             if "encoder" not in variables:
                 x = np.zeros((1, 96, 384, 3), np.float32)
                 variables["encoder"] = self.encoder.init(rng, x)
-            mem = np.zeros((1, 36, self.mbart_cfg.d_model), np.float32)
+            stride = 32 if cfg.out_index == 3 else 16
+            S0 = (96 // stride) * (384 // stride)
+            mem = np.zeros((1, S0, self.mbart_cfg.d_model), np.float32)
             if "mem_proj" not in variables:
                 variables["mem_proj"] = self.mem_proj.init(rng, mem)
             if "decoder" not in variables:
@@ -159,9 +163,9 @@ class FormulaRecognizer:
                     np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
                     np.zeros((cfg.layers, 1, 8, self.mbart_cfg.heads, hd), np.float32),
                     0,
-                    np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
-                    np.zeros((cfg.layers, 1, 36, self.mbart_cfg.heads, hd), np.float32),
-                    np.ones((1, 36), bool),
+                    np.zeros((cfg.layers, 1, S0, self.mbart_cfg.heads, hd), np.float32),
+                    np.zeros((cfg.layers, 1, S0, self.mbart_cfg.heads, hd), np.float32),
+                    np.ones((1, S0), bool),
                 )
         self.variables = variables
         self.tokenizer = FormulaTokenizer(
@@ -197,6 +201,7 @@ class FormulaRecognizer:
                             max_len=arch["max_len"], vocab_size=len(vocab),
                             layers=arch["layers"],
                             backbone_size=arch["backbone_size"],
+                            out_index=arch.get("out_index", 3),
                             default_length_bucket=min(
                                 arch["max_len"],
                                 FormulaConfig.default_length_bucket,

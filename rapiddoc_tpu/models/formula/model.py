@@ -22,11 +22,17 @@ class FormulaEncoder(nn.Module):
 
     backbone_size: str = "B6"
     decoder_width: int = 512
+    # 3 = stride-32 stage4 (published PP-FormulaNet layout); the demo
+    # checkpoint uses 2 (stride 16) for a 4x finer memory at its small
+    # 96xW buckets.
+    out_index: int = 3
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        feats = PPHGNetV2(self.backbone_size, out_indices=(3,), name="backbone")(x)
-        f = feats[-1]  # (B, H/32, W/32, 2048)
+        feats = PPHGNetV2(
+            self.backbone_size, out_indices=(self.out_index,), name="backbone"
+        )(x)
+        f = feats[-1]  # (B, H/s, W/s, C)
         b, h, w, c = f.shape
         memory = f.reshape(b, h * w, c)
         # enc_to_dec_proj (2048 -> decoder width)
@@ -41,13 +47,14 @@ def build_formula_modules(
     ffn: int = 2048,
     heads: int = 16,
     backbone_size: str = "B6",
+    out_index: int = 3,
 ):
     cfg = MBartConfig(
         vocab_size=vocab_size, d_model=d_model, layers=layers, heads=heads,
         ffn=ffn, max_positions=max_len,
     )
     return (
-        FormulaEncoder(backbone_size, d_model),
+        FormulaEncoder(backbone_size, d_model, out_index=out_index),
         MBartDecoder(cfg),
         MemoryProjector(cfg),
         cfg,

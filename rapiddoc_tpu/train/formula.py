@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..models.common.layers import bn_training
 from ..models.formula.engine import UNIMER_MEAN, UNIMER_STD, FormulaConfig
 from ..models.formula.model import build_formula_modules
 from ..utils.logging import get_logger
@@ -37,7 +38,7 @@ logger = get_logger("rapiddoc_tpu.train.formula")
 BUCKET_H, BUCKET_W = 96, 384
 MAX_T = 64  # token budget (bos/eos included)
 
-DEMO_ARCH = dict(max_len=160, layers=2, backbone_size="B0")
+DEMO_ARCH = dict(max_len=160, layers=2, backbone_size="B0", out_index=2)
 
 _TOKEN_RE = re.compile(r"\\[a-zA-Z]+|[^\s]")
 
@@ -156,10 +157,11 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
     cfg = FormulaConfig(
         max_len=DEMO_ARCH["max_len"], vocab_size=len(vocab),
         layers=DEMO_ARCH["layers"], backbone_size=DEMO_ARCH["backbone_size"],
+        out_index=DEMO_ARCH["out_index"],
     )
     encoder, decoder, mem_proj, mcfg = build_formula_modules(
         max_len=cfg.max_len, vocab_size=cfg.vocab_size, layers=cfg.layers,
-        backbone_size=cfg.backbone_size,
+        backbone_size=cfg.backbone_size, out_index=cfg.out_index,
     )
     rng = jax.random.PRNGKey(seed)
     x0 = np.zeros((1, BUCKET_H, BUCKET_W, 3), np.float32)
@@ -177,8 +179,13 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
         np.zeros((cfg.layers, 1, S, mcfg.heads, hd), np.float32),
         np.ones((1, S), bool),
     )
-    variables = {"encoder": enc_vars, "decoder": dec_vars,
+    # Trainable params vs BatchNorm running stats: the encoder trains
+    # with per-batch statistics (bn_training trace flag) and accumulates
+    # running stats in "batch_stats"; the saved checkpoint carries them
+    # so inference (frozen-BN) normalizes identically.
+    trainable = {"encoder": enc_vars["params"], "decoder": dec_vars,
                  "mem_proj": mem_vars}
+    batch_stats = enc_vars["batch_stats"]
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -186,17 +193,19 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
             0.0, lr, min(300, steps // 10), steps
         ), weight_decay=1e-4),
     )
-    opt_state = tx.init(variables)
+    opt_state = tx.init(trainable)
 
-    def loss_fn(variables, x_u8, tok, lens):
+    def loss_fn(trainable, batch_stats, x_u8, tok, lens):
         x = x_u8.astype(jnp.float32) / 255.0
         x = (x - UNIMER_MEAN) / UNIMER_STD
         x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
-        memory = encoder.apply(
-            variables["encoder"], x.astype(jnp.bfloat16)
-        ).astype(jnp.float32)
+        memory, upd = encoder.apply(
+            {"params": trainable["encoder"], "batch_stats": batch_stats},
+            x, mutable=["batch_stats"],
+        )
+        memory = memory.astype(jnp.float32)
         mem_mask = jnp.ones(memory.shape[:2], bool)
-        mem_k, mem_v = mem_proj.apply(variables["mem_proj"], memory)
+        mem_k, mem_v = mem_proj.apply(trainable["mem_proj"], memory)
         B, T = tok.shape
         prev = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32), tok[:, :-1]], axis=1
@@ -204,37 +213,52 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
         caches_k = jnp.zeros((cfg.layers, B, T, mcfg.heads, hd), jnp.float32)
         caches_v = jnp.zeros_like(caches_k)
         logits, _, _ = decoder.apply(
-            variables["decoder"], prev, caches_k, caches_v, 0,
+            trainable["decoder"], prev, caches_k, caches_v, 0,
             mem_k, mem_v, mem_mask,
         )
         mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), tok
         )
-        return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        return loss, upd["batch_stats"]
 
     @jax.jit
-    def step(variables, opt_state, x, tok, lens):
-        loss, grads = jax.value_and_grad(loss_fn)(variables, x, tok, lens)
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        return optax.apply_updates(variables, updates), opt_state, loss
+    def step(trainable, batch_stats, opt_state, x, tok, lens):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, batch_stats, x, tok, lens
+        )
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        return (optax.apply_updates(trainable, updates), new_bs, opt_state,
+                loss)
+
+    def assemble(trainable, batch_stats):
+        return {
+            "encoder": {"params": trainable["encoder"],
+                        "batch_stats": batch_stats},
+            "decoder": trainable["decoder"],
+            "mem_proj": trainable["mem_proj"],
+        }
 
     logger.info("rendering %d formulas (mathtext, host-bound)", pool_n)
     imgs, toks, lens, _texts = load_or_make_pool(pool_n, vocab, seed)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_n, batch)
-        variables, opt_state, loss = step(
-            variables, opt_state, imgs[idx], toks[idx], lens[idx]
-        )
-        if i % 20 == 0:
-            loss.block_until_ready()
-        if i % 100 == 0 or i == steps - 1:
-            logger.info("step %d loss %.4f (%.1fs)", i, float(loss),
-                        time.perf_counter() - tic)
-        if out_path is not None and i and i % 2000 == 0:
-            save_demo(variables, vocab, out_path)
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_n, batch)
+            trainable, batch_stats, opt_state, loss = step(
+                trainable, batch_stats, opt_state,
+                imgs[idx], toks[idx], lens[idx]
+            )
+            if i % 20 == 0:
+                loss.block_until_ready()
+            if i % 100 == 0 or i == steps - 1:
+                logger.info("step %d loss %.4f (%.1fs)", i, float(loss),
+                            time.perf_counter() - tic)
+            if out_path is not None and i and i % 2000 == 0:
+                save_demo(assemble(trainable, batch_stats), vocab, out_path)
+    variables = assemble(trainable, batch_stats)
     if out_path is not None:
         save_demo(variables, vocab, out_path)
     return variables, vocab
@@ -261,6 +285,7 @@ def evaluate(variables=None, vocab=None, n: int = 24, seed: int = 4242):
     cfg = FormulaConfig(
         max_len=DEMO_ARCH["max_len"], vocab_size=len(vocab),
         layers=DEMO_ARCH["layers"], backbone_size=DEMO_ARCH["backbone_size"],
+        out_index=DEMO_ARCH["out_index"],
     )
     rec = FormulaRecognizer(variables, config=cfg)
     rec.tokenizer = DemoFormulaVocab(vocab)

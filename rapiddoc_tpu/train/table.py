@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..models.common.layers import bn_training
 from ..models.table.cls import TableClsNet
 from ..models.table.slanet import (
     IMG_SIZE as SLA_SIZE,
@@ -232,7 +233,7 @@ def make_sla_pool(n: int, vocab, seed: int = 0):
     return imgs, toks, locs, lmask, lens
 
 
-def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
+def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
                  batch: int = 8, lr: float = 1e-3, seed: int = 0,
                  variables=None):
     cfg = SLANetConfig()
@@ -257,6 +258,20 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
     if variables is None:
         variables = {"backbone": bb_vars, "neck": neck_vars,
                      "fea_key": fk_vars, "step": step_vars}
+    # split trainable params from BN running stats (trained with batch
+    # statistics under bn_training; running stats ship in the checkpoint)
+    trainable = {
+        "backbone": variables["backbone"]["params"],
+        "neck": variables["neck"]["params"],
+        "fea_key": variables["fea_key"],
+        "step": variables["step"],
+    }
+    bstats = {
+        "backbone": variables["backbone"].get(
+            "batch_stats", bb_vars["batch_stats"]
+        ),
+        "neck": variables["neck"].get("batch_stats", neck_vars["batch_stats"]),
+    }
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -264,16 +279,25 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
             0.0, lr, min(200, steps // 10), steps
         )),
     )
-    opt_state = tx.init(variables)
+    opt_state = tx.init(trainable)
 
-    def loss_fn(variables, x_u8, tok, loc, lmask, lens):
+    def loss_fn(trainable, bstats, x_u8, tok, loc, lmask, lens):
         x = x_u8.astype(jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        feats = backbone.apply(variables["backbone"], x.astype(jnp.bfloat16))
-        fea_map = neck.apply(variables["neck"], feats)
+        feats, bb_upd = backbone.apply(
+            {"params": trainable["backbone"],
+             "batch_stats": bstats["backbone"]},
+            x, mutable=["batch_stats"],
+        )
+        fea_map, neck_upd = neck.apply(
+            {"params": trainable["neck"], "batch_stats": bstats["neck"]},
+            feats, mutable=["batch_stats"],
+        )
+        new_bs = {"backbone": bb_upd["batch_stats"],
+                  "neck": neck_upd["batch_stats"]}
         b, h, w, c = fea_map.shape
         fea = fea_map.reshape(b, h * w, c).astype(jnp.float32)
-        fkey = fea_key.apply(variables["fea_key"], fea)
+        fkey = fea_key.apply(trainable["fea_key"], fea)
         B, T = tok.shape
         # teacher forcing: prev token stream = [sos, tok[:-1]]
         prev = jnp.concatenate(
@@ -284,7 +308,7 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
         def scan_body(hidden, inputs):
             prev_t, = inputs
             hidden, logits, locp = step_mod.apply(
-                variables["step"], hidden, prev_t, fea, fkey
+                trainable["step"], hidden, prev_t, fea, fkey
             )
             return hidden, (logits, locp)
 
@@ -301,35 +325,47 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
         l1 = (jnp.abs(locp - loc).sum(-1) * lmask).sum() / jnp.maximum(
             lmask.sum(), 1.0
         )
-        return ce + 2.0 * l1
+        return ce + 2.0 * l1, new_bs
 
     @jax.jit
-    def train_step(variables, opt_state, x, tok, loc, lmask, lens):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            variables, x, tok, loc, lmask, lens
+    def train_step(trainable, bstats, opt_state, x, tok, loc, lmask, lens):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, bstats, x, tok, loc, lmask, lens
         )
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        return optax.apply_updates(trainable, updates), new_bs, opt_state, loss
+
+    def assemble(trainable, bstats):
+        return {
+            "backbone": {"params": trainable["backbone"],
+                         "batch_stats": bstats["backbone"]},
+            "neck": {"params": trainable["neck"],
+                     "batch_stats": bstats["neck"]},
+            "fea_key": trainable["fea_key"],
+            "step": trainable["step"],
+        }
 
     logger.info("rendering %d slanet tables", pool_n)
     imgs, toks, locs, lmask, lens = make_sla_pool(pool_n, vocab, seed)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_n, batch)
-        variables, opt_state, loss = train_step(
-            variables, opt_state, imgs[idx], toks[idx], locs[idx],
-            lmask[idx], lens[idx],
-        )
-        if i % 20 == 0:
-            loss.block_until_ready()
-        if i % 100 == 0 or i == steps - 1:
-            logger.info("slanet step %d loss %.4f (%.1fs)", i, float(loss),
-                        time.perf_counter() - tic)
-        if out_path is not None and i and i % 1000 == 0:
-            from ..models.registry import save_variables
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_n, batch)
+            trainable, bstats, opt_state, loss = train_step(
+                trainable, bstats, opt_state, imgs[idx], toks[idx],
+                locs[idx], lmask[idx], lens[idx],
+            )
+            if i % 20 == 0:
+                loss.block_until_ready()
+            if i % 100 == 0 or i == steps - 1:
+                logger.info("slanet step %d loss %.4f (%.1fs)", i,
+                            float(loss), time.perf_counter() - tic)
+            if out_path is not None and i and i % 1000 == 0:
+                from ..models.registry import save_variables
 
-            save_variables(variables, out_path)
+                save_variables(assemble(trainable, bstats), out_path)
+    variables = assemble(trainable, bstats)
     if out_path is not None:
         from ..models.registry import save_variables
 
@@ -338,7 +374,7 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 384,
     return variables
 
 
-def eval_slanet(variables, n: int = 12, seed: int = 3333):
+def eval_slanet(variables, n: int = 24, seed: int = 3333):
     """Structure-token exact-sequence rate + mean cell-box IoU."""
     from ..models.table.slanet import SLANetStructure
 
