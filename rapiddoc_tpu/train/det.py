@@ -19,6 +19,7 @@ import optax
 
 from ..models.ocr.det import DBNet
 from ..models.ocr.pre_post import det_normalize_device
+from .bn import apply_mutable, bn_training, join_vars, split_vars
 from ..utils.logging import get_logger
 from .synth import db_prob_target, render_page
 
@@ -39,10 +40,11 @@ def make_pool(n_pages: int, seed: int = 0):
     return imgs, targets
 
 
-def loss_fn(variables, model, x_u8, y):
+def loss_fn(params, bstats, model, x_u8, y):
     y = y.astype(jnp.float32)
-    x = det_normalize_device(x_u8).astype(jnp.bfloat16)
-    prob = model.apply(variables, x)[..., 0].astype(jnp.float32)
+    x = det_normalize_device(x_u8)
+    prob, new_bs = apply_mutable(model, params, bstats, x)
+    prob = prob[..., 0].astype(jnp.float32)
     p = jnp.clip(prob, 1e-5, 1 - 1e-5)
     bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
     # class-balanced: positives are sparse
@@ -51,7 +53,7 @@ def loss_fn(variables, model, x_u8, y):
     bce = jnp.where(y > 0.5, bce, bce * neg_w).mean()
     inter = (p * y).sum()
     dice = 1.0 - 2.0 * inter / (p.sum() + y.sum() + 1.0)
-    return bce + dice
+    return bce + dice, new_bs
 
 
 def train(steps: int = 1200, out_path=None, pool_pages: int = 192,
@@ -59,36 +61,42 @@ def train(steps: int = 1200, out_path=None, pool_pages: int = 192,
     model = DBNet()
     rng = jax.random.PRNGKey(seed)
     variables = model.init(rng, np.zeros((1, SIZE, SIZE, 3), np.float32))
+    params, bstats = split_vars(variables)
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10), steps
     ))
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
     @jax.jit
-    def step(variables, opt_state, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(variables, model, x, y)
+    def step(params, bstats, opt_state, x, y):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bstats, model, x, y
+        )
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     logger.info("rendering %d synthetic pages", pool_pages)
     imgs, targets = make_pool(pool_pages, seed)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_pages, batch)
-        variables, opt_state, loss = step(
-            variables, opt_state, imgs[idx], targets[idx]
-        )
-        if i % 20 == 0:
-            # bound in-flight async dispatches: a stalled tunnel
-            # otherwise queues GBs of host transfer buffers before the
-            # next logging sync notices (observed: 80 GB RSS wedge)
-            loss.block_until_ready()
-        if i % 100 == 0 or i == steps - 1:
-            logger.info(
-                "step %d loss %.4f (%.1fs)", i, float(loss),
-                time.perf_counter() - tic,
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_pages, batch)
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state, imgs[idx], targets[idx]
             )
+            if i % 20 == 0:
+                # bound in-flight async dispatches: a stalled tunnel
+                # otherwise queues GBs of host transfer buffers before
+                # the next logging sync notices (observed: 80 GB RSS
+                # wedge)
+                loss.block_until_ready()
+            if i % 100 == 0 or i == steps - 1:
+                logger.info(
+                    "step %d loss %.4f (%.1fs)", i, float(loss),
+                    time.perf_counter() - tic,
+                )
+    variables = join_vars(params, bstats)
     if out_path is not None:
         from ..models.registry import save_variables
 

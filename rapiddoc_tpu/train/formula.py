@@ -70,6 +70,9 @@ def detokenize(tokens: list[str]) -> str:
     return "".join(out)
 
 
+DPI_CHOICES = [60, 80, 100, 120, 140]
+
+
 def render_formula(latex: str, rng: random.Random) -> np.ndarray | None:
     """mathtext render -> the EXACT production input: engine
     preprocess_formula (crop-margin, smallest-fitting bucket, top-left
@@ -86,7 +89,7 @@ def render_formula(latex: str, rng: random.Random) -> np.ndarray | None:
     try:
         buf = io.BytesIO()
         mathtext.math_to_image(
-            f"${latex}$", buf, dpi=rng.choice([80, 100, 120]), format="png"
+            f"${latex}$", buf, dpi=rng.choice(DPI_CHOICES), format="png"
         )
         buf.seek(0)
         img = np.asarray(Image.open(buf).convert("RGB"), np.uint8)
@@ -128,30 +131,53 @@ def make_pool(n: int, vocab: list[str], seed: int = 0):
     return imgs, toks, lens, texts
 
 
-def load_or_make_pool(n: int, vocab: list[str], seed: int = 0):
-    """Disk-cached pool (mathtext renders are ~250 ms each on the single
-    host CPU — pre-render with `python -m rapiddoc_tpu.train.formula
-    pool` while the chip is busy elsewhere)."""
+SHARD = 3000  # renders per cache shard (~12 min each on one host CPU)
+
+
+def _shard_path(k: int) -> str:
     import os
 
-    cache = os.environ.get("RAPIDDOC_FORMULA_POOL", "/tmp/formula_pool.npz")
-    if cache and os.path.isfile(cache):
-        d = np.load(cache, allow_pickle=False)
-        if (
-            len(d["imgs"]) >= n
-            and d["vocab_size"] == len(vocab)
-            and int(d["seed"]) == seed
-        ):
-            logger.info("formula pool from cache %s", cache)
-            return d["imgs"][:n], d["toks"][:n], d["lens"][:n], []
-    imgs, toks, lens, texts = make_pool(n, vocab, seed)
-    if cache:
+    base = os.environ.get("RAPIDDOC_FORMULA_POOL", "/tmp/formula_pool.npz")
+    return base if k == 0 else base.replace(".npz", f"_s{k}.npz")
+
+
+def load_or_make_pool(n: int, vocab: list[str], seed: int = 0):
+    """Sharded disk cache: shard k holds SHARD renders from seed+k
+    (mathtext renders are ~250 ms each on the single host CPU —
+    pre-render with `python -m rapiddoc_tpu.train.formula pool N`
+    while the chip is busy elsewhere). Growing the pool renders only
+    the new shards; the original 3000-render shard stays valid."""
+    import os
+
+    parts = []
+    got = 0
+    for k in range((n + SHARD - 1) // SHARD):
+        want = min(SHARD, n - got)
+        cache = _shard_path(k)
+        if os.path.isfile(cache):
+            d = np.load(cache, allow_pickle=False)
+            if (
+                len(d["imgs"]) >= want
+                and d["vocab_size"] == len(vocab)
+                and int(d["seed"]) == seed + k
+            ):
+                logger.info("formula pool shard %d from cache %s", k, cache)
+                parts.append((d["imgs"][:want], d["toks"][:want],
+                              d["lens"][:want]))
+                got += want
+                continue
+        imgs, toks, lens, _ = make_pool(SHARD, vocab, seed + k)
         np.savez(cache, imgs=imgs, toks=toks, lens=lens,
-                 vocab_size=len(vocab), seed=seed)
-    return imgs, toks, lens, texts
+                 vocab_size=len(vocab), seed=seed + k)
+        parts.append((imgs[:want], toks[:want], lens[:want]))
+        got += want
+    imgs = np.concatenate([p[0] for p in parts])
+    toks = np.concatenate([p[1] for p in parts])
+    lens = np.concatenate([p[2] for p in parts])
+    return imgs, toks, lens, []
 
 
-def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
+def train(steps: int = 16000, out_path=None, pool_n: int = 9000,
           batch: int = 16, lr: float = 4e-4, seed: int = 0):
     vocab = build_vocab()
     cfg = FormulaConfig(
@@ -195,8 +221,21 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
     )
     opt_state = tx.init(trainable)
 
-    def loss_fn(trainable, batch_stats, x_u8, tok, lens):
+    def augment(x, key):
+        """Photometric-only jitter (geometry must match the production
+        top-left bucket placement): per-sample contrast about the white
+        background, brightness, pixel noise."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        B = x.shape[0]
+        c = jax.random.uniform(k1, (B, 1, 1, 1), minval=0.6, maxval=1.4)
+        b = jax.random.uniform(k2, (B, 1, 1, 1), minval=-0.12, maxval=0.12)
+        x = jnp.clip((x - 1.0) * c + 1.0 + b, 0.0, 1.0)
+        x = x + jax.random.normal(k3, x.shape) * 0.03
+        return jnp.clip(x, 0.0, 1.0)
+
+    def loss_fn(trainable, batch_stats, x_u8, tok, lens, key):
         x = x_u8.astype(jnp.float32) / 255.0
+        x = augment(x, key)
         x = (x - UNIMER_MEAN) / UNIMER_STD
         x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
         memory, upd = encoder.apply(
@@ -224,9 +263,9 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
         return loss, upd["batch_stats"]
 
     @jax.jit
-    def step(trainable, batch_stats, opt_state, x, tok, lens):
+    def step(trainable, batch_stats, opt_state, x, tok, lens, key):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, batch_stats, x, tok, lens
+            trainable, batch_stats, x, tok, lens, key
         )
         updates, opt_state = tx.update(grads, opt_state, trainable)
         return (optax.apply_updates(trainable, updates), new_bs, opt_state,
@@ -243,24 +282,34 @@ def train(steps: int = 8000, out_path=None, pool_n: int = 3000,
     logger.info("rendering %d formulas (mathtext, host-bound)", pool_n)
     imgs, toks, lens, _texts = load_or_make_pool(pool_n, vocab, seed)
     nrng = np.random.default_rng(seed)
+    krng = jax.random.PRNGKey(seed + 1)
     tic = time.perf_counter()
-    with bn_training():
-        for i in range(steps):
-            idx = nrng.integers(0, pool_n, batch)
-            trainable, batch_stats, opt_state, loss = step(
-                trainable, batch_stats, opt_state,
-                imgs[idx], toks[idx], lens[idx]
-            )
-            if i % 20 == 0:
-                loss.block_until_ready()
-            if i % 100 == 0 or i == steps - 1:
-                logger.info("step %d loss %.4f (%.1fs)", i, float(loss),
-                            time.perf_counter() - tic)
-            if out_path is not None and i and i % 2000 == 0:
-                save_demo(assemble(trainable, batch_stats), vocab, out_path)
-    variables = assemble(trainable, batch_stats)
-    if out_path is not None:
-        save_demo(variables, vocab, out_path)
+    best = None  # (cer, variables) — eval runs frozen-BN, outside the ctx
+    eval_every = max(1000, steps // 8)
+    for start in range(0, steps, eval_every):
+        with bn_training():
+            for i in range(start, min(start + eval_every, steps)):
+                idx = nrng.integers(0, pool_n, batch)
+                krng, sub = jax.random.split(krng)
+                trainable, batch_stats, opt_state, loss = step(
+                    trainable, batch_stats, opt_state,
+                    imgs[idx], toks[idx], lens[idx], sub
+                )
+                if i % 20 == 0:
+                    loss.block_until_ready()
+                if i % 100 == 0 or i == steps - 1:
+                    logger.info("step %d loss %.4f (%.1fs)", i, float(loss),
+                                time.perf_counter() - tic)
+        v = assemble(trainable, batch_stats)
+        m = evaluate(v, vocab, n=16)
+        logger.info("step %d heldout %s", min(start + eval_every, steps), m)
+        if best is None or m["cer~"] < best[0]:
+            best = (m["cer~"], jax.tree.map(np.asarray, v))
+            if out_path is not None:
+                save_demo(best[1], vocab, out_path)
+    variables = best[1] if best is not None else assemble(
+        trainable, batch_stats
+    )
     return variables, vocab
 
 

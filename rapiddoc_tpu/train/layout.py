@@ -24,6 +24,7 @@ from scipy.optimize import linear_sum_assignment
 
 from ..models.layout.rtdetr import RTDETR
 from ..utils.logging import get_logger
+from .bn import apply_mutable, bn_training, join_vars, split_vars
 from .synth_layout import render_layout_page
 
 logger = get_logger("rapiddoc_tpu.train.layout")
@@ -165,10 +166,10 @@ def _giou_jnp(a, b):
     return iou - (hull - union) / jnp.maximum(hull, 1e-9)
 
 
-def loss_fn(variables, model, x_u8, qcls, qbox):
+def loss_fn(params, bstats, model, x_u8, qcls, qbox):
     """qcls/qbox: (L+1, B, Nq[, 4]) — decoder layers then enc head."""
-    x = (x_u8.astype(jnp.bfloat16) / 255.0)
-    preds = model.apply(variables, x)
+    x = x_u8.astype(jnp.float32) / 255.0
+    preds, new_bs = apply_mutable(model, params, bstats, x)
     logits = jnp.concatenate(
         [preds["aux_logits"], preds["enc_logits"][None]], axis=0
     ).astype(jnp.float32)  # (L+1, B, Nq, C)
@@ -190,7 +191,7 @@ def loss_fn(variables, model, x_u8, qcls, qbox):
 
     l1 = (jnp.abs(boxes - qbox).sum(-1) * pos).sum() / n_pos
     giou = ((1.0 - _giou_jnp(boxes, qbox)) * pos).sum() / n_pos
-    return W_CLS * focal + W_L1 * l1 + W_GIOU * giou
+    return W_CLS * focal + W_L1 * l1 + W_GIOU * giou, new_bs
 
 
 def train(steps: int = 12000, out_path=None, pool_pages: int = 768,
@@ -201,6 +202,7 @@ def train(steps: int = 12000, out_path=None, pool_pages: int = 768,
         variables = model.init(
             jax.random.PRNGKey(seed), np.zeros((1, SIZE, SIZE, 3), np.float32)
         )
+    params, bstats = split_vars(variables)
     tx = optax.chain(
         optax.clip_by_global_norm(0.5),
         optax.adamw(
@@ -210,12 +212,14 @@ def train(steps: int = 12000, out_path=None, pool_pages: int = 768,
             weight_decay=1e-4,
         ),
     )
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
     @jax.jit
-    def fwd(variables, x_u8):
-        x = (x_u8.astype(jnp.bfloat16) / 255.0)
-        preds = model.apply(variables, x)
+    def fwd(params, bstats, x_u8):
+        # matching pass: batch-stat BN like the grad pass, but running
+        # stats update only once per step (in loss_fn)
+        x = x_u8.astype(jnp.float32) / 255.0
+        preds, _ = apply_mutable(model, params, bstats, x)
         return {
             "logits": jnp.concatenate(
                 [preds["aux_logits"], preds["enc_logits"][None]], axis=0
@@ -226,42 +230,45 @@ def train(steps: int = 12000, out_path=None, pool_pages: int = 768,
         }
 
     @jax.jit
-    def step(variables, opt_state, x_u8, qcls, qbox):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            variables, model, x_u8, qcls, qbox
+    def step(params, bstats, opt_state, x_u8, qcls, qbox):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bstats, model, x_u8, qcls, qbox
         )
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     logger.info("rendering %d labeled pages", pool_pages)
     imgs, tcls, tbox = make_pool(pool_pages, seed)
     nrng = np.random.default_rng(seed)
     n_layers = DEMO_ARCH["dec_layers"] + 1
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_pages, batch)
-        xd = jax.device_put(imgs[idx])
-        preds = fwd(variables, xd)
-        logits = np.asarray(preds["logits"])
-        boxes = np.asarray(preds["boxes"])
-        qcls = np.zeros((n_layers, batch, logits.shape[2]), np.int32)
-        qbox = np.zeros((n_layers, batch, logits.shape[2], 4), np.float32)
-        for l in range(n_layers):
-            qcls[l], qbox[l] = match_batch(
-                logits[l], boxes[l], tcls[idx], tbox[idx]
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_pages, batch)
+            xd = jax.device_put(imgs[idx])
+            preds = fwd(params, bstats, xd)
+            logits = np.asarray(preds["logits"])
+            boxes = np.asarray(preds["boxes"])
+            qcls = np.zeros((n_layers, batch, logits.shape[2]), np.int32)
+            qbox = np.zeros((n_layers, batch, logits.shape[2], 4), np.float32)
+            for l in range(n_layers):
+                qcls[l], qbox[l] = match_batch(
+                    logits[l], boxes[l], tcls[idx], tbox[idx]
+                )
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state, xd, qcls, qbox
             )
-        variables, opt_state, loss = step(
-            variables, opt_state, xd, qcls, qbox
-        )
-        if i % 20 == 0:
-            loss.block_until_ready()
-        if i % log_every == 0 or i == steps - 1:
-            logger.info(
-                "step %d loss %.4f (%.1fs)", i, float(loss),
-                time.perf_counter() - tic,
-            )
-        if out_path is not None and i and i % 2000 == 0:
-            save_demo(variables, out_path)  # crash-safe periodic save
+            if i % 20 == 0:
+                loss.block_until_ready()
+            if i % log_every == 0 or i == steps - 1:
+                logger.info(
+                    "step %d loss %.4f (%.1fs)", i, float(loss),
+                    time.perf_counter() - tic,
+                )
+            if out_path is not None and i and i % 2000 == 0:
+                # crash-safe periodic save
+                save_demo(join_vars(params, bstats), out_path)
+    variables = join_vars(params, bstats)
     if out_path is not None:
         save_demo(variables, out_path)
     return variables

@@ -19,6 +19,7 @@ import optax
 
 from ..models.orientation.engine import OrientationNet
 from ..utils.logging import get_logger
+from .bn import apply_mutable, bn_training, join_vars, split_vars
 from .synth import render_page
 
 logger = get_logger("rapiddoc_tpu.train.orientation")
@@ -53,38 +54,43 @@ def train(steps: int = 1500, out_path=None, pool_n: int = 512,
             jax.random.PRNGKey(seed),
             np.zeros((1, SIZE, SIZE, 3), np.float32),
         )
+    params, bstats = split_vars(variables)
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10), steps
     ))
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
-    def loss_fn(variables, x_u8, y):
-        x = (x_u8.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
-        logits = model.apply(variables, x).astype(jnp.float32)
+    def loss_fn(params, bstats, x_u8, y):
+        x = x_u8.astype(jnp.float32) / 255.0
+        logits, new_bs = apply_mutable(model, params, bstats, x)
         return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y
-        ).mean()
+            logits.astype(jnp.float32), y
+        ).mean(), new_bs
 
     @jax.jit
-    def step(variables, opt_state, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(variables, x, y)
+    def step(params, bstats, opt_state, x, y):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bstats, x, y
+        )
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     logger.info("rendering %d rotated pages", pool_n)
     imgs, labels = make_pool(pool_n, seed)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_n, batch)
-        variables, opt_state, loss = step(
-            variables, opt_state, imgs[idx], labels[idx]
-        )
-        if i % 20 == 0:
-            loss.block_until_ready()
-        if i % 100 == 0 or i == steps - 1:
-            logger.info("step %d loss %.4f (%.1fs)", i, float(loss),
-                        time.perf_counter() - tic)
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_n, batch)
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state, imgs[idx], labels[idx]
+            )
+            if i % 20 == 0:
+                loss.block_until_ready()
+            if i % 100 == 0 or i == steps - 1:
+                logger.info("step %d loss %.4f (%.1fs)", i, float(loss),
+                            time.perf_counter() - tic)
+    variables = join_vars(params, bstats)
     if out_path is not None:
         from ..models.registry import save_variables
 

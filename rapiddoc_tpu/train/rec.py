@@ -18,6 +18,7 @@ import optax
 
 from ..models.ocr.pre_post import rec_normalize_device
 from ..models.ocr.rec import SVTRRec, ctc_greedy_decode
+from .bn import apply_mutable, bn_training, join_vars, split_vars
 from ..utils.logging import get_logger
 from .synth import DEMO_CHARSET, encode_text, rec_sample
 
@@ -43,12 +44,13 @@ def make_pool(n: int, seed: int = 0):
     return imgs, labels, label_pad
 
 
-def loss_fn(variables, model, x_u8, labels, label_pad):
-    x = rec_normalize_device(x_u8).astype(jnp.bfloat16)
-    logits = model.apply(variables, x).astype(jnp.float32)
+def loss_fn(params, bstats, model, x_u8, labels, label_pad):
+    x = rec_normalize_device(x_u8)
+    logits, new_bs = apply_mutable(model, params, bstats, x)
+    logits = logits.astype(jnp.float32)
     logit_pad = jnp.zeros(logits.shape[:2], jnp.float32)
     per = optax.ctc_loss(logits, logit_pad, labels, label_pad, blank_id=0)
-    return per.mean()
+    return per.mean(), new_bs
 
 
 def train(steps: int = 3000, out_path=None, pool_size: int = 4096,
@@ -57,37 +59,42 @@ def train(steps: int = 3000, out_path=None, pool_size: int = 4096,
     variables = model.init(
         jax.random.PRNGKey(seed), np.zeros((1, HEIGHT, WIDTH, 3), np.float32)
     )
+    params, bstats = split_vars(variables)
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(200, steps // 10), steps
     ))
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
     @jax.jit
-    def step(variables, opt_state, x, labels, label_pad):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            variables, model, x, labels, label_pad
+    def step(params, bstats, opt_state, x, labels, label_pad):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bstats, model, x, labels, label_pad
         )
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     logger.info("rendering %d synthetic lines", pool_size)
     imgs, labels, label_pad = make_pool(pool_size, seed)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_size, batch)
-        variables, opt_state, loss = step(
-            variables, opt_state, imgs[idx], labels[idx], label_pad[idx]
-        )
-        if i % 20 == 0:
-            # bound in-flight async dispatches (see train/det.py: a
-            # stalled tunnel otherwise queues GBs before the logging sync)
-            loss.block_until_ready()
-        if i % 200 == 0 or i == steps - 1:
-            logger.info(
-                "step %d loss %.4f (%.1fs)", i, float(loss),
-                time.perf_counter() - tic,
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_size, batch)
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state,
+                imgs[idx], labels[idx], label_pad[idx]
             )
+            if i % 20 == 0:
+                # bound in-flight async dispatches (see train/det.py: a
+                # stalled tunnel otherwise queues GBs before the
+                # logging sync)
+                loss.block_until_ready()
+            if i % 200 == 0 or i == steps - 1:
+                logger.info(
+                    "step %d loss %.4f (%.1fs)", i, float(loss),
+                    time.perf_counter() - tic,
+                )
+    variables = join_vars(params, bstats)
     if out_path is not None:
         from ..models.registry import save_variables
 

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.common.layers import bn_training
 from ..models.table.cls import TableClsNet
 from ..models.table.slanet import (
     IMG_SIZE as SLA_SIZE,
@@ -37,6 +36,7 @@ from ..models.table.slanet import (
 )
 from ..models.table.unet import UNet
 from ..utils.logging import get_logger
+from .bn import apply_mutable, bn_training, join_vars, split_vars
 from .synth_table import render_table, slanet_sample
 
 logger = get_logger("rapiddoc_tpu.train.table")
@@ -69,15 +69,17 @@ def train_unet(steps: int = 1500, out_path=None, pool_n: int = 256,
     variables = model.init(
         jax.random.PRNGKey(seed), np.zeros((1, 256, 256, 3), np.float32)
     )
+    params, bstats = split_vars(variables)
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10), steps
     ))
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
-    def loss_fn(variables, x_u8, y_u8):
-        x = (x_u8.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+    def loss_fn(params, bstats, x_u8, y_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
         y = y_u8.astype(jnp.float32)
-        logits = model.apply(variables, x).astype(jnp.float32)
+        logits, new_bs = apply_mutable(model, params, bstats, x)
+        logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -(y * logp[..., 1] + (1 - y) * logp[..., 0])
         pos = y.sum() + 1.0
@@ -85,28 +87,32 @@ def train_unet(steps: int = 1500, out_path=None, pool_n: int = 256,
         ce = jnp.where(y > 0.5, ce, ce * w).mean()
         p = jax.nn.softmax(logits, axis=-1)[..., 1]
         dice = 1.0 - 2.0 * (p * y).sum() / (p.sum() + y.sum() + 1.0)
-        return ce + dice
+        return ce + dice, new_bs
 
     @jax.jit
-    def step(variables, opt_state, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(variables, x, y)
+    def step(params, bstats, opt_state, x, y):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bstats, x, y
+        )
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     logger.info("rendering %d wired tables @%d", pool_n, UNET_SIZE)
     imgs, masks = make_unet_pool(pool_n, seed)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_n, batch)
-        variables, opt_state, loss = step(
-            variables, opt_state, imgs[idx], masks[idx]
-        )
-        if i % 20 == 0:
-            loss.block_until_ready()
-        if i % 100 == 0 or i == steps - 1:
-            logger.info("unet step %d loss %.4f (%.1fs)", i, float(loss),
-                        time.perf_counter() - tic)
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_n, batch)
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state, imgs[idx], masks[idx]
+            )
+            if i % 20 == 0:
+                loss.block_until_ready()
+            if i % 100 == 0 or i == steps - 1:
+                logger.info("unet step %d loss %.4f (%.1fs)", i, float(loss),
+                            time.perf_counter() - tic)
+    variables = join_vars(params, bstats)
     if out_path is not None:
         from ..models.registry import save_variables
 
@@ -153,23 +159,26 @@ def train_cls(steps: int = 1200, out_path=None, pool_n: int = 512,
         jax.random.PRNGKey(seed), np.zeros((1, CLS_SIZE, CLS_SIZE, 3),
                                            np.float32)
     )
+    params, bstats = split_vars(variables)
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10), steps
     ))
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
 
-    def loss_fn(variables, x_u8, y):
-        x = (x_u8.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
-        logits = model.apply(variables, x).astype(jnp.float32)
+    def loss_fn(params, bstats, x_u8, y):
+        x = x_u8.astype(jnp.float32) / 255.0
+        logits, new_bs = apply_mutable(model, params, bstats, x)
         return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y
-        ).mean()
+            logits.astype(jnp.float32), y
+        ).mean(), new_bs
 
     @jax.jit
-    def step(variables, opt_state, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(variables, x, y)
+    def step(params, bstats, opt_state, x, y):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bstats, x, y
+        )
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     logger.info("rendering %d cls tables", pool_n)
     rng = random.Random(seed)
@@ -182,16 +191,18 @@ def train_cls(steps: int = 1200, out_path=None, pool_n: int = 512,
         labels[i] = 0 if wired else 1
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
-    for i in range(steps):
-        idx = nrng.integers(0, pool_n, batch)
-        variables, opt_state, loss = step(
-            variables, opt_state, imgs[idx], labels[idx]
-        )
-        if i % 20 == 0:
-            loss.block_until_ready()
-        if i % 100 == 0 or i == steps - 1:
-            logger.info("cls step %d loss %.4f (%.1fs)", i, float(loss),
-                        time.perf_counter() - tic)
+    with bn_training():
+        for i in range(steps):
+            idx = nrng.integers(0, pool_n, batch)
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state, imgs[idx], labels[idx]
+            )
+            if i % 20 == 0:
+                loss.block_until_ready()
+            if i % 100 == 0 or i == steps - 1:
+                logger.info("cls step %d loss %.4f (%.1fs)", i, float(loss),
+                            time.perf_counter() - tic)
+    variables = join_vars(params, bstats)
     if out_path is not None:
         from ..models.registry import save_variables
 
