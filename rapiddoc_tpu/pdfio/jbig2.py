@@ -17,11 +17,13 @@ firmwares using arithmetic coding):
 - symbol dictionaries (6.5) and text regions (6.4) in both arithmetic
   and Huffman coding (standard tables B.1-B.15, custom table segments,
   runcode symbol-ID codes, uncompressed/MMR collective bitmaps),
-  including arithmetic refinement of text-region instances (6.3);
+  refinement of text-region instances in both modes (6.3/6.4.11),
+  refinement/aggregate symbol coding incl. REFAGGNINST>1 text-region
+  aggregation (6.5.8.2) in both modes;
+- pattern dictionaries (6.7) and halftone regions (6.6) incl.
+  HENABLESKIP skip bitmaps;
+- standalone generic refinement regions refining the page (7.4.7);
 - integer (A.2) and symbol-ID (A.3) arithmetic decoding.
-
-Halftone regions and Huffman-mode refinement raise Jbig2Error; the
-image path then falls back to its placeholder.
 
 The per-pixel hot loops (MQ decoder, generic/refinement bitmap
 decoding) run in the native host library (native/hostops.cpp) with a
@@ -261,12 +263,16 @@ class ArithDecoder:
     def generic(
         self, cx: np.ndarray, template: int, tpgdon: bool,
         at: list[tuple[int, int]], w: int, h: int,
+        skip: np.ndarray | None = None,
     ) -> np.ndarray:
-        """6.2 generic bitmap decoding -> uint8 (h, w) of 0/1."""
+        """6.2 generic bitmap decoding -> uint8 (h, w) of 0/1.
+
+        `skip` (6.6.5.1 HSKIP): pixels where skip!=0 are not decoded
+        and stay 0. Skip forces the Python path (grids are small)."""
         out = np.zeros((h, w), np.uint8)
         if w == 0 or h == 0:
             return out
-        if self._native is not None:
+        if self._native is not None and skip is None:
             at_full = list(at) + [(0, 0)] * (4 - len(at))
             at_arr = np.asarray(at_full, np.int32).reshape(-1)
             self._native.jbig2_generic_decode(
@@ -275,16 +281,21 @@ class ArithDecoder:
                 out.ctypes.data_as(ctypes.c_void_p), w, h,
             )
             return out
+        # per-bit loop: self.bit() routes through whichever MQ state
+        # (native handle or Python mirror) this decoder carries, so the
+        # skip path stays in sync with native-decoded segments
         tpl = _sorted_template(template, at)
         ltp = 0
         for y in range(h):
             if tpgdon:
-                ltp ^= self._py.decode(cx, TPGDON_CTX[template])
+                ltp ^= self.bit(cx, TPGDON_CTX[template])
                 if ltp:
                     if y > 0:
                         out[y] = out[y - 1]
                     continue
             for x in range(w):
+                if skip is not None and skip[y, x]:
+                    continue
                 ctx = 0
                 for dx, dy in tpl:
                     xx, yy = x + dx, y + dy
@@ -294,7 +305,7 @@ class ArithDecoder:
                         else 0
                     )
                     ctx = (ctx << 1) | v
-                out[y, x] = self._py.decode(cx, ctx)
+                out[y, x] = self.bit(cx, ctx)
         return out
 
     def refine(
@@ -514,10 +525,6 @@ def _decode_symbol_dict(
         input_symbols.extend(d.symbols)
 
     if sdhuff:
-        if sdrefagg:
-            raise Jbig2Error(
-                "Huffman symbol dictionary with refinement not supported"
-            )
         used = [0]
         customs = referred_tables or []
         t_dh = _pick_table(huff_dh_sel, [4, 5], customs, used)
@@ -527,7 +534,17 @@ def _decode_symbol_dict(
             if huff_bmsize_sel == 0
             else _pick_table(3, [], customs, used)
         )
+        t_agg = (
+            standard_table(1)
+            if huff_agginst_sel == 0
+            else _pick_table(3, [], customs, used)
+        )
         t_ex = standard_table(1)
+        if sdrefagg:
+            return _decode_symbol_dict_huffman_refagg(
+                data, pos, input_symbols, num_ex, num_new, t_dh, t_dw,
+                t_agg, t_ex, rtemplate, rat,
+            )
         br = BitReader(bytes(data[pos:]))
         new_symbols = []
         height = 0
@@ -602,8 +619,43 @@ def _decode_symbol_dict(
     if total <= 1:
         code_len = 1
     iaid_cx = new_context(code_len + 1)
+    # 6.5.8.2.1: aggregate text regions share these contexts across all
+    # symbols of the dictionary
+    iadt = new_context(9)
+    iafs = new_context(9)
+    iads = new_context(9)
+    iait = new_context(9)
+    iari = new_context(9)
+    iardw = new_context(9)
+    iardh = new_context(9)
 
     new_symbols: list[np.ndarray] = []
+
+    def _aggregate(n_inst: int, width: int, height: int) -> np.ndarray:
+        """6.5.8.2 REFAGGNINST>1: the symbol bitmap is a text region of
+        n_inst refined instances over the symbols decoded so far."""
+        pool = input_symbols + new_symbols
+
+        def maybe_refine(sym):
+            if not dec.integer(iari):
+                return sym
+            rdw = dec.integer(iardw)
+            rdh = dec.integer(iardh)
+            rdx = dec.integer(iardx)
+            rdy = dec.integer(iardy)
+            return dec.refine(
+                gr_cx, rtemplate, False, rat, sym,
+                (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                sym.shape[1] + rdw, sym.shape[0] + rdh,
+            )
+
+        return _run_text_region(
+            pool, width, height, 0, n_inst, 1, 1, 0, 0, 0,
+            lambda: dec.integer(iadt), lambda: dec.integer(iafs),
+            lambda: dec.integer(iads), lambda: dec.integer(iait),
+            lambda: dec.iaid(iaid_cx, code_len), maybe_refine,
+        )
+
     height = 0
     while len(new_symbols) < num_new:
         dh = dec.integer(iadh)
@@ -622,19 +674,18 @@ def _decode_symbol_dict(
                 bmp = dec.generic(gb_cx, template, False, at, width, height)
             else:
                 n_inst = dec.integer(iaai)
-                if n_inst != 1:
-                    raise Jbig2Error(
-                        "aggregate symbol refinement not supported"
+                if n_inst == 1:
+                    sym_id = dec.iaid(iaid_cx, code_len)
+                    rdx = dec.integer(iardx)
+                    rdy = dec.integer(iardy)
+                    pool = input_symbols + new_symbols
+                    ref = pool[sym_id]
+                    bmp = dec.refine(
+                        gr_cx, rtemplate, False, rat, ref, rdx, rdy,
+                        width, height,
                     )
-                sym_id = dec.iaid(iaid_cx, code_len)
-                rdx = dec.integer(iardx)
-                rdy = dec.integer(iardy)
-                pool = input_symbols + new_symbols
-                ref = pool[sym_id]
-                bmp = dec.refine(
-                    gr_cx, rtemplate, False, rat, ref, rdx, rdy,
-                    width, height,
-                )
+                else:
+                    bmp = _aggregate(n_inst, width, height)
             new_symbols.append(bmp)
 
     # export flags (6.5.10)
@@ -656,6 +707,167 @@ def _decode_symbol_dict(
             len(exported), num_ex,
         )
     return SymbolDictionary(exported)
+
+
+def _decode_symbol_dict_huffman_refagg(
+    data: bytes, pos: int, input_symbols: list[np.ndarray], num_ex: int,
+    num_new: int, t_dh, t_dw, t_agg, t_ex, rtemplate: int,
+    rat: list[tuple[int, int]],
+) -> "SymbolDictionary":
+    """6.5.8.2 with SDHUFF=1: each symbol decodes individually (no
+    collective bitmap) — a single arithmetic refinement when
+    REFAGGNINST is 1, else a Huffman text region over the symbols so
+    far. Refinement data is byte-aligned and arithmetic (6.4.11)."""
+    body = bytes(data[pos:])
+    br = BitReader(body)
+    t_rdx = standard_table(15)
+    t_rdy = standard_table(15)
+    t_rsize = standard_table(1)
+    gr_cx = new_context(13)
+    total = len(input_symbols) + num_new
+    code_len = max(1, (max(total - 1, 1)).bit_length())
+    if total <= 1:
+        code_len = 1
+    new_symbols: list[np.ndarray] = []
+
+    def _arith_refine(ref, rdx, rdy, width, height):
+        bmsize = t_rsize.decode(br)
+        if not bmsize:
+            raise Jbig2Error("refagg: zero-size refinement bitmap")
+        br.align()
+        start = br.byte_pos()
+        rdec = ArithDecoder(body[start : start + bmsize])
+        out = rdec.refine(
+            gr_cx, rtemplate, False, rat, ref, rdx, rdy, width, height
+        )
+        br.pos = (start + bmsize) * 8
+        return out
+
+    height = 0
+    while len(new_symbols) < num_new:
+        dh = t_dh.decode(br)
+        if dh is None:
+            raise Jbig2Error("unexpected OOB in DH")
+        height += dh
+        width = 0
+        while True:
+            dw = t_dw.decode(br)
+            if dw is None:
+                break
+            width += dw
+            if len(new_symbols) >= num_new:
+                raise Jbig2Error("too many symbols")
+            n_inst = t_agg.decode(br)
+            pool = input_symbols + new_symbols
+            if n_inst == 1:
+                sym_id = br.bits(code_len)
+                rdx = t_rdx.decode(br)
+                rdy = t_rdy.decode(br)
+                bmp = _arith_refine(
+                    pool[sym_id], rdx, rdy, width, height
+                )
+            else:
+                # text region parameters per 6.5.8.2 (fixed tables)
+                t_fs = standard_table(6)
+                t_ds = standard_table(8)
+                t_dt = standard_table(11)
+                t_rdwh = standard_table(15)
+
+                def maybe_refine(sym):
+                    if not br.bit():
+                        return sym
+                    rdw = t_rdwh.decode(br)
+                    rdh = t_rdwh.decode(br)
+                    rdx = t_rdx.decode(br)
+                    rdy = t_rdy.decode(br)
+                    return _arith_refine(
+                        sym, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        sym.shape[1] + rdw, sym.shape[0] + rdh,
+                    )
+
+                bmp = _run_text_region(
+                    pool, width, height, 0, n_inst, 1, 1, 0, 0, 0,
+                    lambda: t_dt.decode(br), lambda: t_fs.decode(br),
+                    lambda: t_ds.decode(br), lambda: 0,
+                    lambda: br.bits(code_len), maybe_refine,
+                )
+            new_symbols.append(bmp)
+
+    all_syms = input_symbols + new_symbols
+    exported: list[np.ndarray] = []
+    ex_flag = False
+    i = 0
+    while i < len(all_syms):
+        run = t_ex.decode(br)
+        if run is None:
+            raise Jbig2Error("unexpected OOB in EX")
+        if ex_flag:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        ex_flag = not ex_flag
+    if len(exported) != num_ex:
+        logger.warning(
+            "jbig2: exported %d symbols, header says %d",
+            len(exported), num_ex,
+        )
+    return SymbolDictionary(exported)
+
+
+def _run_text_region(
+    symbols: list[np.ndarray], w: int, h: int, def_pixel: int,
+    num_instances: int, strips: int, ref_corner: int, transposed: int,
+    comb_op: int, ds_offset: int, read_dt, read_fs, read_ds, read_it,
+    read_id, maybe_refine,
+) -> np.ndarray:
+    """6.4.5 text-region instance placement loop, reader-agnostic.
+
+    The readers come from either a Huffman BitReader or an arithmetic
+    decoder; the symbol-dictionary aggregate path (6.5.8.2) reuses this
+    with its own shared contexts."""
+    bitmap = np.full((h, w), def_pixel, np.uint8)
+    dt = read_dt()
+    strip_t = -dt * strips
+    first_s = 0
+    inst = 0
+    while inst < num_instances:
+        dt = read_dt()
+        strip_t += dt * strips
+        dfs = read_fs()
+        first_s += dfs
+        cur_s = first_s
+        first = True
+        while True:
+            if not first:
+                ids = read_ds()
+                if ids is None:
+                    break
+                cur_s += ids + ds_offset
+            first = False
+            if inst >= num_instances:
+                break
+            cur_t = 0 if strips == 1 else read_it()
+            t = strip_t + cur_t
+            sym_id = read_id()
+            sym = maybe_refine(symbols[sym_id])
+            sh, sw = sym.shape
+            if not transposed:
+                if ref_corner in (2, 3):  # right corners advance first
+                    cur_s += sw - 1
+                x0 = cur_s - (sw - 1) if ref_corner in (2, 3) else cur_s
+                y0 = t if ref_corner in (1, 3) else t - sh + 1
+                _compose(bitmap, sym, x0, y0, comb_op)
+                if ref_corner in (0, 1):
+                    cur_s += sw - 1
+            else:
+                if ref_corner in (0, 2):  # bottom corners advance first
+                    cur_s += sh - 1
+                y0 = cur_s - (sh - 1) if ref_corner in (0, 2) else cur_s
+                x0 = t if ref_corner in (0, 1) else t - sw + 1
+                _compose(bitmap, sym, x0, y0, comb_op)
+                if ref_corner in (1, 3):
+                    cur_s += sh - 1
+            inst += 1
+    return bitmap
 
 
 def _decode_text_region(
@@ -691,8 +903,19 @@ def _decode_text_region(
                               used),
         }
         if refine:
-            raise Jbig2Error(
-                "Huffman text region with refinement not supported"
+            # 7.4.3.1.2 selectors for the refinement size/offset fields
+            huff_tables["rdw"] = _pick_table(
+                (hflags >> 6) & 3, [14, 15], customs, used)
+            huff_tables["rdh"] = _pick_table(
+                (hflags >> 8) & 3, [14, 15], customs, used)
+            huff_tables["rdx"] = _pick_table(
+                (hflags >> 10) & 3, [14, 15], customs, used)
+            huff_tables["rdy"] = _pick_table(
+                (hflags >> 12) & 3, [14, 15], customs, used)
+            huff_tables["rsize"] = (
+                standard_table(1)
+                if ((hflags >> 14) & 1) == 0
+                else _pick_table(3, [], customs, used)
             )
     rat: list[tuple[int, int]] = []
     if refine and rtemplate == 0:
@@ -708,7 +931,8 @@ def _decode_text_region(
         code_len = 1
 
     if sbhuff:
-        br = BitReader(bytes(data[pos:]))
+        body = bytes(data[pos:])
+        br = BitReader(body)
         sym_table = decode_symbol_id_codes(br, n_syms)
         br.align()
         read_dt = lambda: huff_tables["dt"].decode(br)  # noqa: E731
@@ -716,6 +940,29 @@ def _decode_text_region(
         read_ds = lambda: huff_tables["ds"].decode(br)  # noqa: E731
         read_it = lambda: br.bits(log_strips)  # noqa: E731
         read_id = lambda: sym_table.decode(br)  # noqa: E731
+        if refine:
+            gr_cx = new_context(13)
+
+            def maybe_refine(sym):
+                if not br.bit():  # RI (6.4.11: one bit when SBHUFF)
+                    return sym
+                rdw = huff_tables["rdw"].decode(br)
+                rdh = huff_tables["rdh"].decode(br)
+                rdx = huff_tables["rdx"].decode(br)
+                rdy = huff_tables["rdy"].decode(br)
+                bmsize = huff_tables["rsize"].decode(br)
+                br.align()
+                start = br.byte_pos()
+                rdec = ArithDecoder(body[start : start + bmsize])
+                out = rdec.refine(
+                    gr_cx, rtemplate, False, rat, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    sym.shape[1] + rdw, sym.shape[0] + rdh,
+                )
+                br.pos = (start + bmsize) * 8
+                return out
+        else:
+            maybe_refine = lambda sym: sym  # noqa: E731
     else:
         dec = ArithDecoder(bytes(data[pos:]))
         iadt = new_context(9)
@@ -734,63 +981,28 @@ def _decode_text_region(
         read_ds = lambda: dec.integer(iads)  # noqa: E731
         read_it = lambda: dec.integer(iait)  # noqa: E731
         read_id = lambda: dec.iaid(iaid_cx, code_len)  # noqa: E731
+        if refine:
 
-    bitmap = np.full((h, w), def_pixel, np.uint8)
-    dt = read_dt()
-    strip_t = -dt * strips
-    first_s = 0
-    inst = 0
-    while inst < num_instances:
-        dt = read_dt()
-        strip_t += dt * strips
-        dfs = read_fs()
-        first_s += dfs
-        cur_s = first_s
-        first = True
-        while True:
-            if not first:
-                ids = read_ds()
-                if ids is None:
-                    break
-                cur_s += ids + ds_offset
-            first = False
-            if inst >= num_instances:
-                break
-            cur_t = 0 if strips == 1 else read_it()
-            t = strip_t + cur_t
-            sym_id = read_id()
-            sym = symbols[sym_id]
-            if refine and not sbhuff:
-                ri = dec.integer(iari)
-                if ri:
-                    rdw = dec.integer(iardw)
-                    rdh = dec.integer(iardh)
-                    rdx = dec.integer(iardx)
-                    rdy = dec.integer(iardy)
-                    nw = sym.shape[1] + rdw
-                    nh = sym.shape[0] + rdh
-                    sym = dec.refine(
-                        gr_cx, rtemplate, False, rat, sym,
-                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, nw, nh,
-                    )
-            sh, sw = sym.shape
-            if not transposed:
-                if ref_corner in (2, 3):  # right corners advance first
-                    cur_s += sw - 1
-                x0 = cur_s - (sw - 1) if ref_corner in (2, 3) else cur_s
-                y0 = t if ref_corner in (1, 3) else t - sh + 1
-                _compose(bitmap, sym, x0, y0, comb_op)
-                if ref_corner in (0, 1):
-                    cur_s += sw - 1
-            else:
-                if ref_corner in (0, 2):  # bottom corners advance first
-                    cur_s += sh - 1
-                y0 = cur_s - (sh - 1) if ref_corner in (0, 2) else cur_s
-                x0 = t if ref_corner in (0, 1) else t - sw + 1
-                _compose(bitmap, sym, x0, y0, comb_op)
-                if ref_corner in (1, 3):
-                    cur_s += sh - 1
-            inst += 1
+            def maybe_refine(sym):
+                if not dec.integer(iari):
+                    return sym
+                rdw = dec.integer(iardw)
+                rdh = dec.integer(iardh)
+                rdx = dec.integer(iardx)
+                rdy = dec.integer(iardy)
+                return dec.refine(
+                    gr_cx, rtemplate, False, rat, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    sym.shape[1] + rdw, sym.shape[0] + rdh,
+                )
+        else:
+            maybe_refine = lambda sym: sym  # noqa: E731
+
+    bitmap = _run_text_region(
+        symbols, w, h, def_pixel, num_instances, strips, ref_corner,
+        transposed, comb_op, ds_offset, read_dt, read_fs, read_ds,
+        read_it, read_id, maybe_refine,
+    )
     return bitmap, x, y, ext_op
 
 
@@ -833,8 +1045,6 @@ def _decode_halftone_region(seg: Segment, patterns: list[np.ndarray]):
     enable_skip = (flags >> 3) & 1
     comb_op = (flags >> 4) & 7
     def_pixel = (flags >> 7) & 1
-    if enable_skip:
-        raise Jbig2Error("halftone HENABLESKIP not supported")
     if not patterns:
         raise Jbig2Error("halftone region without pattern dictionary")
     hgw, hgh = struct.unpack_from(">II", data, pos)
@@ -843,6 +1053,16 @@ def _decode_halftone_region(seg: Segment, patterns: list[np.ndarray]):
     pos += 20
 
     n_pats = len(patterns)
+    ph, pw = patterns[0].shape
+    skip = None
+    if enable_skip and not hmmr:  # HSKIP (6.6.5.1); MMR has no skip
+        skip = np.zeros((hgh, hgw), np.uint8)
+        for mg in range(hgh):
+            for ng in range(hgw):
+                px = (hgx + mg * hry + ng * hrx) >> 8
+                py = (hgy + mg * hrx - ng * hry) >> 8
+                if px + pw <= 0 or px >= w or py + ph <= 0 or py >= h:
+                    skip[mg, ng] = 1
     bits = max(1, (n_pats - 1).bit_length()) if n_pats > 1 else 1
     planes: list[np.ndarray] = []
     if hmmr:
@@ -860,7 +1080,7 @@ def _decode_halftone_region(seg: Segment, patterns: list[np.ndarray]):
         cx = new_context(16)  # shared stats across planes (C.5)
         for _ in range(bits):
             planes.append(
-                dec.generic(cx, template, False, at, hgw, hgh)
+                dec.generic(cx, template, False, at, hgw, hgh, skip=skip)
             )
     # gray decode, MSB plane first (C.5)
     value = planes[0].astype(np.int32)
@@ -872,7 +1092,6 @@ def _decode_halftone_region(seg: Segment, patterns: list[np.ndarray]):
     value = np.clip(value, 0, n_pats - 1)
 
     bitmap = np.full((h, w), def_pixel, np.uint8)
-    ph, pw = patterns[0].shape
     for mg in range(hgh):
         for ng in range(hgw):
             px = (hgx + mg * hry + ng * hrx) >> 8
@@ -881,6 +1100,32 @@ def _decode_halftone_region(seg: Segment, patterns: list[np.ndarray]):
                 bitmap, patterns[int(value[mg, ng])], px, py, comb_op
             )
     return bitmap, x, y, ext_op
+
+
+def _decode_refinement_region(seg: Segment, page: np.ndarray | None):
+    """Generic refinement region (7.4.7): refines the page buffer in
+    place (the embedded profile never routes through intermediate
+    region buffers — 8.2 step 6 c)."""
+    data = seg.data
+    w, h, x, y, ext_op, pos = _region_info(data)
+    flags = data[pos]
+    pos += 1
+    template = flags & 1
+    tpgron = (flags >> 1) & 1
+    at: list[tuple[int, int]] = []
+    if template == 0:
+        at, pos = _read_at(data, pos, 2)
+    if page is None:
+        raise Jbig2Error("refinement region before page info")
+    ref = np.zeros((h, w), np.uint8)
+    y1, x1 = min(y + h, page.shape[0]), min(x + w, page.shape[1])
+    if y1 > y and x1 > x:
+        ref[: y1 - y, : x1 - x] = page[y:y1, x:x1]
+    dec = ArithDecoder(bytes(data[pos:]))
+    bmp = dec.refine(
+        new_context(13), template, bool(tpgron), at, ref, 0, 0, w, h
+    )
+    return bmp, x, y, ext_op
 
 
 def _decode_generic_region(seg: Segment):
@@ -992,10 +1237,10 @@ def decode(data: bytes, globals_data: bytes | None = None,
             bmp, x, y, op = _decode_halftone_region(seg, pats)
             ensure_page(y + bmp.shape[0], x + bmp.shape[1])
             _compose(page, bmp, x, y, op)
-        elif seg.type in (40, 42, 43):
-            raise Jbig2Error(
-                "standalone refinement regions not supported"
-            )
+        elif seg.type in (40, 42, 43):  # generic refinement region
+            bmp, x, y, op = _decode_refinement_region(seg, page)
+            ensure_page(y + bmp.shape[0], x + bmp.shape[1])
+            _compose(page, bmp, x, y, op)
         elif seg.type == 53:  # custom code table
             tables[seg.number] = parse_table_segment(bytes(seg.data))
         elif seg.type in (49, 50, 51, 62):  # end-of-*, extension

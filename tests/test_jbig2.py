@@ -253,3 +253,193 @@ def test_mmr_generic_region():
         E.mmr_generic_region_segment(2, bmp)
     out = J.decode(stream)
     np.testing.assert_array_equal(out, bmp)
+
+
+def _compose_expect(H, W, placements, export):
+    expect = np.zeros((H, W), np.uint8)
+    for p in placements:
+        sid, x, y = p[0], p[1], p[2]
+        sym = p[3] if len(p) == 4 and p[3] is not None else export[sid]
+        expect[y : y + sym.shape[0], x : x + sym.shape[1]] |= sym
+    return expect
+
+
+def test_text_region_refinement_arith():
+    """RI=1 instances decode the embedded refinement (6.3) instead of
+    the dictionary symbol."""
+    glyph_a = np.zeros((8, 6), np.uint8)
+    glyph_a[1:7, 1:5] = 1
+    glyph_b = np.zeros((8, 5), np.uint8)
+    glyph_b[:, 2] = 1
+    symbols = [glyph_a, glyph_b]
+    sd_seg, order = E.symbol_dict_segment(2, symbols)
+    export = [symbols[i] for i in order]
+    target = export[1].copy()
+    target[0, 0] ^= 1
+    target[4, 3] ^= 1
+    target[7, 1] ^= 1
+    W, H = 44, 14
+    placements = [(0, 2, 2), (1, 14, 2, target), (0, 26, 2)]
+    tr_seg = E.text_region_segment(3, 2, export, placements, W, H)
+    stream = E.segment(1, 48, [], 1, E.page_info(W, H)) + sd_seg + tr_seg
+    out = J.decode(stream)
+    np.testing.assert_array_equal(
+        out, _compose_expect(H, W, placements, export)
+    )
+
+
+def test_text_region_refinement_huffman():
+    """SBHUFF=1 refinement: RDW/RDH/RDX/RDY via B.15, BMSIZE via B.1,
+    byte-aligned arithmetic refinement stream (6.4.11)."""
+    glyph_a = np.zeros((8, 6), np.uint8)
+    glyph_a[1:7, 1:5] = 1
+    glyph_b = np.zeros((8, 5), np.uint8)
+    glyph_b[:, 2] = 1
+    glyph_b[3] = 1
+    symbols = [glyph_a, glyph_b]
+    sd_seg, order = E.symbol_dict_segment_huffman(2, symbols)
+    export = [symbols[i] for i in order]
+    t0 = export[0].copy()
+    t0[2, 2] ^= 1
+    t1 = export[1].copy()
+    t1[6, 0] ^= 1
+    t1[0, 4] ^= 1
+    W, H = 48, 24
+    placements = [(0, 2, 2, t0), (1, 16, 2), (1, 30, 2, t1),
+                  (0, 4, 13)]
+    tr_seg = E.text_region_segment_huffman(3, 2, export, placements, W, H)
+    stream = E.segment(1, 48, [], 1, E.page_info(W, H)) + sd_seg + tr_seg
+    out = J.decode(stream)
+    np.testing.assert_array_equal(
+        out, _compose_expect(H, W, placements, export)
+    )
+
+
+def test_symbol_dict_refagg_arith():
+    """SDREFAGG=1: new symbols decode as single refinements
+    (REFAGGNINST=1) and as aggregate text regions (REFAGGNINST>1)."""
+    glyph_a = np.zeros((6, 5), np.uint8)
+    glyph_a[1:5, 1:4] = 1
+    glyph_b = np.zeros((6, 4), np.uint8)
+    glyph_b[:, 1] = 1
+    glyph_b[2] = 1
+    base = [glyph_a, glyph_b]
+    sd1, order = E.symbol_dict_segment(2, base)
+    export = [base[i] for i in order]
+
+    target = export[0].copy()
+    target[0, 0] ^= 1
+    target[5, 2] ^= 1
+    agg_places = [(0, 0, 0), (1, export[0].shape[1] + 2, 0)]
+    agg_w = export[0].shape[1] + 2 + export[1].shape[1]
+    specs = [("refine", 0, target), ("agg", agg_places, agg_w, 6)]
+    sd2 = E.symbol_dict_segment_refagg(3, 2, export, specs)
+
+    agg_bmp = np.zeros((6, agg_w), np.uint8)
+    for sid, sx, st in agg_places:
+        s = export[sid]
+        agg_bmp[st : st + s.shape[0], sx : sx + s.shape[1]] |= s
+    exports2 = export + [target, agg_bmp]
+
+    W, H = 60, 20
+    placements = [(0, 1, 1), (2, 10, 1), (3, 20, 1), (1, 40, 1),
+                  (2, 8, 10)]
+    tr_seg = E.text_region_segment(4, 3, exports2, placements, W, H)
+    stream = (E.segment(1, 48, [], 1, E.page_info(W, H))
+              + sd1 + sd2 + tr_seg)
+    out = J.decode(stream)
+    np.testing.assert_array_equal(
+        out, _compose_expect(H, W, placements, exports2)
+    )
+
+
+def test_symbol_dict_refagg_huffman():
+    """SDHUFF=1 + SDREFAGG=1 (6.5.8.2 Huffman variant): per-symbol
+    refinements with byte-aligned arithmetic streams, plus a Huffman
+    aggregate text region."""
+    glyph_a = np.zeros((6, 5), np.uint8)
+    glyph_a[1:5, 1:4] = 1
+    glyph_b = np.zeros((6, 4), np.uint8)
+    glyph_b[:, 1] = 1
+    glyph_b[2] = 1
+    base = [glyph_a, glyph_b]
+    sd1, order = E.symbol_dict_segment(2, base)
+    export = [base[i] for i in order]
+
+    target = export[0].copy()
+    target[3, 0] ^= 1
+    target[0, 3] ^= 1
+    agg_places = [(1, 0, 0), (0, export[1].shape[1] + 1, 0)]
+    agg_w = export[1].shape[1] + 1 + export[0].shape[1]
+    specs = [("refine", 0, target), ("agg", agg_places, agg_w, 6)]
+    sd2 = E.symbol_dict_segment_huffman_refagg(3, 2, export, specs)
+
+    agg_bmp = np.zeros((6, agg_w), np.uint8)
+    for sid, sx, st in agg_places:
+        s = export[sid]
+        agg_bmp[st : st + s.shape[0], sx : sx + s.shape[1]] |= s
+    exports2 = export + [target, agg_bmp]
+
+    W, H = 60, 20
+    placements = [(2, 2, 1), (3, 14, 1), (0, 34, 1), (1, 44, 1)]
+    tr_seg = E.text_region_segment(4, 3, exports2, placements, W, H)
+    stream = (E.segment(1, 48, [], 1, E.page_info(W, H))
+              + sd1 + sd2 + tr_seg)
+    out = J.decode(stream)
+    np.testing.assert_array_equal(
+        out, _compose_expect(H, W, placements, exports2)
+    )
+
+
+def test_halftone_region_skip():
+    """HENABLESKIP (6.6.5.1): grid cells falling outside the region are
+    not coded; the decoder must build the same skip bitmap to stay in
+    sync with the MQ stream."""
+    rng = np.random.default_rng(41)
+    P = 4
+    patterns = []
+    for level in range(4):
+        pat = np.zeros((P, P), np.uint8)
+        pat.flat[: level * 5] = 1
+        patterns.append(pat)
+    gray = rng.integers(0, 4, size=(6, 8))
+    # region narrower/shorter than the grid: last 2 columns and last
+    # row of cells are skipped entirely
+    W, H = 6 * P, 5 * P
+    stream = (
+        E.segment(1, 48, [], 1, E.page_info(W, H))
+        + E.pattern_dict_segment(2, patterns)
+        + E.halftone_region_segment(3, 2, gray, 4, P, W, H,
+                                    enable_skip=True)
+    )
+    out = J.decode(stream)
+    expect = np.zeros((H, W), np.uint8)
+    for mg in range(5):
+        for ng in range(6):
+            expect[mg * P : (mg + 1) * P, ng * P : (ng + 1) * P] |= \
+                patterns[int(gray[mg, ng])]
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_refinement_region_segment():
+    """Standalone generic refinement region (type 40) refines the page
+    content in place."""
+    rng = np.random.default_rng(51)
+    bmp = _random_bitmap(rng, 24, 40)
+    # refine a sub-rect: flip a handful of pixels
+    x0, y0, w0, h0 = 8, 4, 20, 12
+    target = bmp[y0 : y0 + h0, x0 : x0 + w0].copy()
+    target[3, 5] ^= 1
+    target[0, 0] ^= 1
+    target[h0 - 1, w0 - 1] ^= 1
+    stream = (
+        E.segment(1, 48, [], 1, E.page_info(40, 24))
+        + E.generic_region_segment(2, bmp)
+        + E.refinement_region_segment(
+            3, target, bmp[y0 : y0 + h0, x0 : x0 + w0], x=x0, y=y0
+        )
+    )
+    out = J.decode(stream)
+    expect = bmp.copy()
+    expect[y0 : y0 + h0, x0 : x0 + w0] = target
+    np.testing.assert_array_equal(out, expect)
