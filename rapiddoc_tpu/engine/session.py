@@ -152,8 +152,19 @@ class JaxSession:
         synchronizing. Transfers and computes of successive dispatches
         pipeline on the device stream — the per-call host<->device
         roundtrip (tens of ms on a tunneled chip) is paid once at fetch,
-        not once per batch."""
+        not once per batch.
+
+        Batches larger than the biggest bucket are split into
+        bucket-sized chunks whose outputs are concatenated on device —
+        callers never have to know the bucket ceiling."""
         n, h, w, c = batch_nhwc.shape
+        max_b = self.bucket_spec.max_batch()
+        if n > max_b:
+            handles = [
+                self.dispatch(batch_nhwc[i : i + max_b])
+                for i in range(0, n, max_b)
+            ]
+            return self._merge_handles(handles)
         nb = self.bucket_spec.bucket_batch(n)
         if self.mesh is not None and self.n_shards > 1:
             # keep batch divisible by shard count for even data-parallel split
@@ -169,6 +180,32 @@ class JaxSession:
         self.stats.items += n
         self.stats.padded_items += nb
         return out, n
+
+    @staticmethod
+    def _merge_handles(
+        handles: Sequence[tuple[Any, int]]
+    ) -> tuple[Any, int]:
+        """Concatenate several dispatch() handles into one, slicing each
+        chunk to its true n ON DEVICE — the host<->device roundtrip is
+        paid once for the merged result, not per chunk. Falls back to
+        the first handle's treedef; mismatched treedefs (shape-dependent
+        outputs) are not merged on device."""
+        if len(handles) == 1:
+            return handles[0]
+        trees = [out for out, _ in handles]
+        ns = [n for _, n in handles]
+        treedef = jax.tree.structure(trees[0])
+        assert all(
+            jax.tree.structure(t) == treedef for t in trees[1:]
+        ), "cannot merge dispatches with different output structures"
+        leaves_per = [jax.tree.leaves(t) for t in trees]
+        merged = [
+            jnp.concatenate(
+                [lv[k][:n] for lv, n in zip(leaves_per, ns)], axis=0
+            )
+            for k in range(len(leaves_per[0]))
+        ]
+        return jax.tree.unflatten(treedef, merged), sum(ns)
 
     @staticmethod
     def fetch(handle: tuple[Any, int]) -> Any:
@@ -217,17 +254,9 @@ class JaxSession:
         # not once per chunk
         if len(handles) > 1:
             trees = [out for out, _ in handles]
-            ns = [n for _, n in handles]
             treedef = jax.tree.structure(trees[0])
             if all(jax.tree.structure(t) == treedef for t in trees[1:]):
-                leaves_per = [jax.tree.leaves(t) for t in trees]
-                merged = [
-                    jnp.concatenate(
-                        [lv[k][:n] for lv, n in zip(leaves_per, ns)], axis=0
-                    )
-                    for k in range(len(leaves_per[0]))
-                ]
-                handles = [(jax.tree.unflatten(treedef, merged), sum(ns))]
+                handles = [self._merge_handles(handles)]
         return self.fetch_rows(handles)
 
 

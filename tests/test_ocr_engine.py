@@ -163,3 +163,26 @@ def test_recompile_count_is_bucket_bound():
     # 2 widths x 2 batch buckets = at most 4 programs for 20 calls
     assert sess.stats.compiles <= 4
     assert sess.stats.calls == 20
+
+
+def test_dispatch_oversized_batch_chunks():
+    """A batch larger than the biggest bucket is split into bucket-sized
+    chunks and merged on device (regression: 12-page window vs 8-max
+    layout bucket raised 'negative dimensions')."""
+    import numpy as np
+
+    from rapiddoc_tpu.engine.buckets import BucketSpec
+    from rapiddoc_tpu.engine.session import JaxSession
+
+    spec = BucketSpec(heights=(16,), widths=(16,), batch_sizes=(2, 4))
+    sess = JaxSession(
+        lambda v, x: x.mean(axis=(1, 2, 3)), {}, spec, name="probe",
+        multi_device=False,
+    )
+    batch = np.arange(11 * 16 * 16 * 3, dtype=np.uint8).reshape(11, 16, 16, 3)
+    out = sess(batch)
+    assert out.shape[0] == 11
+    expect = batch.astype(np.float32).mean(axis=(1, 2, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-2)
+    # 11 rows -> chunks of 4+4+3 -> buckets 4,4,4: only one program
+    assert sess.stats.compiles <= 2
