@@ -30,6 +30,9 @@ import numpy as np
 TINY = bool(os.environ.get("RAPIDDOC_BENCH_TINY"))
 PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "12"))
 DEMO_PDF = "/root/reference/demo/pdfs/demo1.pdf"
+# per-document workload counts measured by the e2e run (filled by
+# _bench_e2e; sizes the reference-CPU denominator to the same work)
+WORKLOAD: dict | None = None
 
 
 def _bench_pdf_bytes() -> bytes:
@@ -79,18 +82,60 @@ def _bench_e2e() -> tuple[float, dict, int]:
     from rapiddoc_tpu.api import stage_report
 
     doc = RapidDoc()
-    # warm run compiles every bucket the document needs
-    doc(pdf, parse_method="ocr")
     from rapiddoc_tpu.api import GLOBAL_TRACER
+    from rapiddoc_tpu.engine.session import session_stats_report
 
+    # warm until no session compiles a new bucket (a second-pass path —
+    # e.g. det merged-blob refinement — can hit a bucket the first pass
+    # never touched; a compile inside the timed run would dominate it)
+    compiles = -1
+    for _ in range(3):
+        doc(pdf, parse_method="ocr")
+        now = sum(s["compiles"] for s in session_stats_report().values())
+        if now == compiles:
+            break
+        compiles = now
+
+    before_rec = {
+        k: v["items"] for k, v in session_stats_report().items()
+    }
     GLOBAL_TRACER.reset()
     tic = time.perf_counter()
     out = doc(pdf, parse_method="ocr")
     dt = time.perf_counter() - tic
     assert out.markdown  # produced real output
-    report = {
-        k: v.get("ms_per_item", 0.0) for k, v in stage_report().items()
+    rep = stage_report()
+    for k, v in rep.items():
+        print(f"[stage] {k}: {v}", file=sys.stderr)
+    # real per-document workload counts, for an apples-to-apples
+    # reference-CPU denominator
+    after = session_stats_report()
+    global WORKLOAD
+    WORKLOAD = {
+        "rec_crops": after.get("ocr_rec", {}).get("items", 0)
+        - before_rec.get("ocr_rec", 0),
+        "formula_regions": rep.get("formula", {}).get("items", 0),
+        "table_regions": rep.get("table", {}).get("items", 0),
     }
+    print(f"[workload] {WORKLOAD}", file=sys.stderr)
+    # normalize every stage by PAGES (stage items differ: formula/table
+    # stages count regions, ocr counts pages — ms/page is the comparable
+    # unit BASELINE.md asks for)
+    report = {
+        k: v.get("total_s", 0.0) * 1000.0 / pages
+        for k, v in stage_report().items()
+    }
+    # transfer accounting (stderr, not the JSON contract line): on a
+    # tunneled chip bytes+roundtrips, not FLOPs, set the ceiling
+    from rapiddoc_tpu.engine.session import session_stats_report
+
+    for name, st in session_stats_report().items():
+        print(
+            f"[session] {name}: calls={st['calls']} "
+            f"in={st['bytes_in']/1e6:.1f}MB out={st['bytes_out']/1e6:.1f}MB "
+            f"compiles={st['compiles']}",
+            file=sys.stderr,
+        )
     return pages / dt, report, pages
 
 
@@ -152,26 +197,160 @@ def _bench_torch_reference() -> float | None:
     det = Det().eval()
     rec = Rec().eval()
     det_hw = (192, 192) if TINY else (960, 960)
-    rec_hw = (48, 80) if TINY else (48, 320)
-    crops_per_page = 4 if TINY else 24
-    pages = max(1, PAGES // 8)  # reduced workload, extrapolated
-    crops = pages * crops_per_page
+    rec_hw = (48, 80) if TINY else (48, 480)
+    # real measured workload of the benched document (falls back to a
+    # text-page nominal when the e2e pass didn't fill it)
+    wl = WORKLOAD or {}
+    pages = PAGES
+    crops = int(wl.get("rec_crops") or pages * 24)
+    n_formula = int(wl.get("formula_regions") or 0)
+    n_table = int(wl.get("table_regions") or 0)
     rng = np.random.default_rng(0)
+
+    # --- det+rec: time small samples, extrapolate to real counts
     det_x = torch.from_numpy(
-        rng.standard_normal((pages, 3, *det_hw), dtype=np.float32)
+        rng.standard_normal((2, 3, *det_hw), dtype=np.float32)
     )
     rec_x = torch.from_numpy(
-        rng.standard_normal((crops, 3, *rec_hw), dtype=np.float32)
+        rng.standard_normal((32, 3, *rec_hw), dtype=np.float32)
     )
     with torch.no_grad():
         det(det_x[:1])  # warm
         tic = time.perf_counter()
-        for i in range(0, pages, 2):
-            det(det_x[i : i + 2])
-        for i in range(0, crops, 32):
-            rec(rec_x[i : i + 32])
-        dt = time.perf_counter() - tic
-    return pages / dt
+        det(det_x)
+        det_s = (time.perf_counter() - tic) / 2 * pages
+        rec(rec_x[:8])  # warm
+        tic = time.perf_counter()
+        rec(rec_x)
+        rec_s = (time.perf_counter() - tic) / 32 * crops
+    total = det_s + rec_s
+
+    # --- formula: reference PP-FormulaNet_plus head (8 layers, d=1024,
+    # ffn=4096) cached greedy decode + B6-class encoder forward, sampled
+    # per step/crop and extrapolated to the measured region count
+    if n_formula and not TINY:
+        total += _torch_formula_cost(n_formula)
+    # --- table: reference default UNET wired path — a 1024x1024 UNet
+    # forward per table region
+    if n_table and not TINY:
+        total += _torch_table_cost(n_table)
+    print(
+        f"[baseline] det={det_s:.1f}s rec={rec_s:.1f}s "
+        f"total={total:.1f}s for {pages}p/{crops}c/"
+        f"{n_formula}f/{n_table}t (layout excluded: no torch reference "
+        f"implementation — denominator is generous)",
+        file=sys.stderr,
+    )
+    return pages / total
+
+
+def _torch_formula_cost(n_regions: int, steps_per_seq: int = 96) -> float:
+    """CPU cost model for the reference formula stage: PPFormulaNet_Head
+    cached greedy decode (reference rec_ppformulanet_head.py:695: 8
+    decoder layers, hidden 1024, ffn 4096, vocab ~50k) plus a
+    B6-backbone encoder forward per region. Measures a few steps and one
+    encoder forward, extrapolates to n_regions x steps_per_seq (96 is
+    conservative; published max_new_tokens is 1536)."""
+    import refnets
+    import torch
+
+    try:
+        heads = refnets.load_formula("heads.rec_ppformulanet_head")
+        torch.manual_seed(0)
+        hd = heads.PPFormulaNet_Head(
+            max_new_tokens=32, decoder_layers=8, decoder_ffn_dim=4096,
+            decoder_hidden_size=1024, encoder_hidden_size=1024,
+            in_channels=1024,
+        ).eval()
+        bb = refnets.load_formula("backbones.rec_pphgnetv2")
+        enc = bb.PPHGNetV2_B6_Formula(class_num=1024).eval()
+    except Exception:
+        return 0.0
+    S = 24 * 24  # ~384x384 crop at stride 16
+    with torch.no_grad():
+        x = torch.randn(1, 3, 384, 384)
+        tic = time.perf_counter()
+        memory = enc(x).last_hidden_state
+        enc_s = time.perf_counter() - tic
+        memory = torch.randn(1, S, 1024)
+        projected = hd.enc_to_dec_proj(memory)
+        past = None
+        tok = torch.zeros((1, 1), dtype=torch.int64)
+        n_steps = 4
+        tic = time.perf_counter()
+        for t in range(n_steps):
+            out = hd.decoder(
+                input_ids=tok,
+                attention_mask=torch.ones((1, t + 1), dtype=torch.int64),
+                encoder_hidden_states=projected,
+                past_key_values=past,
+                use_cache=True,
+                return_dict=True,
+            )
+            past = out.past_key_values
+            tok = out.logits[:, -1:].argmax(-1)
+        step_s = (time.perf_counter() - tic) / n_steps
+    return n_regions * (enc_s + step_s * steps_per_seq)
+
+
+def _torch_table_cost(n_regions: int) -> float:
+    """CPU cost model for the reference wired-table stage: one
+    1024x1024 UNet forward per table region (reference
+    table_structure/unet/main.py fixed-1024 input). Architecture matches
+    the repo's UNet spec (base 16, depth 4)."""
+    import torch
+
+    class DC(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.net = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 3, padding=1),
+                torch.nn.BatchNorm2d(cout), torch.nn.ReLU(),
+                torch.nn.Conv2d(cout, cout, 3, padding=1),
+                torch.nn.BatchNorm2d(cout), torch.nn.ReLU(),
+            )
+
+        def forward(self, x):
+            return self.net(x)
+
+    class UNet(torch.nn.Module):
+        def __init__(self, base=16, depth=4):
+            super().__init__()
+            self.downs = torch.nn.ModuleList()
+            f, cin = base, 3
+            for _ in range(depth):
+                self.downs.append(DC(cin, f))
+                cin, f = f, f * 2
+            self.bottom = DC(cin, f)
+            self.ups = torch.nn.ModuleList()
+            self.upc = torch.nn.ModuleList()
+            for _ in range(depth):
+                f //= 2
+                self.upc.append(torch.nn.Conv2d(f * 2, f, 2, padding="same"))
+                self.ups.append(DC(f * 2, f))
+            self.head = torch.nn.Conv2d(base, 2, 1)
+
+        def forward(self, x):
+            skips = []
+            for d in self.downs:
+                x = d(x)
+                skips.append(x)
+                x = torch.nn.functional.max_pool2d(x, 2)
+            x = self.bottom(x)
+            for up, upc, skip in zip(self.ups, self.upc, reversed(skips)):
+                x = torch.nn.functional.interpolate(x, scale_factor=2)
+                x = upc(x)
+                x = up(torch.cat([skip, x], dim=1))
+            return self.head(x)
+
+    net = UNet().eval()
+    with torch.no_grad():
+        x = torch.randn(1, 3, 1024, 1024)
+        net(x)  # warm
+        tic = time.perf_counter()
+        net(x)
+        one = time.perf_counter() - tic
+    return n_regions * one
 
 
 def main() -> None:

@@ -56,10 +56,14 @@ class BucketSpec:
 # 12-page window over the tunneled link)
 DET_BUCKETS = BucketSpec(stride=160, min_side=320, max_side=1280,
                          batch_sizes=(1, 2, 4))
+# few, large buckets: padding FLOPs are nearly free on the MXU while
+# every distinct (width x batch) pair is one more compiled program the
+# tunneled device must keep resident — observed ~0.5-0.9s per-program
+# (re)activation stalls when a pipeline run cycles through many programs
 REC_BUCKETS = BucketSpec(
     heights=(48,),
-    widths=(80, 160, 240, 320, 480, 640),
-    batch_sizes=(8, 16, 32, 64, 128),
+    widths=(160, 320, 640),
+    batch_sizes=(32, 128),
 )
 FIXED_800 = BucketSpec(heights=(800,), widths=(800,), batch_sizes=(1, 2, 4, 8))
 FIXED_640 = BucketSpec(heights=(640,), widths=(640,), batch_sizes=(1, 2, 4, 8))

@@ -54,6 +54,9 @@ class SessionStats:
     calls: int = 0
     items: int = 0
     padded_items: int = 0
+    bytes_in: int = 0
+    bytes_out: int = 0
+    fetches: int = 0
 
     def as_dict(self) -> dict:
         return {
@@ -64,7 +67,20 @@ class SessionStats:
             "pad_overhead": (self.padded_items / self.items - 1.0)
             if self.items
             else 0.0,
+            "bytes_in": self.bytes_in,
+            "bytes_out": self.bytes_out,
+            "fetches": self.fetches,
         }
+
+
+_ALL_SESSIONS: list["JaxSession"] = []
+
+
+def session_stats_report() -> dict[str, dict]:
+    """Transfer/compile accounting for every live JaxSession — the
+    profiling view for tunnel-bound deployments where host<->device
+    bytes and roundtrips, not FLOPs, set the ceiling."""
+    return {s.name: s.stats.as_dict() for s in _ALL_SESSIONS}
 
 
 class JaxSession:
@@ -107,6 +123,7 @@ class JaxSession:
             self.params = jax.device_put(params, replicated(self.mesh))
         else:
             self.params = jax.device_put(params)
+        _ALL_SESSIONS.append(self)
 
     # ----------------------------------------------------------------- jit
 
@@ -179,6 +196,13 @@ class JaxSession:
         self.stats.calls += 1
         self.stats.items += n
         self.stats.padded_items += nb
+        self.stats.bytes_in += batch_nhwc.nbytes
+        # readback estimate: each output leaf sliced to the true n rows
+        for leaf in jax.tree.leaves(out):
+            rows = getattr(leaf, "shape", (nb,))
+            frac = n / rows[0] if rows and rows[0] else 1.0
+            self.stats.bytes_out += int(leaf.nbytes * frac)
+        self.stats.fetches += 1
         return out, n
 
     @staticmethod
@@ -210,7 +234,18 @@ class JaxSession:
     @staticmethod
     def fetch(handle: tuple[Any, int]) -> Any:
         """Materialize a dispatch() result on the host (sliced to true n)."""
+        import os
+        import time
+
         out, n = handle
+        if os.environ.get("RAPIDDOC_DEBUG_TIMING"):
+            tic = time.perf_counter()
+            res = jax.tree.map(lambda a: np.asarray(a[:n]), out)
+            logger.info(
+                "fetch n=%d took %.1f ms", n,
+                (time.perf_counter() - tic) * 1000.0,
+            )
+            return res
         return jax.tree.map(lambda a: np.asarray(a[:n]), out)
 
     @classmethod

@@ -259,7 +259,7 @@ class FormulaRecognizer:
 
         handles = []
         for bucket, idxs in groups.items():
-            for s, e, padded in batch_chunks(len(idxs)):
+            for s, e, padded in batch_chunks(len(idxs), sizes=(4, 16)):
                 batch = pad_rows(
                     np.stack([prepped[i] for i in idxs[s:e]]), padded
                 )

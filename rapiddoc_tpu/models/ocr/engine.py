@@ -218,6 +218,10 @@ class TextDetector:
                     crops.append(img[y0:y1, x0:x1])
         if not jobs:
             return results
+        logger.info(
+            "det refine: %d merged blobs re-detected at crop resolution",
+            len(jobs),
+        )
         sub_results = self._detect(crops)
         drop: dict[int, set[int]] = {}
         extra: dict[int, tuple[list, list]] = {}

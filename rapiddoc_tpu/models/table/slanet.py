@@ -302,7 +302,7 @@ class SLANetStructure:
         fn = self._compiled()
         # batch dim padded to a closed bucket set (anti-recompile)
         parts = []
-        for s, e, padded in batch_chunks(len(imgs)):
+        for s, e, padded in batch_chunks(len(imgs), sizes=(4, 16)):
             t, l, n = fn(
                 self.variables["backbone"], self.variables["neck"],
                 self.variables["fea_key"], self.variables["step"],

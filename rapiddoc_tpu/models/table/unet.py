@@ -142,15 +142,14 @@ class WiredTableStructure:
 
         def fwd(v, x):
             # uint8 in (4x less host->device), /255 fused on device;
-            # line-probability map quantized back to uint8 (4x less
-            # readback — the 0.5 threshold needs no more precision)
-            prob = jax.nn.softmax(
-                self.model.apply(
-                    v, (x.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
-                ).astype(jnp.float32),
-                axis=-1,
-            )[..., 1]
-            return jnp.round(prob * 255.0).astype(jnp.uint8)
+            # the host cell recovery only thresholds the line map at 0.5,
+            # so ship a packed bitmask (32x less readback than f32 — d2h
+            # is the slowest wire on a tunneled chip)
+            logits = self.model.apply(
+                v, (x.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+            line = logits[..., 1] > logits[..., 0]  # softmax p1 > 0.5
+            return jnp.packbits(line, axis=-1)
 
         self._fwd = jax.jit(fwd)
 
@@ -168,8 +167,9 @@ class WiredTableStructure:
             handles.append(self._fwd(self.variables, jnp.asarray(resized[None])))
         out = []
         for img, h8 in zip(imgs, handles):
-            prob = np.asarray(h8[0]).astype(np.float32) / 255.0
-            cells = extract_cells_from_mask(prob)
+            bits = np.asarray(h8[0])
+            mask = np.unpackbits(bits, axis=-1)[:, : self.INPUT]
+            cells = extract_cells_from_mask(mask.astype(np.float32))
             h, w = img.shape[:2]
             sx, sy = w / self.INPUT, h / self.INPUT
             scaled = [

@@ -369,7 +369,7 @@ class UniTableStructure:
         fn = self._compiled(max_len)
         # batch dim padded to a closed bucket set (anti-recompile)
         parts = []
-        for s, e, padded in batch_chunks(len(imgs)):
+        for s, e, padded in batch_chunks(len(imgs), sizes=(4, 16)):
             t, l = fn(
                 self.variables["encoder"], self.variables["decoder"],
                 self.variables["mem_proj"],

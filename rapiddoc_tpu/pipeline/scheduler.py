@@ -559,6 +559,7 @@ class DocumentAnalyzer:
                     crops.append(crop_quad(page_images[page_i], quad))
                     owners.append((page_i, quad, float(score)))
         with stage_timer("ocr_rec", len(images)):
+            logger.debug("rec over %d crops", len(crops))
             rec_results = _rec_with_fallback(self.ocr.recognizer, crops)
         for (page_i, quad, det_score), rec in zip(owners, rec_results):
             x0, y0 = float(quad[:, 0].min()), float(quad[:, 1].min())
