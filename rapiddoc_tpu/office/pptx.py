@@ -32,23 +32,51 @@ def _shape_xy(sp) -> tuple[int, int]:
     return (1 << 60), (1 << 60)
 
 
-def _shape_text(sp) -> list[str]:
-    """Paragraph texts of a shape."""
+def _shape_text(sp, rels: dict | None = None) -> list[str]:
+    """Paragraph texts of a shape: runs joined (hyperlinks become
+    markdown links via `rels`), `a:br` as newline, bullet paragraphs
+    (`a:buChar`/`a:buAutoNum`, reference pptx_converter.py:1508-1560)
+    prefixed as markdown list items with `a:pPr lvl` indentation."""
     out = []
     txbody = sp.find(f"{{{P}}}txBody")
     if txbody is None:
         txbody = sp.find(f"{{{A}}}txBody")
     if txbody is None:
         return out
+    auto_counters: dict[int, int] = {}
     for para in txbody.findall(f"{{{A}}}p"):
         parts = []
-        for r in para.iter(f"{{{A}}}r"):
-            t = r.find(f"{{{A}}}t")
-            if t is not None and t.text:
-                parts.append(t.text)
+        for el in para:
+            if el.tag == f"{{{A}}}r":
+                t = el.find(f"{{{A}}}t")
+                if t is None or not t.text:
+                    continue
+                text = t.text
+                rpr = el.find(f"{{{A}}}rPr")
+                link = rpr.find(f"{{{A}}}hlinkClick") if rpr is not None else None
+                if link is not None and rels:
+                    target = rels.get(link.get(q("r:id")))
+                    if target and target.startswith(("http://", "https://")):
+                        text = f"[{text}]({target})"
+                parts.append(text)
+            elif el.tag == f"{{{A}}}br":
+                parts.append("\n")
         text = "".join(parts).strip()
-        if text:
-            out.append(text)
+        if not text:
+            continue
+        ppr = para.find(f"{{{A}}}pPr")
+        lvl = int(ppr.get("lvl", "0")) if ppr is not None else 0
+        bu_char = ppr.find(f"{{{A}}}buChar") if ppr is not None else None
+        bu_auto = ppr.find(f"{{{A}}}buAutoNum") if ppr is not None else None
+        bu_none = ppr.find(f"{{{A}}}buNone") if ppr is not None else None
+        if bu_auto is not None and bu_none is None:
+            auto_counters[lvl] = auto_counters.get(lvl, 0) + 1
+            for deeper in [k for k in auto_counters if k > lvl]:
+                auto_counters.pop(deeper)
+            text = "  " * lvl + f"{auto_counters[lvl]}. " + text
+        elif bu_char is not None and bu_none is None:
+            text = "  " * lvl + "- " + text
+        out.append(text)
     return out
 
 
@@ -105,6 +133,99 @@ def _sort_shapes(items: list[tuple]) -> list[tuple]:
     return [items[i] for i in order]
 
 
+# (scale_x, scale_y, trans_x, trans_y): child EMU -> slide EMU
+_IDENTITY = (1.0, 1.0, 0.0, 0.0)
+
+
+def _compose_group_transform(grp, outer) -> tuple[float, float, float, float]:
+    """Group shapes position children in a child coordinate space
+    (`a:chOff`/`a:chExt`) mapped onto the group's own box (`a:off`/
+    `a:ext`) — compose that affine map with the outer transform
+    (reference: pptx_converter.py:342 _group_shape_transform)."""
+    xfrm = grp.find(f"{{{P}}}grpSpPr/{{{A}}}xfrm")
+    if xfrm is None:
+        return outer
+    def _pt(el, default=(0, 0)):
+        if el is None:
+            return default
+        try:
+            return int(el.get("x", el.get("cx", "0"))), int(
+                el.get("y", el.get("cy", "0"))
+            )
+        except ValueError:
+            return default
+    ox, oy = _pt(xfrm.find(f"{{{A}}}off"))
+    ex, ey = _pt(xfrm.find(f"{{{A}}}ext"), (1, 1))
+    cox, coy = _pt(xfrm.find(f"{{{A}}}chOff"))
+    cex, cey = _pt(xfrm.find(f"{{{A}}}chExt"), (ex, ey))
+    sx = ex / cex if cex else 1.0
+    sy = ey / cey if cey else 1.0
+    # child -> group-local -> outer
+    osx, osy, otx, oty = outer
+    return (
+        osx * sx,
+        osy * sy,
+        otx + osx * (ox - sx * cox),
+        oty + osy * (oy - sy * coy),
+    )
+
+
+def _collect_shapes(tree, z, rels, tf) -> list[tuple]:
+    """Walk an spTree, recursing into p:grpSp with composed transforms;
+    returns (y, x, w, h, kind, payload) items in slide coordinates."""
+    sx, sy, tx, ty = tf
+    items: list[tuple] = []
+
+    def _place(el):
+        y, x = _shape_xy(el)
+        w, h = _shape_wh(el)
+        if x >= (1 << 60) or y >= (1 << 60):
+            return y, x, w, h
+        return (
+            int(ty + sy * y),
+            int(tx + sx * x),
+            int(sx * w),
+            int(sy * h),
+        )
+
+    for el in tree:
+        if el.tag == f"{{{P}}}grpSp":
+            items.extend(
+                _collect_shapes(el, z, rels, _compose_group_transform(el, tf))
+            )
+        elif el.tag == f"{{{P}}}sp":
+            texts = _shape_text(el, rels)
+            if not texts:
+                continue
+            y, x, w, h = _place(el)
+            kind = "title" if _is_title(el) else "text"
+            items.append((y, x, w, h, kind, texts))
+        elif el.tag == f"{{{P}}}graphicFrame":
+            y, x, w, h = _place(el)
+            tbl = el.find(f".//{{{A}}}tbl")
+            if tbl is not None:
+                items.append((y, x, w, h, "table", _table_to_html(tbl)))
+            else:
+                from .chart import chart_part_to_html, find_chart_refs
+
+                for chart_path in find_chart_refs(el, rels):
+                    html = chart_part_to_html(z, chart_path)
+                    if html:
+                        items.append((y, x, w, h, "table", html))
+        elif el.tag == f"{{{P}}}pic":
+            y, x, w, h = _place(el)
+            blip = el.find(f".//{{{A}}}blip")
+            if blip is not None:
+                rid = blip.get(q("r:embed"))
+                target = rels.get(rid)
+                if target and target in z.namelist():
+                    items.append(
+                        (y, x, w, h, "image",
+                         (os.path.basename(target), z.read(target)))
+                    )
+    return items
+
+
 def pptx_to_blocks(data: bytes) -> OfficeResult:
     result = OfficeResult()
     with zipfile.ZipFile(io.BytesIO(data)) as z:
@@ -132,41 +253,7 @@ def pptx_to_blocks(data: bytes) -> OfficeResult:
             tree = root.find(f"{{{P}}}cSld/{{{P}}}spTree")
             if tree is None:
                 continue
-            items = []  # (y, x, kind, payload)
-            for el in tree:
-                if el.tag == f"{{{P}}}sp":
-                    texts = _shape_text(el)
-                    if not texts:
-                        continue
-                    y, x = _shape_xy(el)
-                    w, h = _shape_wh(el)
-                    kind = "title" if _is_title(el) else "text"
-                    items.append((y, x, w, h, kind, texts))
-                elif el.tag == f"{{{P}}}graphicFrame":
-                    y, x = _shape_xy(el)
-                    w, h = _shape_wh(el)
-                    tbl = el.find(f".//{{{A}}}tbl")
-                    if tbl is not None:
-                        items.append((y, x, w, h, "table", _table_to_html(tbl)))
-                    else:
-                        from .chart import chart_part_to_html, find_chart_refs
-
-                        for chart_path in find_chart_refs(el, rels):
-                            html = chart_part_to_html(z, chart_path)
-                            if html:
-                                items.append((y, x, w, h, "table", html))
-                elif el.tag == f"{{{P}}}pic":
-                    y, x = _shape_xy(el)
-                    w, h = _shape_wh(el)
-                    blip = el.find(f".//{{{A}}}blip")
-                    if blip is not None:
-                        rid = blip.get(q("r:embed"))
-                        target = rels.get(rid)
-                        if target and target in z.namelist():
-                            items.append(
-                                (y, x, w, h, "image",
-                                 (os.path.basename(target), z.read(target)))
-                            )
+            items = _collect_shapes(tree, z, rels, _IDENTITY)
             items = _sort_shapes(items)
             for _, _, _, _, kind, payload in items:
                 if kind == "title":
