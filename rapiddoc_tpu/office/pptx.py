@@ -255,6 +255,7 @@ def pptx_to_blocks(data: bytes) -> OfficeResult:
                 continue
             items = _collect_shapes(tree, z, rels, _IDENTITY)
             items = _sort_shapes(items)
+            notes = _slide_notes(z, slide_path, rels)
             for _, _, _, _, kind, payload in items:
                 if kind == "title":
                     result.add_title(payload[0], level=1, page=page_idx)
@@ -267,4 +268,33 @@ def pptx_to_blocks(data: bytes) -> OfficeResult:
                 elif kind == "image":
                     name, img = payload
                     result.add_image(f"s{page_idx}_{name}", img, page=page_idx)
+            for note in notes:
+                result.add_text(note, page=page_idx)
     return result
+
+
+def _slide_notes(z, slide_path: str, rels: dict) -> list[str]:
+    """Speaker-notes paragraphs for a slide, appended after the slide
+    body (reference: pptx_converter.py:548 _handle_slide_notes emits
+    them as page footnotes). Slide-number/metadata placeholders are
+    skipped; bare page numbers are dropped."""
+    notes_path = next(
+        (t for t in rels.values() if "notesSlide" in t and t in z.namelist()),
+        None,
+    )
+    if notes_path is None:
+        return []
+    try:
+        root = ET.fromstring(z.read(notes_path))
+    except ET.ParseError:
+        return []
+    out: list[str] = []
+    for sp in root.iter(f"{{{P}}}sp"):
+        ph = sp.find(f".//{{{P}}}ph")
+        if ph is not None and ph.get("type") in ("sldNum", "dt", "ftr", "sldImg"):
+            continue
+        for text in _shape_text(sp):
+            if text.strip().isdigit():
+                continue
+            out.append(text)
+    return out

@@ -106,3 +106,36 @@ def test_break_and_hyperlink():
     text = "\n".join(b.text for b in out.blocks if b.text)
     assert "before\n" in text
     assert "[click](https://example.com/x)" in text
+
+
+def test_slide_notes_appended():
+    slide_rels = (
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/notesSlide" '
+        'Target="../notesSlides/notesSlide1.xml"/>'
+    )
+    notes = f"""<?xml version="1.0"?>
+    <p:notes xmlns:p="{P}" xmlns:a="{A}">
+      <p:cSld><p:spTree>
+        {_sp("num", _para("3"), x=0, y=0,
+             ph='<p:ph type="sldNum"/>')}
+        {_sp("body", _para("speaker note here"), x=0, y=100)}
+      </p:spTree></p:cSld></p:notes>"""
+    body = _sp("s", _para("slide body"), x=0, y=0)
+    import io as _io
+    import zipfile as _zf
+
+    buf = _io.BytesIO(_make_pptx(body, slide_rels))
+    data = buf.getvalue()
+    # rebuild zip with the notes part added
+    out_buf = _io.BytesIO()
+    with _zf.ZipFile(_io.BytesIO(data)) as zin, _zf.ZipFile(out_buf, "w") as zout:
+        for n in zin.namelist():
+            zout.writestr(n, zin.read(n))
+        zout.writestr("ppt/notesSlides/notesSlide1.xml", notes)
+    out = pptx_to_blocks(out_buf.getvalue())
+    text = "\n".join(b.text for b in out.blocks if b.text)
+    assert "slide body" in text
+    assert "speaker note here" in text
+    assert text.index("slide body") < text.index("speaker note here")
+    assert "\n3" not in text  # sldNum placeholder skipped
