@@ -3,7 +3,30 @@
 PDF/image/Office -> Markdown/JSON, with the model stack (layout, OCR,
 formula, table) running as bucketed JAX/XLA programs on TPU.
 """
+import os as _os
+
 from .version import __version__
+
+
+def _force_platform() -> None:
+    """Honor RAPIDDOC_PLATFORM / MINERU_PLATFORM (e.g. ``cpu``).
+
+    Out-of-tree TPU plugins may register themselves regardless of the
+    ``JAX_PLATFORMS`` env var; the only override they respect is
+    ``jax.config.update("jax_platforms", ...)`` before backend init.
+    This gives library users a working escape hatch when the TPU link
+    is down (otherwise the first device touch blocks indefinitely).
+    """
+    plat = _os.environ.get("RAPIDDOC_PLATFORM") or _os.environ.get(
+        "MINERU_PLATFORM"
+    )
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+_force_platform()
 
 __all__ = [
     "RapidDoc",
