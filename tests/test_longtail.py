@@ -349,3 +349,28 @@ def test_aio_do_parse(tmp_path):
     )
     assert len(res) == 1 and "markdown" in res[0]
     assert (tmp_path / "x" / "x.md").exists()
+
+
+def test_platform_env_knob_forces_jax_platform():
+    """RAPIDDOC_PLATFORM must set jax_platforms before backend init
+    (out-of-tree TPU plugins ignore JAX_PLATFORMS; the config route is
+    the only working override — see rapiddoc_tpu.__init__)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["RAPIDDOC_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    code = (
+        "import rapiddoc_tpu\n"
+        "import jax\n"
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms\n"
+        "print('ok')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "ok" in r.stdout
