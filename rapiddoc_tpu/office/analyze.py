@@ -34,6 +34,20 @@ def sniff_office_kind(data: bytes) -> str | None:
 def office_parse(data: bytes, name: str, make_md_mode: str = MakeMode.MM_MD):
     from ..api import RapidDocOutput
 
+    if not data:
+        # zero-byte office file -> empty document output (reference:
+        # rapid_doc/utils/empty_office.py normalize_empty_office_bytes,
+        # applied in main.py:613 / cli/common.py:40)
+        from .common import OfficeResult
+
+        result = OfficeResult()
+        return RapidDocOutput(
+            markdown="",
+            images={},
+            middle_json=result.to_middle_json(),
+            content_list_json=result.to_content_list(),
+        )
+
     kind = sniff_office_kind(data)
     if kind == "docx":
         from .docx import docx_to_blocks

@@ -374,3 +374,15 @@ def test_platform_env_knob_forces_jax_platform():
     )
     assert r.returncode == 0, r.stderr
     assert "ok" in r.stdout
+
+
+def test_zero_byte_office_file_yields_empty_document():
+    """Reference normalize_empty_office_bytes semantics (empty_office.py,
+    main.py:613): a 0-byte .docx/.pptx/.xlsx parses to an empty doc."""
+    from rapiddoc_tpu.office.analyze import office_parse
+
+    for suffix in ("docx", "pptx", "xlsx"):
+        out = office_parse(b"", f"blank.{suffix}")
+        assert out.markdown == ""
+        assert out.content_list_json == []
+        assert isinstance(out.middle_json, dict)
