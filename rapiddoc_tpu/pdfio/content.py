@@ -458,18 +458,42 @@ class ContentInterpreter:
         if font is None:
             return
         fs, h_scale = gs.font_size, gs.h_scale
+        # Within one show-text run only the text-matrix translation moves
+        # (along the baseline), so trm's linear part and the per-advance
+        # displacement direction are loop invariants — hoisting the two
+        # mat_muls per char costs ~0 and text runs are the hot path of
+        # page rendering.
+        ta, tb, tc, td, te, tf = self.text_matrix
+        ca, cb, cc, cd, ce, cf = gs.ctm
+        # M = text_matrix @ ctm (linear part; translation tracked per char)
+        ma = ta * ca + tb * cc
+        mb = ta * cb + tb * cd
+        mc = tc * ca + td * cc
+        md = tc * cb + td * cd
+        # trm = (fs*h, 0, 0, fs, 0, rise) @ M : linear part constant.
+        # Operation order below matches the original mat_mul chain
+        # bit-for-bit so char bboxes (and the word-gap decisions built on
+        # them) are unchanged.
+        fsh = fs * h_scale
+        rise = gs.rise
+        A, B = fsh * ma, fsh * mb
+        C, D = fs * mc, fs * md
+        rise_mc, rise_md = rise * mc, rise * md
+        char_spacing, word_spacing = gs.char_spacing, gs.word_spacing
+        on_show_char = self.on_show_char
+        is_space = font.is_space_code
+        tm_e, tm_f = te, tf
         for code, unicode_text, width1000 in font.iter_codes(raw):
-            w0 = width1000 / 1000.0
-            trm = mat_mul(
-                (fs * h_scale, 0, 0, fs, 0, gs.rise),
-                mat_mul(self.text_matrix, gs.ctm),
-            )
-            adv = w0 * fs + gs.char_spacing
-            if font.is_space_code(code):
-                adv += gs.word_spacing
+            adv = width1000 / 1000.0 * fs + char_spacing
+            if is_space(code):
+                adv += word_spacing
             adv *= h_scale
-            self.on_show_char(code, unicode_text, trm, adv, font)
-            self.text_matrix = mat_mul((1, 0, 0, 1, adv, 0), self.text_matrix)
+            e = rise_mc + ((tm_e * ca + tm_f * cc) + ce)
+            f = rise_md + ((tm_e * cb + tm_f * cd) + cf)
+            on_show_char(code, unicode_text, (A, B, C, D, e, f), adv, font)
+            tm_e = adv * ta + tm_e
+            tm_f = adv * tb + tm_f
+        self.text_matrix = (ta, tb, tc, td, tm_e, tm_f)
 
     # -------------------------------------------------------------- xobjects
 

@@ -101,6 +101,18 @@ class PageRasterizer(ContentInterpreter):
             cache = {}
             doc._render_glyph_cache = cache
         self._glyph_cache: dict[tuple, tuple] = cache
+        # per-run invariants (see on_show_char) and face picks, doc scope
+        rc = getattr(doc, "_render_run_cache", None)
+        if rc is None:
+            rc = {}
+            doc._render_run_cache = rc
+        self._run_cache: dict[tuple, tuple] = rc
+        fp = getattr(doc, "_render_face_picks", None)
+        if fp is None:
+            fp = {}
+            doc._render_face_picks = fp
+        self._face_picks: dict[tuple, Any] = fp
+        self.canvas.load()
 
     # ---------------------------------------------------------------- public
 
@@ -136,22 +148,39 @@ class PageRasterizer(ContentInterpreter):
     def on_show_char(
         self, code: int, text: str, trm: Matrix, advance: float, font: Font
     ) -> None:
-        if self.gs.render_mode in (3, 7):  # invisible / clip-only
+        gs = self.gs
+        if gs.render_mode in (3, 7):  # invisible / clip-only
             return
         if not text or text.isspace():
             return
         a, b, c, d, e, f = trm
-        px = math.hypot(c, d)
-        if px < 1.0:
+        # (scale, rotation, color, face-size) depend only on the linear
+        # part of trm and the fill state — constant across a text run and
+        # usually across the whole page. One dict hit replaces hypot +
+        # atan2 + color quantization + two face lookups per char.
+        rkey = (a, b, c, d, gs.fill_color, gs.fill_alpha, id(font))
+        run = self._run_cache.get(rkey)
+        if run is None:
+            px = math.hypot(c, d)
+            if px < 1.0:
+                run = (None, 0.0, None)
+            else:
+                color = tuple(int(v * 255) for v in gs.fill_color) + (
+                    int(255 * gs.fill_alpha),
+                )
+                rotation = math.degrees(math.atan2(b, a)) % 360.0
+                upright = rotation < 0.5 or rotation > 359.5
+                run = (color, rotation if not upright else 0.0, px)
+            if len(self._run_cache) > 4096:
+                self._run_cache.clear()
+            self._run_cache[rkey] = run
+        color, rotation, px = run
+        if color is None:
             return
-        color = tuple(int(v * 255) for v in self.gs.fill_color) + (
-            int(255 * self.gs.fill_alpha),
-        )
         face = self._pick_face(font, text, px)
         if face is None:
             return
-        rotation = math.degrees(math.atan2(b, a)) % 360.0
-        if rotation < 0.5 or rotation > 359.5:
+        if rotation == 0.0:
             self._draw_cached(text, face, color, (e, f))
         else:
             self._draw_rotated(text, face, color, (e, f), rotation)
@@ -176,25 +205,37 @@ class PageRasterizer(ContentInterpreter):
             ImageDraw.Draw(tile).text(
                 (-bbox[0], -bbox[1]), text, font=face, fill=color, anchor="ls"
             )
+            tile.load()
             if len(self._glyph_cache) > 20000:
                 self._glyph_cache.clear()
-            entry = (tile, bbox[0], bbox[1])
+            entry = (tile.im, bbox[0], bbox[1], w, h, tile)
             self._glyph_cache[key] = entry
-        tile, dx, dy = entry
+        tile_im, dx, dy, w, h, tile = entry
         x, y = origin
-        self.canvas.paste(tile, (int(x + dx), int(y + dy)), tile)
+        x0, y0 = int(x + dx), int(y + dy)
+        if 0 <= x0 and 0 <= y0 and x0 + w <= self.width and y0 + h <= self.height:
+            # core-level paste: skips the Python-side mode/box normalization
+            # of Image.paste, which is pure overhead for pre-sized RGBA tiles
+            self.canvas.im.paste(tile_im, (x0, y0, x0 + w, y0 + h), tile_im)
+        else:  # partially off-canvas: Image.paste clips
+            self.canvas.paste(tile, (x0, y0), tile)
 
     def _pick_face(self, font: Font, text: str, px: float):
+        px_r = round(px)
+        pick_key = (id(font), text[:1], px_r)
+        face = self._face_picks.get(pick_key)
+        if face is not None:
+            return face
+        face = self.fontbank.face(font, px_r)
         key = (id(font), text[:1])
-        face = self.fontbank.face(font, round(px))
         covered = self._font_covers.get(key)
         if covered is None:
             covered = self.fontbank.covers(face, text)
             self._font_covers[key] = covered
-        if covered:
-            return face
-        fb = self.fontbank.fallback(round(px))
-        return fb
+        if not covered:
+            face = self.fontbank.fallback(px_r)
+        self._face_picks[pick_key] = face
+        return face
 
     def _draw_rotated(self, text, face, color, origin, rotation) -> None:
         try:
@@ -285,11 +326,16 @@ class _RenderAndExtract(PageRasterizer):
     def __init__(self, page: PdfPage, scale: float):
         super().__init__(page, scale)
         self.chars: list[dict] = []
-
-    def on_show_char(self, code, text, trm, advance, font) -> None:
+        self._rec_cache: dict = {}
         from .text import record_char
 
-        record_char(self.chars, self.gs, code, text, trm, advance, font)
+        self._record_char = record_char
+
+    def on_show_char(self, code, text, trm, advance, font) -> None:
+        self._record_char(
+            self.chars, self.gs, code, text, trm, advance, font,
+            self._rec_cache,
+        )
         super().on_show_char(code, text, trm, advance, font)
 
 

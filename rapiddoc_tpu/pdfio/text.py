@@ -37,58 +37,78 @@ class TextExtractor(ContentInterpreter):
     def __init__(self, page: PdfPage):
         super().__init__(page)
         self.chars: list[dict] = []
+        self._run_cache: dict = {}
 
     def on_show_char(
         self, code: int, text: str, trm: Matrix, advance: float, font: Font
     ) -> None:
-        record_char(self.chars, self.gs, code, text, trm, advance, font)
+        record_char(
+            self.chars, self.gs, code, text, trm, advance, font,
+            self._run_cache,
+        )
 
 
 def record_char(
     chars: list[dict], gs, code: int, text: str, trm: Matrix,
-    advance: float, font: Font,
+    advance: float, font: Font, cache: dict | None = None,
 ) -> None:
     """Append one char record (shared by the text-only extractor and the
-    fused render+text pass)."""
+    fused render+text pass).
+
+    The advance box is (0,descent)-(adv_text,ascent) in text space mapped
+    through trm. Everything except trm's translation and the per-char
+    advance is constant across a text run, so with a `cache` dict the
+    rotation / size / vertical-extent terms are computed once per
+    (linear-trm, font, font-state) key instead of per char.
+    """
     if gs.render_mode == 3 and not text:
         return
     a, b, c, d, e, f = trm
-    # glyph-space unit vectors in device space
-    asc, desc = font.ascent, font.descent
-    w0 = advance / (gs.font_size or 1.0) if gs.font_size else 0.0
-    # corners of the advance box in text space: (0,desc)-(w,asc)
-    fs = 1.0  # trm already includes font size
-    wadv = advance
-    pts = [
-        mat_apply(trm, 0.0, desc),
-        mat_apply(trm, 0.0, asc),
-    ]
-    # advance is along baseline in *unscaled* text space times fs; in trm
-    # space x axis is scaled by fs*h, so advance in text-space x units:
-    if gs.font_size:
-        adv_text = advance / (gs.font_size * (gs.h_scale or 1.0))
-    else:
-        adv_text = 0.0
-    pts.append(mat_apply(trm, adv_text, desc))
-    pts.append(mat_apply(trm, adv_text, asc))
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
-    rotation = math.degrees(math.atan2(b, a)) % 360.0
-    size = math.hypot(c, d)  # vertical extent scale == effective font size
+    fs = gs.font_size
+    run = None
+    if cache is not None:
+        rkey = (a, b, c, d, id(font), fs, gs.h_scale)
+        run = cache.get(rkey)
+    if run is None:
+        asc, desc = font.ascent, font.descent
+        fsh = fs * (gs.h_scale or 1.0) if fs else 0.0
+        run = (
+            math.degrees(math.atan2(b, a)) % 360.0,  # rotation
+            math.hypot(c, d),  # size: vertical extent scale
+            c * desc, c * asc,  # x components of the asc/desc corners
+            d * desc, d * asc,  # y components
+            fsh,
+            font.base_font,
+            font.is_cid,
+            # CID font lacking a ToUnicode CMap: its text is unmappable
+            # (classifier signal, reference pdf_classify.py CID usage)
+            font.is_cid and not getattr(font, "has_to_unicode", True),
+        )
+        if cache is not None:
+            if len(cache) > 4096:
+                cache.clear()
+            cache[rkey] = run
+    (rotation, size, cdx, cax, ddy, day, fsh,
+     base_font, is_cid, no_tu) = run
+    adv_text = advance / fsh if fsh else 0.0
+    adva, advb = a * adv_text, b * adv_text
+    # the four advance-box corners, same float-op order as mat_apply
+    x0, x1 = cdx + e, cax + e
+    x2, x3 = (adva + cdx) + e, (adva + cax) + e
+    y0, y1 = ddy + f, day + f
+    y2, y3 = (advb + ddy) + f, (advb + day) + f
     chars.append(
         {
             "char": text,
             "code": code,
-            "bbox": [min(xs), min(ys), max(xs), max(ys)],
-            "origin": list(mat_apply(trm, 0.0, 0.0)),
+            "bbox": [min(x0, x1, x2, x3), min(y0, y1, y2, y3),
+                     max(x0, x1, x2, x3), max(y0, y1, y2, y3)],
+            "origin": [e, f],
             "rotation": rotation,
             "size": size,
-            "font": font.base_font,
-            "cid": font.is_cid,
-            # CID font lacking a ToUnicode CMap: its text is unmappable
-            # (classifier signal, reference pdf_classify.py CID usage)
-            "no_tounicode_cid": font.is_cid
-            and not getattr(font, "has_to_unicode", True),
+            "font": base_font,
+            "cid": is_cid,
+            "no_tounicode_cid": no_tu,
         }
     )
 
