@@ -37,6 +37,84 @@ def _quad_poly(x0: float, y0: float, x1: float, y1: float) -> list[float]:
     return [x0, y0, x1, y0, x1, y1, x0, y1]
 
 
+def _merge_touching_boxes(
+    boxes: list[list[float]], tol: float
+) -> list[list[float]]:
+    """Union of boxes whose rects intersect within `tol` (connected
+    components); scan strips and sliced figures collapse to one box."""
+    n = len(boxes)
+    if n <= 1:
+        return [list(b) for b in boxes]
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        x0, y0, x1, y1 = boxes[i]
+        for j in range(i + 1, n):
+            u0, v0, u1, v1 = boxes[j]
+            if (
+                x0 - tol <= u1 and u0 - tol <= x1
+                and y0 - tol <= v1 and v0 - tol <= y1
+            ):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    groups: dict[int, list[float]] = {}
+    for i, box in enumerate(boxes):
+        r = find(i)
+        g = groups.get(r)
+        if g is None:
+            groups[r] = list(box)
+        else:
+            g[0] = min(g[0], box[0])
+            g[1] = min(g[1], box[1])
+            g[2] = max(g[2], box[2])
+            g[3] = max(g[3], box[3])
+    return list(groups.values())
+
+
+def _drop_scan_substrate_images(
+    model_info: dict, page_hw: tuple[int, int], cover_thresh: float = 0.8,
+    min_texts: int = 3,
+) -> None:
+    """Remove fallback ImageBody dets that are the scan substrate.
+
+    A scanned page arrives as one (merged) image placement covering the
+    whole page; once OCR finds >= `min_texts` text dets inside it, the
+    image is the page background, not a figure, and emitting it would
+    wrap the page's entire text in a picture block."""
+    ph, pw = page_hw
+    page_area = max(float(pw) * float(ph), 1.0)
+    dets = model_info["layout_dets"]
+    text_centers = [
+        (
+            (d["poly"][0] + d["poly"][4]) / 2.0,
+            (d["poly"][1] + d["poly"][5]) / 2.0,
+        )
+        for d in dets
+        if d["category_id"] in (CategoryId.Text, CategoryId.OcrText)
+    ]
+    kept = []
+    for d in dets:
+        if d["category_id"] == CategoryId.ImageBody:
+            x0, y0 = d["poly"][0], d["poly"][1]
+            x1, y1 = d["poly"][4], d["poly"][5]
+            if (x1 - x0) * (y1 - y0) / page_area > cover_thresh:
+                inside = sum(
+                    1 for cx, cy in text_centers
+                    if x0 <= cx <= x1 and y0 <= cy <= y1
+                )
+                if inside >= min_texts:
+                    continue
+        kept.append(d)
+    model_info["layout_dets"] = kept
+
+
 def _rec_with_fallback(recognizer, crops, **kw):
     """Batch rec with failure isolation: a whole-batch exception retries
     per-crop; a per-crop failure yields an empty low-score result
@@ -299,6 +377,13 @@ class DocumentAnalyzer:
         if ocr_pages:
             with stage_timer("ocr", len(ocr_pages)):
                 self._run_page_ocr(ocr_pages, page_images, model_infos)
+            # a near-full-page fallback ImageBody on a page where OCR
+            # found real text is the scan substrate, not a figure —
+            # a picture-only page (no text found) keeps its image
+            for i in set(ocr_pages) & set(fallback_pages):
+                _drop_scan_substrate_images(
+                    model_infos[i], page_images[i].shape[:2]
+                )
 
         # ②b checkbox detection (reference: batch_analyze.py:208-219 —
         # per-page morphological detect, dets carry the tick glyph)
@@ -498,10 +583,15 @@ class DocumentAnalyzer:
                         )
                         dets.remove(b)
         if image_boxes:
-            for box in image_boxes:
-                x0, y0, x1, y1 = (v * scale for v in box)
-                if x1 - x0 < 8 * scale or y1 - y0 < 8 * scale:
-                    continue
+            # scanned/tiled pages place one xobject per strip; touching
+            # placements are one picture, so merge connected components
+            # first (a layout model would emit one figure region)
+            scaled = [
+                [v * scale for v in box]
+                for box in image_boxes
+                if (box[2] - box[0]) >= 8 and (box[3] - box[1]) >= 8
+            ]
+            for x0, y0, x1, y1 in _merge_touching_boxes(scaled, 3.0 * scale):
                 dets.append(
                     {
                         "category_id": CategoryId.ImageBody,

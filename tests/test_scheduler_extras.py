@@ -257,3 +257,74 @@ def test_seal_batch_ocr():
     assert len(texts) == 2 and all(t for t in texts)
     # one batched text-system call for all regions of all seals
     assert len(calls) == 1 and calls[0] >= 3
+
+
+def test_merge_touching_boxes_scan_strips():
+    """Tiled scan strips collapse to one box; separated figures stay."""
+    from rapiddoc_tpu.pipeline.scheduler import _merge_touching_boxes
+
+    strips = [[0.0, float(i * 50), 800.0, float(i * 50 + 50)] for i in range(8)]
+    merged = _merge_touching_boxes(strips, tol=3.0)
+    assert merged == [[0.0, 0.0, 800.0, 400.0]]
+
+    apart = [[0, 0, 100, 100], [300, 300, 400, 400]]
+    assert len(_merge_touching_boxes(apart, tol=3.0)) == 2
+
+    # transitive chains merge through intermediates
+    chain = [[0, 0, 10, 10], [9, 0, 20, 10], [19, 0, 30, 10]]
+    assert _merge_touching_boxes(chain, tol=1.0) == [[0, 0, 30, 10]]
+
+
+def test_fallback_layout_merges_strips_and_drops_scan_substrate():
+    """OCR-mode pages made of image tiles collapse to one ImageBody,
+    which is dropped once OCR finds text inside it; a picture-only page
+    (no text) keeps its image."""
+    from rapiddoc_tpu.pipeline.scheduler import (
+        DocumentAnalyzer,
+        _drop_scan_substrate_images,
+    )
+    from rapiddoc_tpu.types import CategoryId
+
+    sched = DocumentAnalyzer.__new__(DocumentAnalyzer)  # no models needed
+    sched.formula_enable = False
+    sched.formula_model = None
+
+    def bodies(info):
+        return [
+            d for d in info["layout_dets"]
+            if d["category_id"] == CategoryId.ImageBody
+        ]
+
+    # page fully covered by 10 strips -> ONE merged ImageBody
+    info = {"layout_dets": []}
+    strips = [[0, i * 100, 1000, (i + 1) * 100] for i in range(10)]
+    sched._fallback_layout(info, "ocr", None, strips, 1.0, set())
+    assert len(bodies(info)) == 1
+
+    # after OCR found text on it, the substrate image is dropped
+    for k in range(3):
+        info["layout_dets"].append(
+            {
+                "category_id": CategoryId.Text,
+                "poly": [100, 100 * k + 50, 900, 100 * k + 50,
+                         900, 100 * k + 90, 100, 100 * k + 90],
+                "score": 1.0,
+            }
+        )
+    _drop_scan_substrate_images(info, (1000, 1000))
+    assert not bodies(info)
+
+    # picture-only page (no text dets): the full-page image survives
+    info = {"layout_dets": []}
+    sched._fallback_layout(info, "ocr", None, strips, 1.0, set())
+    _drop_scan_substrate_images(info, (1000, 1000))
+    assert len(bodies(info)) == 1
+
+    # small figure sliced into two touching halves -> ONE ImageBody,
+    # never dropped (below the coverage threshold)
+    info = {"layout_dets": []}
+    halves = [[100, 100, 300, 200], [100, 200, 300, 300]]
+    sched._fallback_layout(info, "ocr", None, halves, 1.0, set())
+    _drop_scan_substrate_images(info, (1000, 1000))
+    assert len(bodies(info)) == 1
+    assert bodies(info)[0]["poly"][:2] == [100, 100]
