@@ -171,9 +171,9 @@ def _embedded_workbook_to_html(xlsx_bytes: bytes) -> str:
                 if name.startswith("xl/worksheets/sheet") and name.endswith(
                     ".xml"
                 ):
-                    html = _sheet_to_html(wz, name, shared)
-                    if html:
-                        return html
+                    tables = _sheet_to_html(wz, name, shared)
+                    if tables:
+                        return tables[0]
     except (zipfile.BadZipFile, ET.ParseError, KeyError):
         pass
     return ""

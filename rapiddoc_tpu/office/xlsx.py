@@ -159,14 +159,47 @@ def _cell_value(c, shared: list[str], styles: list[str] | None = None) -> str:
         return text
 
 
+def _data_islands(
+    occupied: set[tuple[int, int]], gap: int = 1
+) -> list[tuple[int, int, int, int]]:
+    """Connected components of occupied cells, where cells within a
+    Chebyshev distance of gap+1 connect (reference xlsx_converter
+    _find_table_bounds flood fill with gap_tolerance). Returns bounding
+    rects (r0, c0, r1, c1), row-major order."""
+    reach = gap + 1
+    remaining = set(occupied)
+    islands = []
+    while remaining:
+        seed = min(remaining)
+        stack = [seed]
+        remaining.discard(seed)
+        r0, c0 = r1, c1 = seed
+        while stack:
+            r, c = stack.pop()
+            r0, c0 = min(r0, r), min(c0, c)
+            r1, c1 = max(r1, r), max(c1, c)
+            for dr in range(-reach, reach + 1):
+                for dc in range(-reach, reach + 1):
+                    nb = (r + dr, c + dc)
+                    if nb in remaining:
+                        remaining.discard(nb)
+                        stack.append(nb)
+        islands.append((r0, c0, r1, c1))
+    islands.sort()
+    return islands
+
+
 def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str],
-                   styles: list[str] | None = None) -> str | None:
+                   styles: list[str] | None = None) -> list[str]:
+    """Sheet XML -> one HTML table per compact data island, trimmed to
+    its true bounds (reference: xlsx_converter.py _find_data_tables —
+    flood-fill islands with gap tolerance instead of emitting the whole
+    used range with its empty margin rows/columns)."""
     root = ET.fromstring(z.read(path))
     data = root.find(f"{{{S}}}sheetData")
     if data is None:
-        return None
+        return []
     grid: dict[tuple[int, int], str] = {}
-    max_r = max_c = -1
     for row in data.findall(f"{{{S}}}row"):
         for c in row.findall(f"{{{S}}}c"):
             ref = c.get("r", "A1")
@@ -174,12 +207,12 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str],
             val = _cell_value(c, shared, styles)
             if val != "":
                 grid[(r, col)] = val
-                max_r, max_c = max(max_r, r), max(max_c, col)
-    if max_r < 0:
-        return None
+    if not grid:
+        return []
     # merged cells
     merges: dict[tuple[int, int], tuple[int, int]] = {}
     covered: set[tuple[int, int]] = set()
+    occupied = set(grid)
     mc = root.find(f"{{{S}}}mergeCells")
     if mc is not None:
         for m in mc.findall(f"{{{S}}}mergeCell"):
@@ -190,26 +223,36 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str],
             r0, c0 = _row_of(a), _col_to_idx(a)
             r1, c1 = _row_of(b), _col_to_idx(b)
             merges[(r0, c0)] = (r1 - r0 + 1, c1 - c0 + 1)
+            anchored = (r0, c0) in grid
             for rr in range(r0, r1 + 1):
                 for cc in range(c0, c1 + 1):
                     if (rr, cc) != (r0, c0):
                         covered.add((rr, cc))
-    rows_html = []
-    for r in range(max_r + 1):
-        cells = []
-        for c in range(max_c + 1):
-            if (r, c) in covered:
-                continue
-            attrs = ""
-            if (r, c) in merges:
-                rs, cs = merges[(r, c)]
-                if rs > 1:
-                    attrs += f' rowspan="{rs}"'
-                if cs > 1:
-                    attrs += f' colspan="{cs}"'
-            cells.append(f"<td{attrs}>{esc(grid.get((r, c), ''))}</td>")
-        rows_html.append("<tr>" + "".join(cells) + "</tr>")
-    return "<table>" + "".join(rows_html) + "</table>"
+                    if anchored:
+                        # a valued merge range is one solid blob for
+                        # island connectivity
+                        occupied.add((rr, cc))
+    tables = []
+    for ir0, ic0, ir1, ic1 in _data_islands(occupied):
+        rows_html = []
+        for r in range(ir0, ir1 + 1):
+            cells = []
+            for c in range(ic0, ic1 + 1):
+                if (r, c) in covered:
+                    continue
+                attrs = ""
+                if (r, c) in merges:
+                    rs, cs = merges[(r, c)]
+                    rs = min(rs, ir1 - r + 1)
+                    cs = min(cs, ic1 - c + 1)
+                    if rs > 1:
+                        attrs += f' rowspan="{rs}"'
+                    if cs > 1:
+                        attrs += f' colspan="{cs}"'
+                cells.append(f"<td{attrs}>{esc(grid.get((r, c), ''))}</td>")
+            rows_html.append("<tr>" + "".join(cells) + "</tr>")
+        tables.append("<table>" + "".join(rows_html) + "</table>")
+    return tables
 
 
 def xlsx_to_blocks(data: bytes) -> OfficeResult:
@@ -241,10 +284,11 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
             ]
         result.n_pages = max(len(sheets), 1)
         for page_idx, (name, path) in enumerate(sheets):
-            html = _sheet_to_html(z, path, shared, styles)
-            if html:
+            tables = _sheet_to_html(z, path, shared, styles)
+            if tables:
                 result.add_title(name, level=2, page=page_idx)
-                result.add_table(html, page=page_idx)
+                for html in tables:
+                    result.add_table(html, page=page_idx)
             for chart_html in _sheet_charts(z, path):
                 result.add_table(chart_html, page=page_idx)
             for img_name, blob in _sheet_pictures(z, path):

@@ -190,3 +190,47 @@ def test_caption_runs_between_body_and_caption():
     img = next(i for i in items if i["type"] == "image")
     assert img.get("img_caption") == ["Figure 2: part a",
                                       "Figure 3: part b"]
+
+
+def test_xlsx_data_islands_split_and_trim():
+    """Reference _find_data_tables semantics: blank-margin rows/columns
+    are trimmed and data islands separated by >gap+1 empty rows become
+    separate tables (fixture analogue: xlsx_05/xlsx_07)."""
+    from rapiddoc_tpu.office.xlsx import xlsx_to_blocks
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{S}" xmlns:r="{R}">'
+        '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxml'
+        'formats.org/package/2006/relationships"><Relationship Id="rId1" '
+        'Type="x" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    # data starts at C3 (cols A-B and rows 1-2 empty); a second island
+    # at C9 is 4 blank rows below the first -> separate table
+    sheet = (
+        f'<?xml version="1.0"?><worksheet xmlns="{S}"><sheetData>'
+        '<row r="3"><c r="C3" t="str"><v>H1</v></c>'
+        '<c r="D3" t="str"><v>H2</v></c></row>'
+        '<row r="4"><c r="C4"><v>1</v></c><c r="D4"><v>2</v></c></row>'
+        '<row r="9"><c r="C9" t="str"><v>K1</v></c>'
+        '<c r="D9" t="str"><v>K2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    res = xlsx_to_blocks(buf.getvalue())
+    tables = [b.html for b in res.blocks if b.html]
+    assert len(tables) == 2
+    # no empty leading cells: first cell of first table is H1
+    assert tables[0].startswith("<table><tr><td>H1</td><td>H2</td></tr>")
+    assert tables[1] == "<table><tr><td>K1</td><td>K2</td></tr></table>"
