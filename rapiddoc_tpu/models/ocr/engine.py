@@ -24,6 +24,7 @@ from .det import DBNet
 from .pre_post import (
     CTCLabelDecoder,
     DBPostParams,
+    contrast_stretch as pp_contrast_stretch,
     det_normalize_device,
     det_resize,
     map_crop_box_to_quad,
@@ -87,8 +88,10 @@ class TextDetector:
         limit_side_len: int = 960,
         limit_type: str = "max",
         seed: int = 0,
+        contrast_stretch: bool = False,
     ):
         self.model = DBNet()
+        self.contrast_stretch = contrast_stretch
         if variables is None:
             variables = self.model.init(
                 jax.random.PRNGKey(seed), np.zeros((1, 64, 64, 3), np.float32)
@@ -162,6 +165,8 @@ class TextDetector:
         for img in images:
             resized, ry, rx = det_resize(img, self.limit_side_len, self.limit_type)
             metas.append((img.shape[0], img.shape[1], resized.shape[0], resized.shape[1]))
+            if self.contrast_stretch:
+                resized = pp_contrast_stretch(resized)
             if self.gray_transfer:
                 resized = to_luma(resized)
             prepped.append(resized)  # uint8; normalize happens on device
@@ -280,7 +285,9 @@ class TextRecognizer:
         num_classes: int | None = None,
         drop_score: float = 0.5,
         seed: int = 0,
+        contrast_stretch: bool = False,
     ):
+        self.contrast_stretch = contrast_stretch
         if charset is None:
             path = default_charset_path()
             if path is not None:
@@ -353,7 +360,13 @@ class TextRecognizer:
         for wb, idxs in groups.items():
             # sort by true aspect so padded tails cluster (cache-friendly)
             idxs = sorted(idxs, key=lambda i: crops[i].shape[1] / max(crops[i].shape[0], 1))
-            batch = [rec_resize(crops[i], wb) for i in idxs]  # uint8
+            if self.contrast_stretch:
+                batch = [
+                    rec_resize(pp_contrast_stretch(crops[i]), wb)
+                    for i in idxs
+                ]  # uint8
+            else:
+                batch = [rec_resize(crops[i], wb) for i in idxs]  # uint8
             if self.gray_transfer:
                 batch = [to_luma(b) for b in batch]
             handles = [

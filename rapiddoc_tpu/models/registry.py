@@ -91,11 +91,13 @@ def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
             ]
     if rec_vars is None:
         rec_vars = _load_variables(models_dir / "ocr_rec_v6_small.npz")
+    det_demo = rec_demo = False
     if det_vars is None:
         # in-repo demo checkpoint trained on synthetic documents
         # (rapiddoc_tpu/train) — real text output without network egress
         det_vars = _load_variables(DEMO_ASSETS_DIR / "ocr_det_demo.npz")
         if det_vars is not None:
+            det_demo = True
             logger.info("OCR det: demo synthetic-trained checkpoint")
     if rec_vars is None:
         rec_vars = _load_variables(DEMO_ASSETS_DIR / "ocr_rec_demo.npz")
@@ -103,13 +105,24 @@ def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
             from ..train.synth import DEMO_CHARSET
 
             rec_charset = DEMO_CHARSET
+            rec_demo = True
             logger.info("OCR rec: demo synthetic-trained checkpoint")
     cfg = configs or {}
+    # demo checkpoints see only full-dynamic-range synthetic ink, so
+    # faded scans get a percentile contrast stretch (pre_post.
+    # contrast_stretch); published checkpoints run the reference
+    # preprocessing unmodified. RAPIDDOC_CONTRAST_STRETCH=0/1 overrides.
+    stretch_env = os.environ.get("RAPIDDOC_CONTRAST_STRETCH")
+    det_stretch = det_demo if stretch_env is None else stretch_env == "1"
+    rec_stretch = rec_demo if stretch_env is None else stretch_env == "1"
     det = TextDetector(
         det_vars,
         limit_side_len=int(cfg.get("Det.limit_side_len", 960)),
+        contrast_stretch=det_stretch,
     )
-    rec = TextRecognizer(rec_vars, charset=rec_charset)
+    rec = TextRecognizer(
+        rec_vars, charset=rec_charset, contrast_stretch=rec_stretch
+    )
     if det_vars is None or rec_vars is None:
         logger.warning(
             "OCR checkpoints not found under %s — using random init "

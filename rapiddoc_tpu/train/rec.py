@@ -54,11 +54,22 @@ def loss_fn(params, bstats, model, x_u8, labels, label_pad):
 
 
 def train(steps: int = 3000, out_path=None, pool_size: int = 4096,
-          batch: int = 64, lr: float = 1e-3, seed: int = 0):
+          batch: int = 64, lr: float = 1e-3, seed: int = 0,
+          init_from: str | None = None):
     model = SVTRRec(num_classes=NUM_CLASSES)
     variables = model.init(
         jax.random.PRNGKey(seed), np.zeros((1, HEIGHT, WIDTH, 3), np.float32)
     )
+    if init_from:
+        from ..models.registry import _load_variables
+
+        from pathlib import Path
+
+        warm = _load_variables(Path(init_from))
+        if warm is None:
+            raise FileNotFoundError(init_from)
+        variables = warm
+        logger.info("warm start from %s", init_from)
     params, bstats = split_vars(variables)
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(200, steps // 10), steps
@@ -135,5 +146,6 @@ def evaluate(variables, n: int = 128, seed: int = 4242) -> float:
 if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     out = sys.argv[2] if len(sys.argv) > 2 else None
-    v = train(steps, out)
+    warm = sys.argv[3] if len(sys.argv) > 3 else None
+    v = train(steps, out, init_from=warm)
     logger.info("exact match: %.3f", evaluate(v))

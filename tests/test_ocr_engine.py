@@ -186,3 +186,29 @@ def test_dispatch_oversized_batch_chunks():
     np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-2)
     # 11 rows -> chunks of 4+4+3 -> buckets 4,4,4: only one program
     assert sess.stats.compiles <= 2
+
+
+def test_contrast_stretch_restores_washed_ink():
+    """pre_post.contrast_stretch: faded ink re-spans [0,255]; full-range
+    and flat images pass through unchanged."""
+    import numpy as np
+
+    from rapiddoc_tpu.models.ocr.pre_post import contrast_stretch
+
+    # text-like bimodal image: dark ink on white already spans the range
+    rng = np.random.default_rng(0)
+    clean = np.where(
+        rng.random((48, 160, 3)) < 0.15,
+        rng.integers(0, 6, (48, 160, 3)),
+        rng.integers(250, 256, (48, 160, 3)),
+    ).astype(np.uint8)
+    assert contrast_stretch(clean) is clean  # already full range
+
+    washed = (140 + clean.astype(np.float32) * 0.3).astype(np.uint8)
+    out = contrast_stretch(washed)
+    assert out.min() <= 5 and out.max() >= 250
+    # monotone: darker stays darker
+    assert out[washed == washed.min()].max() <= out[washed == washed.max()].min()
+
+    flat = np.full((48, 160, 3), 180, np.uint8)
+    assert contrast_stretch(flat) is flat  # degenerate window untouched
