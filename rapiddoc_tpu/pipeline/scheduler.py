@@ -80,14 +80,17 @@ def _merge_touching_boxes(
 
 def _drop_scan_substrate_images(
     model_info: dict, page_hw: tuple[int, int], cover_thresh: float = 0.8,
-    min_texts: int = 3,
+    min_texts: int = 8,
 ) -> None:
     """Remove fallback ImageBody dets that are the scan substrate.
 
     A scanned page arrives as one (merged) image placement covering the
     whole page; once OCR finds >= `min_texts` text dets inside it, the
     image is the page background, not a figure, and emitting it would
-    wrap the page's entire text in a picture block."""
+    wrap the page's entire text in a picture block. The threshold is
+    high enough that a photo with incidental text (e.g. a seal image,
+    a storefront) keeps its picture — scanned text pages carry dozens
+    of det lines."""
     ph, pw = page_hw
     page_area = max(float(pw) * float(ph), 1.0)
     dets = model_info["layout_dets"]

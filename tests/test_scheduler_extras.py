@@ -302,7 +302,7 @@ def test_fallback_layout_merges_strips_and_drops_scan_substrate():
     assert len(bodies(info)) == 1
 
     # after OCR found text on it, the substrate image is dropped
-    for k in range(3):
+    for k in range(8):
         info["layout_dets"].append(
             {
                 "category_id": CategoryId.Text,
