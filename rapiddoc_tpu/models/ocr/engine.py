@@ -403,6 +403,21 @@ def crop_quad(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     w = int(max(np.linalg.norm(quad[0] - quad[1]), np.linalg.norm(quad[2] - quad[3])))
     h = int(max(np.linalg.norm(quad[0] - quad[3]), np.linalg.norm(quad[1] - quad[2])))
     w, h = max(w, 1), max(h, 1)
+    # axis-aligned quads (the vast majority of DB boxes on straight
+    # pages) crop with a plain slice copy instead of a perspective warp
+    xs, ys = quad[:, 0], quad[:, 1]
+    if (
+        abs(ys[0] - ys[1]) <= 1.0 and abs(ys[2] - ys[3]) <= 1.0
+        and abs(xs[0] - xs[3]) <= 1.0 and abs(xs[1] - xs[2]) <= 1.0
+    ):
+        ih, iw = img.shape[:2]
+        x0 = max(int(round(xs.min())), 0)
+        y0 = max(int(round(ys.min())), 0)
+        out = np.ascontiguousarray(img[y0 : y0 + h, x0 : x0 + w])
+        if out.shape[0] >= 1 and out.shape[1] >= 1:
+            if out.shape[0] > out.shape[1] * 1.5:  # vertical text
+                out = np.rot90(out, 3)
+            return out
     dst = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float32)
     mat = cv2.getPerspectiveTransform(quad, dst)
     out = cv2.warpPerspective(img, mat, (w, h))
