@@ -33,8 +33,14 @@ def make_pool(n_pages: int, seed: int = 0):
     imgs = np.zeros((n_pages, SIZE, SIZE, 3), np.uint8)
     # uint8 0/1 targets: 4x less host->device traffic than float32
     targets = np.zeros((n_pages, SIZE, SIZE), np.uint8)
+    from .synth import scan_wash
+
     for i in range(n_pages):
         img, boxes = render_page(rng, SIZE)
+        if rng.random() < 0.4:
+            # photometric only (ink fade / gamma / JPEG) — box targets
+            # are geometry and stay valid
+            img = scan_wash(img, rng)
         imgs[i] = img
         targets[i] = db_prob_target(boxes, SIZE).astype(np.uint8)
     return imgs, targets
