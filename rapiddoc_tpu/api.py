@@ -31,7 +31,6 @@ from .data.io import (
     FileBasedDataWriter,
     MemoryDataWriter,
 )
-from .pdfio.placements import image_placements
 from .pipeline.middle import result_to_middle_json
 from .pipeline.mkcontent import union_make
 from .pipeline.scheduler import DocumentAnalyzer
@@ -288,15 +287,13 @@ class RapidDoc:
                 for i in idxs:
                     try:
                         page = doc.get_page(i)
-                        if parse_method == "txt":
-                            # one interpreter pass yields raster + text
-                            from .pdfio.render import render_page_with_text
+                        # one interpreter pass yields raster + text +
+                        # image placements (was three passes)
+                        from .pdfio.render import render_page_full
 
-                            img, tdict = render_page_with_text(page, dpi=dpi)
-                        else:
-                            img = pdfio.render_page(page, dpi=dpi)
+                        img, tdict, boxes = render_page_full(page, dpi=dpi)
+                        if parse_method != "txt":
                             tdict = None
-                        boxes = image_placements(page)
                         dims.append(page.size)
                     except Exception:
                         # per-page failure isolation: blank placeholder
@@ -474,14 +471,11 @@ class RapidDoc:
                 _, doc, _, mode = opened[k]
                 try:
                     page = doc.get_page(page_i)
-                    if mode == "txt":
-                        from .pdfio.render import render_page_with_text
+                    from .pdfio.render import render_page_full
 
-                        img, tdict = render_page_with_text(page, dpi=dpi)
-                    else:
-                        img = pdfio.render_page(page, dpi=dpi)
+                    img, tdict, boxes = render_page_full(page, dpi=dpi)
+                    if mode != "txt":
                         tdict = None
-                    boxes = image_placements(page)
                     dims = page.size
                 except Exception:
                     logger.exception("page %d failed to render", page_i)

@@ -40,20 +40,20 @@ def _render_range(pdf_bytes: bytes, idxs: list[int], dpi: int,
     (png_bytes, (w, h) page units, text_dict|None, image_boxes)."""
     import io
 
-    from . import get_page as get_text_page
-    from . import open_pdf, render_page
-    from .placements import image_placements
+    from . import open_pdf
+    from .render import render_page_full
 
     out = []
     doc = open_pdf(pdf_bytes)
     for i in idxs:
         try:
             page = doc.get_page(i)
-            img = render_page(page, dpi=dpi)
+            # single interpreter pass: raster + text + placements
+            img, tdict, boxes = render_page_full(page, dpi=dpi)
+            if not want_text:
+                tdict = None
             buf = io.BytesIO()
             img.save(buf, format="PNG", compress_level=1)
-            tdict = get_text_page(page) if want_text else None
-            boxes = image_placements(page)
             out.append((buf.getvalue(), page.size, tdict, boxes))
         except Exception:
             logger.exception("worker failed on page %d", i)

@@ -320,12 +320,14 @@ def render_page(page: PdfPage, dpi: int = 200) -> Image.Image:
 
 
 class _RenderAndExtract(PageRasterizer):
-    """One content-stream pass producing both the raster and the char
-    records (txt-mode pages previously interpreted every stream twice)."""
+    """One content-stream pass producing the raster, the char records,
+    and the image placements (txt-mode pages previously interpreted
+    every content stream three times)."""
 
     def __init__(self, page: PdfPage, scale: float):
         super().__init__(page, scale)
         self.chars: list[dict] = []
+        self.image_boxes: list[list[float]] = []
         self._rec_cache: dict = {}
         from .text import record_char
 
@@ -338,24 +340,51 @@ class _RenderAndExtract(PageRasterizer):
         )
         super().on_show_char(code, text, trm, advance, font)
 
+    def on_draw_image(self, stream: Stream, name: str) -> None:
+        # placement record (raster pixels; rescaled to page points by
+        # render_page_full) — same unit-square math as
+        # placements.PlacementCollector
+        ctm = self.gs.ctm
+        pts = [
+            mat_apply(ctm, x, y) for x, y in ((0, 0), (1, 0), (1, 1), (0, 1))
+        ]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        self.image_boxes.append([min(xs), min(ys), max(xs), max(ys)])
+        super().on_draw_image(stream, name)
 
-def render_page_with_text(
+
+def render_page_full(
     page: PdfPage, dpi: int = 200
-) -> tuple[Image.Image, dict]:
-    """(raster, native-text page dict) from a single interpreter pass.
-    The text dict matches text.get_page (top-left page points)."""
+) -> tuple[Image.Image, dict, list[list[float]]]:
+    """(raster, native-text page dict, image placement boxes) from ONE
+    interpreter pass. The text dict matches text.get_page and the boxes
+    match placements.image_placements (top-left page points)."""
     from .text import build_page_dict
 
     scale = dpi / 72.0
     r = _RenderAndExtract(page, scale)
     img = r.render()
-    # char geometry was recorded at raster scale; back to page points
+    # char/box geometry was recorded at raster scale; back to page points
     inv = 1.0 / scale
     for ch in r.chars:
         ch["bbox"] = [v * inv for v in ch["bbox"]]
         ch["origin"] = [v * inv for v in ch["origin"]]
         ch["size"] *= inv
-    return img, build_page_dict(page, r.chars)
+    boxes = []
+    for b in r.image_boxes:
+        pb = [v * inv for v in b]
+        if pb[2] - pb[0] >= 1 and pb[3] - pb[1] >= 1:
+            boxes.append(pb)
+    return img, build_page_dict(page, r.chars), boxes
+
+
+def render_page_with_text(
+    page: PdfPage, dpi: int = 200
+) -> tuple[Image.Image, dict]:
+    """(raster, native-text page dict) — see render_page_full."""
+    img, page_dict, _ = render_page_full(page, dpi)
+    return img, page_dict
 
 
 def render_pdf_page(pdf_bytes: bytes, index: int, dpi: int = 200) -> Image.Image:
