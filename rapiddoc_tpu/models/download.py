@@ -111,6 +111,13 @@ REGISTRY: dict[str, ModelAsset] = {
         "0ae97252feb0d64ee2c70ee0449ec9de4b08140056f32ce3c725c16ca50142e4",
         None,
     ),
+    "layout_docstructbench": ModelAsset(
+        "doclayout_docstructbench.onnx",
+        f"{_MS}/RapidLayout/resolve/v1.0.0/onnx/doclayout/"
+        "doclayout_yolo_docstructbench_imgsz1024.onnx",
+        "3b452baef10ecabd615491bc82cc4d49475fbc2cd7a8e535044f2c6bb28fb9fe",
+        None,
+    ),
     "table_cell_det_wired": ModelAsset(
         "rt_detr_l_wired_table_cell_det.onnx",
         f"{_MS}/RapidDoc/resolve/v1.0.0/table/RT-DETR-L_wired_table_cell_det/"

@@ -178,7 +178,12 @@ class LayoutDetector:
         from ..registry import _load_variables
 
         # published .onnx checkpoint -> JAX ONNX interpreter path
-        from .onnx_engine import MODEL_SPECS, OnnxLayoutConfig, OnnxLayoutDetector
+        from .onnx_engine import (
+            LOW_CONF_MODELS,
+            MODEL_SPECS,
+            OnnxLayoutConfig,
+            OnnxLayoutDetector,
+        )
 
         model_type = configs.get("model_type", "pp_doclayoutv3")
         for stem in ([model_type] if model_type in MODEL_SPECS else []) + list(
@@ -191,7 +196,12 @@ class LayoutDetector:
                     onnx_path,
                     OnnxLayoutConfig(
                         model_type=stem,
-                        conf_threshold=configs.get("conf_thresh", 0.5),
+                        # S / docstructbench under-recall at 0.5; the
+                        # reference auto-lowers (rapid_layout.py:30-35)
+                        conf_threshold=configs.get(
+                            "conf_thresh",
+                            0.2 if stem in LOW_CONF_MODELS else 0.5,
+                        ),
                         class_thresholds=configs.get("class_thresholds"),
                         markdown_ignore_labels=frozenset(
                             configs.get(

@@ -90,6 +90,20 @@ CLS_DICT_V2 = {
     "vision_footnote": CategoryId.Text,
 }
 
+# DocLayout-YOLO docstructbench (reference rapid_layout.py:48-50): class
+# id doubles as the pipeline CategoryId, except isolate_formula -> 14
+DOCLAYOUT_YOLO_LABELS = [
+    "title", "plain text", "abandon", "figure", "figure_caption",
+    "table", "table_caption", "table_footnote", "isolate_formula",
+    "formula_caption", "10", "11", "12", "inline_formula",
+    "isolated_formula", "ocr_text",
+]
+CLS_DICT_YOLO = {
+    lab: (CategoryId.InterlineEquation_YOLO if lab == "isolate_formula"
+          else i)
+    for i, lab in enumerate(DOCLAYOUT_YOLO_LABELS)
+}
+
 MODEL_SPECS = {
     # file stem -> (labels, cls_dict, input hw, imagenet_norm, native_order)
     "pp_doclayout_s": (PP_DOCLAYOUT_LABELS, CLS_DICT_SML, 480, True, False),
@@ -100,7 +114,12 @@ MODEL_SPECS = {
     ),
     "pp_doclayoutv2": (PP_DOCLAYOUT_V2_LABELS, CLS_DICT_V2, 800, False, True),
     "pp_doclayoutv3": (PP_DOCLAYOUT_V2_LABELS, CLS_DICT_V2, 800, False, True),
+    "doclayout_docstructbench": (
+        DOCLAYOUT_YOLO_LABELS, CLS_DICT_YOLO, 1024, False, False
+    ),
 }
+# reference rapid_layout.py:30-35 auto-lowers these models' threshold
+LOW_CONF_MODELS = {"pp_doclayout_s", "doclayout_docstructbench"}
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -128,6 +147,7 @@ class OnnxLayoutDetector:
         spec = MODEL_SPECS[self.config.model_type]
         self.labels, self.cls_dict, self.input_size, self.imagenet, \
             self.native_order = spec
+        self.yolo = self.config.model_type == "doclayout_docstructbench"
         imagenet = self.imagenet
 
         def _norm_image(x):
@@ -141,13 +161,19 @@ class OnnxLayoutDetector:
                 x = (x - mean) / std
             return x
 
-        self.fn = OnnxJaxFunction.from_file(
-            onnx_path, preproc={"image": _norm_image}
-        )
+        self.fn = OnnxJaxFunction.from_file(onnx_path)
+        # normalize in-graph on whatever the image input is called
+        # ("image" for PP exports, "images" for the YOLO export)
+        img_in = "image" if "image" in self.fn.input_names \
+            else self.fn.input_names[0]
+        self.fn.preproc = {img_in: _norm_image}
+        self._img_in = img_in
 
     def batch_predict(self, images: list[np.ndarray]) -> list[list[dict]]:
         if not images:
             return []
+        if self.yolo:
+            return self._batch_predict_yolo(images)
         size = self.input_size
         batch = []
         scales = []
@@ -178,6 +204,54 @@ class OnnxLayoutDetector:
                 )
             )
             start += n
+        return results
+
+    def _batch_predict_yolo(self, images: list[np.ndarray]) -> list[list[dict]]:
+        """DocLayout-YOLO docstructbench: centered letterbox to 1024
+        (reference model_handler/doc_layout/pre_process.py — gray-114 pad,
+        /255, NCHW), output (B, N, 6) [x0,y0,x1,y1,conf,cls] already
+        NMS-free-decoded (YOLOv10 head); unscale per letterbox geometry
+        (doc_layout/post_process.py + utils.scale_boxes)."""
+        size = self.input_size
+        batch, geoms = [], []
+        for img in images:
+            h, w = img.shape[:2]
+            gain = min(size / h, size / w)
+            nw, nh = round(w * gain), round(h * gain)
+            top = (size - nh) // 2
+            left = (size - nw) // 2
+            canvas = np.full((size, size, 3), 114, np.uint8)
+            canvas[top:top + nh, left:left + nw] = cv2.resize(
+                img, (nw, nh), interpolation=cv2.INTER_LINEAR
+            )
+            batch.append(canvas.transpose(2, 0, 1))
+            geoms.append((gain, left, top, w, h))
+        preds = np.asarray(self.fn(np.stack(batch))[0])
+        results = []
+        for i, (gain, left, top, w, h) in enumerate(geoms):
+            p = preds[i]
+            p = p[p[:, 4] > self.config.conf_threshold]
+            dets = []
+            for x0, y0, x1, y1, conf, c in p:
+                c = int(c)
+                label = (
+                    self.labels[c] if 0 <= c < len(self.labels) else str(c)
+                )
+                bx = [
+                    float(np.clip((x0 - left) / gain, 0, w)),
+                    float(np.clip((y0 - top) / gain, 0, h)),
+                    float(np.clip((x1 - left) / gain, 0, w)),
+                    float(np.clip((y1 - top) / gain, 0, h)),
+                ]
+                dets.append({
+                    "category_id": self.cls_dict.get(label, CategoryId.Text),
+                    "poly": [bx[0], bx[1], bx[2], bx[1],
+                             bx[2], bx[3], bx[0], bx[3]],
+                    "score": round(float(conf), 3),
+                    "original_label": label,
+                    "original_order": -1,
+                })
+            results.append(check_inline_formula(dets))
         return results
 
     def _postprocess(self, boxes, masks, img) -> list[dict]:

@@ -195,3 +195,61 @@ def test_onnx_wired_table_structure(tmp_path):
     cells, grid = wired.batch([np.full((512, 512, 3), 255, np.uint8)])[0]
     assert len(cells) == 4  # 2x2 lattice
     assert max(g[0] for g in grid) == 1 and max(g[1] for g in grid) == 1
+
+
+def test_onnx_doclayout_yolo_contract(tmp_path):
+    """DocLayout-YOLO docstructbench route: letterbox preprocess, already-
+    decoded (B,N,6) [xyxy,conf,cls] output unscaled per letterbox geometry,
+    class id == pipeline CategoryId except isolate_formula -> 14
+    (reference rapid_layout.py:48-50,73-76 + doc_layout/post_process.py)."""
+    from rapiddoc_tpu.models.layout.onnx_engine import (
+        OnnxLayoutConfig,
+        OnnxLayoutDetector,
+    )
+    from rapiddoc_tpu.tools import onnx_writer as w
+    from rapiddoc_tpu.types import CategoryId
+
+    # image 512x1024 -> gain 1.0, pad top 256, left 0
+    preds = np.asarray(
+        [[
+            [100, 356, 300, 456, 0.9, 0],   # title at src (100,100)-(300,200)
+            [400, 556, 600, 656, 0.8, 8],   # isolate_formula -> cat 14
+            [0, 256, 50, 306, 0.1, 1],      # below threshold
+        ]],
+        np.float32,
+    )
+    nodes = [
+        w.encode_node("ReduceMean", ["images"], ["m"], {"keepdims": 0}),
+        w.encode_node("Mul", ["m", "zero"], ["z"]),
+        w.encode_node("Add", ["preds_c", "z"], ["preds"]),
+    ]
+    data = w.build_model(
+        nodes,
+        {"images": (1, 3, 1024, 1024)},
+        {"preds": (1, 3, 6)},
+        {"preds_c": preds, "zero": np.asarray(0.0, np.float32)},
+    )
+    p = tmp_path / "doclayout_docstructbench.onnx"
+    p.write_bytes(data)
+    det = OnnxLayoutDetector(
+        p,
+        OnnxLayoutConfig(
+            model_type="doclayout_docstructbench", conf_threshold=0.2
+        ),
+    )
+    img = np.full((512, 1024, 3), 255, np.uint8)
+    out = det.batch_predict([img])[0]
+    assert [d["original_label"] for d in out] == ["title", "isolate_formula"]
+    assert out[0]["category_id"] == CategoryId.Title
+    assert out[1]["category_id"] == CategoryId.InterlineEquation_YOLO
+    x0, y0, _, _, x1, y1, _, _ = out[0]["poly"]
+    assert (round(x0), round(y0), round(x1), round(y1)) == (100, 100, 300, 200)
+    assert all(d["original_order"] == -1 for d in out)
+
+
+def test_layout_low_conf_model_defaults():
+    """S/docstructbench default to conf 0.2 when the user sets none
+    (reference rapid_layout.py:30-35)."""
+    from rapiddoc_tpu.models.layout.onnx_engine import LOW_CONF_MODELS
+
+    assert LOW_CONF_MODELS == {"pp_doclayout_s", "doclayout_docstructbench"}
