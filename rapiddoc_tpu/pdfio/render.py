@@ -112,6 +112,11 @@ class PageRasterizer(ContentInterpreter):
             fp = {}
             doc._render_face_picks = fp
         self._face_picks: dict[tuple, Any] = fp
+        rt = getattr(doc, "_render_rot_cache", None)
+        if rt is None:
+            rt = {}
+            doc._render_rot_cache = rt
+        self._rot_cache: dict[tuple, Any] = rt
         self.canvas.load()
 
     # ---------------------------------------------------------------- public
@@ -238,22 +243,33 @@ class PageRasterizer(ContentInterpreter):
         return face
 
     def _draw_rotated(self, text, face, color, origin, rotation) -> None:
-        try:
-            bbox = face.getbbox(text)
-        except Exception:
-            return
-        if bbox is None:
-            return
-        pad = 4
-        w = bbox[2] - bbox[0] + 2 * pad
-        h = bbox[3] - bbox[1] + 2 * pad
-        if w <= 0 or h <= 0 or w > 4096 or h > 4096:
-            return
-        tile = Image.new("RGBA", (w, h), (0, 0, 0, 0))
-        td = ImageDraw.Draw(tile)
-        td.text((pad - bbox[0], pad - bbox[1]), text, font=face, fill=color)
-        # device space is y-down: a +θ text rotation appears as -θ for PIL
-        rotated = tile.rotate(-rotation, expand=True, resample=Image.BICUBIC)
+        # rotated glyph tiles repeat as much as upright ones (vertical CJK
+        # runs, rotated pages): cache the render+rotate per
+        # (face, text, color, rotation)
+        key = (id(face), text, color, round(rotation, 2))
+        rotated = self._rot_cache.get(key)
+        if rotated is None:
+            try:
+                bbox = face.getbbox(text)
+            except Exception:
+                return
+            if bbox is None:
+                return
+            pad = 4
+            w = bbox[2] - bbox[0] + 2 * pad
+            h = bbox[3] - bbox[1] + 2 * pad
+            if w <= 0 or h <= 0 or w > 4096 or h > 4096:
+                return
+            tile = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+            td = ImageDraw.Draw(tile)
+            td.text(
+                (pad - bbox[0], pad - bbox[1]), text, font=face, fill=color
+            )
+            # device space is y-down: a +θ text rotation appears as -θ
+            rotated = tile.rotate(-rotation, expand=True, resample=Image.BICUBIC)
+            if len(self._rot_cache) > 8192:
+                self._rot_cache.clear()
+            self._rot_cache[key] = rotated
         # place so the glyph origin lands at `origin`
         ox, oy = origin
         self.canvas.paste(
