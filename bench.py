@@ -371,7 +371,8 @@ def _device_available(timeout_s: float = 180.0) -> bool:
 
 def main() -> None:
     global TINY, PAGES
-    if not _device_available():
+    tpu_down = not _device_available()
+    if tpu_down:
         # fall back to a CPU-tiny run: a degraded-but-real measurement
         # beats a hung process when the device tunnel is down
         print("[bench] TPU unavailable; CPU-tiny fallback", file=sys.stderr)
@@ -402,6 +403,20 @@ def main() -> None:
                 },
                 "pages": pages,
                 "platform": jax.default_backend(),
+                **(
+                    {
+                        "tpu_unavailable": True,
+                        "note": (
+                            "axon TPU tunnel unreachable at bench time; "
+                            "this is a 1-core CPU-host fallback (tiny "
+                            "pages, cold XLA compiles), NOT the chip "
+                            "metric. Last chip-measured warm e2e: see "
+                            "ROADMAP.md Performance section."
+                        ),
+                    }
+                    if tpu_down
+                    else {}
+                ),
             }
         )
     )
