@@ -186,6 +186,8 @@ class LayoutDetector:
         )
 
         model_type = configs.get("model_type", "pp_doclayoutv3")
+        # reference callers pass a ModelType enum; accept its .value
+        model_type = getattr(model_type, "value", model_type)
         for stem in ([model_type] if model_type in MODEL_SPECS else []) + list(
             MODEL_SPECS
         ):

@@ -174,6 +174,18 @@ def build_analyzer(
     from .custom import resolve_custom
 
     configs = configs or {}
+    for stage, cfg in configs.items():
+        # reference configs carry onnxruntime/OpenVINO/CANN engine
+        # selection (engine_cfg / use_cuda / use_cann); there is one
+        # engine here (XLA) — accept and ignore, loudly
+        if isinstance(cfg, dict) and (
+            "engine_cfg" in cfg or "use_cuda" in cfg or "use_cann" in cfg
+        ):
+            logger.warning(
+                "%s config: engine_cfg/use_cuda/use_cann are reference "
+                "onnxruntime knobs; ignored (the XLA engine targets "
+                "whatever device JAX sees)", stage,
+            )
     layout = resolve_custom(configs.get("layout"), "layout") or build_layout_model(
         configs.get("layout")
     )
