@@ -38,6 +38,15 @@ def _jsonable(x):
     return str(x)
 
 
+def _require(model, stage: str):
+    if model is None:
+        raise SystemExit(
+            f"{stage} model unavailable (disabled via RAPIDDOC_DISABLE_"
+            f"{stage.upper()} or no checkpoint; see docs/models.md)"
+        )
+    return model
+
+
 def main(stage: str, argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(
         prog=f"rapiddoc_tpu.models.{stage}",
@@ -59,16 +68,18 @@ def main(stage: str, argv: list[str] | None = None) -> None:
     from . import registry
 
     if stage == "layout":
-        model = registry.build_layout_model(configs)
+        model = _require(registry.build_layout_model(configs), stage)
         results = model.batch_predict(images)
     elif stage == "ocr":
-        system = registry.build_ocr_system(configs, lang=args.lang)
+        system = _require(
+            registry.build_ocr_system(configs, lang=args.lang), stage
+        )
         results = system(images, return_word_boxes=args.words)
     elif stage == "formula":
-        model = registry.build_formula_model(configs)
+        model = _require(registry.build_formula_model(configs), stage)
         results = [{"latex": s} for s in model.batch_predict(images)]
     elif stage == "table":
-        model = registry.build_table_model(configs)
+        model = _require(registry.build_table_model(configs), stage)
         results = [{"html": s} for s in model.batch_predict(images)]
     else:  # pragma: no cover - guarded by the __main__ wiring
         raise SystemExit(f"unknown stage {stage}")
