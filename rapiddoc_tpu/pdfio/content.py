@@ -177,8 +177,14 @@ class ContentInterpreter:
         data = self.page.content_bytes()
         self.execute(data, self.page.resources)
 
-    def execute(self, data: bytes, resources: dict) -> None:
-        for operands, op, inline in tokenize_content(data):
+    def execute(
+        self, data: bytes, resources: dict, tokens: list | None = None
+    ) -> None:
+        """`tokens` replays a pre-tokenized stream (operand lists are
+        never mutated by _dispatch, so cached token lists are reusable)."""
+        for operands, op, inline in (
+            tokens if tokens is not None else tokenize_content(data)
+        ):
             try:
                 if inline is not None:
                     self._op_inline_image(*inline, resources)
@@ -522,7 +528,22 @@ class ContentInterpreter:
                         tuple(float(self.doc.resolve(v)) for v in mtx), self.gs.ctm
                     )
                 form_res = self.doc.resolve(xobj.dict.get("Resources")) or res
-                self.execute(self.doc.stream_bytes(xobj), form_res)
+                # forms repeat across pages (headers, watermarks, logos):
+                # inflate + tokenize once per document. get_object caches
+                # by objnum, so id(xobj) is stable for the doc's life.
+                cache = getattr(self.doc, "_form_tokens_cache", None)
+                if cache is None:
+                    cache = {}
+                    self.doc._form_tokens_cache = cache
+                toks = cache.get(id(xobj))
+                if toks is None:
+                    toks = list(
+                        tokenize_content(self.doc.stream_bytes(xobj))
+                    )
+                    if len(cache) > 512:
+                        cache.clear()
+                    cache[id(xobj)] = toks
+                self.execute(b"", form_res, tokens=toks)
             finally:
                 self.gs = saved_gs
                 del self.gs_stack[saved_stack_len:]
