@@ -174,8 +174,20 @@ class ContentInterpreter:
 
     def run(self, base_ctm: Matrix = IDENTITY) -> None:
         self.gs.ctm = base_ctm
-        data = self.page.content_bytes()
-        self.execute(data, self.page.resources)
+        # a page's content tokenizes twice per parse (txt/ocr classify
+        # pass, then the raster+text pass): keep a small doc-scope token
+        # cache. Bounded to ~32 pages so giant documents stream.
+        cache = getattr(self.doc, "_page_tokens_cache", None)
+        if cache is None:
+            cache = {}
+            self.doc._page_tokens_cache = cache
+        toks = cache.get(self.page.index)
+        if toks is None:
+            toks = list(tokenize_content(self.page.content_bytes()))
+            if len(cache) >= 32:
+                cache.clear()
+            cache[self.page.index] = toks
+        self.execute(b"", self.page.resources, tokens=toks)
 
     def execute(
         self, data: bytes, resources: dict, tokens: list | None = None
