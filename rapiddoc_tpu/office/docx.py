@@ -80,33 +80,121 @@ def _textbox_contents(el) -> list:
     return out
 
 
-def _para_text(p, rels: dict[str, str]) -> str:
-    """Concatenate run text, tabs, breaks and hyperlinks of a paragraph."""
+def _run_style(r) -> frozenset:
+    """Inline style set of a run (reference: office_rich_text.py
+    formatting_to_style_str — bold/italic/underline/strikethrough/
+    super/subscript)."""
+    rpr = r.find(q("w:rPr"))
+    if rpr is None:
+        return frozenset()
+    s = set()
+
+    def on(tag: str) -> bool:
+        el = rpr.find(q(tag))
+        return el is not None and el.get(q("w:val"), "1") not in (
+            "0", "false", "none"
+        )
+
+    if on("w:b"):
+        s.add("bold")
+    if on("w:i"):
+        s.add("italic")
+    if on("w:strike"):
+        s.add("strikethrough")
+    u = rpr.find(q("w:u"))
+    if u is not None and u.get(q("w:val"), "single") != "none":
+        s.add("underline")
+    va = rpr.find(q("w:vertAlign"))
+    if va is not None:
+        v = va.get(q("w:val"))
+        if v == "superscript":
+            s.add("superscript")
+        elif v == "subscript":
+            s.add("subscript")
+    return frozenset(s)
+
+
+def _wrap_style(text: str, style: frozenset) -> str:
+    """Render one styled segment as markdown(+HTML for the styles
+    markdown lacks) — wrapper mapping per reference inline_renderer.py
+    _apply_markdown_style/_apply_html_style."""
+    if not style or not text:
+        return text
+    if not text.strip():
+        # bold/italic on pure whitespace is invisible: drop it
+        # (reference normalize_format_for_text)
+        if not (style & {"underline", "strikethrough"}):
+            return text
+    # markdown delimiters must hug non-space text
+    lead = text[: len(text) - len(text.lstrip())]
+    trail = text[len(text.rstrip()):]
+    core = text.strip()
+    if "superscript" in style:
+        core = f"<sup>{core}</sup>"
+    elif "subscript" in style:
+        core = f"<sub>{core}</sub>"
+    if "underline" in style:
+        core = f"<u>{core}</u>"
+    if "strikethrough" in style:
+        core = f"~~{core}~~"
+    if "bold" in style and "italic" in style:
+        core = f"***{core}***"
+    elif "bold" in style:
+        core = f"**{core}**"
+    elif "italic" in style:
+        core = f"*{core}*"
+    return f"{lead}{core}{trail}"
+
+
+def _para_text(p, rels: dict[str, str], rich: bool = False) -> str:
+    """Concatenate run text, tabs, breaks and hyperlinks of a paragraph.
+    With rich=True, adjacent same-style runs merge and render with
+    markdown/HTML inline styling (body paragraphs; table cells and
+    titles stay plain because their text is escaped/prefixed later)."""
     parts: list[str] = []
+    # style-run buffer: adjacent runs with one style merge before
+    # wrapping so "**a****b**" never appears
+    buf: list[str] = []
+    buf_style: list[frozenset] = [frozenset()]
+
+    def flush_buf():
+        if buf:
+            text = "".join(buf)
+            parts.append(_wrap_style(text, buf_style[0]) if rich else text)
+            buf.clear()
 
     def walk_runs(el):
         for child in el:
             tag = child.tag
             if tag == q("w:r"):
+                style = _run_style(child) if rich else frozenset()
+                if style != buf_style[0]:
+                    flush_buf()
+                    buf_style[0] = style
                 for sub in child:
                     if sub.tag == q("w:t"):
-                        parts.append(sub.text or "")
+                        buf.append(sub.text or "")
                     elif sub.tag == q("w:tab"):
-                        parts.append("\t")
+                        buf.append("\t")
                     elif sub.tag in (q("w:br"), q("w:cr")):
+                        # markdown wrappers cannot span lines
+                        flush_buf()
                         parts.append("\n")
                 # text boxes ride inside run-level drawings (reference:
                 # docx_converter textbox handling); mc:Fallback mirrors
                 # mc:Choice content and must be skipped to avoid doubles
                 for txbx in _textbox_contents(child):
                     for inner_p in txbx.findall(q("w:p")):
-                        inner = _para_text(inner_p, rels)
+                        inner = _para_text(inner_p, rels, rich=rich)
                         if inner.strip():
+                            flush_buf()
                             parts.append(inner.strip() + "\n")
             elif tag == q("w:hyperlink"):
+                flush_buf()
                 rid = child.get(q("r:id"))
                 text_before = len(parts)
                 walk_runs(child)
+                flush_buf()
                 link_text = "".join(parts[text_before:])
                 del parts[text_before:]
                 href = rels.get(rid, "")
@@ -117,6 +205,7 @@ def _para_text(p, rels: dict[str, str]) -> str:
             elif tag in (q("w:ins"), q("w:smartTag")):
                 walk_runs(child)
     walk_runs(p)
+    flush_buf()
     return "".join(parts)
 
 
@@ -366,7 +455,7 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
         for el in body:
             if el.tag == q("w:p"):
                 maths = _para_math(el)
-                text = _para_text(el, rels)
+                text = _para_text(el, rels, rich=True)
                 # footnote/endnote references render as [^n] markers
                 for kind, nid in _note_refs(el):
                     notes = footnotes if kind == "footnote" else endnotes
@@ -389,7 +478,8 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                         result.add_equation(latex)
                 elif level:
                     flush_list()
-                    result.add_title(text, level)
+                    # titles carry their own # prefix: keep them plain
+                    result.add_title(_para_text(el, rels), level)
                 elif _is_list_para(el) and text.strip():
                     npr = _num_pr(el)
                     if npr is not None:

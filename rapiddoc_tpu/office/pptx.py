@@ -32,6 +32,69 @@ def _shape_xy(sp) -> tuple[int, int]:
     return (1 << 60), (1 << 60)
 
 
+def _run_style_key(rpr) -> tuple | None:
+    """Hashable style signature of a run (None = unstyled)."""
+    if rpr is None:
+        return None
+    key = (
+        rpr.get("b") == "1",
+        rpr.get("i") == "1",
+        (rpr.get("u") or "none") != "none",
+        (rpr.get("strike") or "noStrike") != "noStrike",
+        rpr.get("baseline", "0"),
+    )
+    return key if any(key[:4]) or key[4] not in ("0", "") else None
+
+
+def _wrap_run_style(text: str, rpr) -> str:
+    """DrawingML run styling -> markdown/HTML inline wrappers
+    (reference: office_rich_text.py formatting; a:rPr b/i/u/strike/
+    baseline attributes). Whitespace-only runs keep only the visible
+    styles (underline/strike)."""
+    if not text:
+        return text
+    styles = set()
+    if rpr.get("b") == "1":
+        styles.add("bold")
+    if rpr.get("i") == "1":
+        styles.add("italic")
+    if (rpr.get("u") or "none") != "none":
+        styles.add("underline")
+    if (rpr.get("strike") or "noStrike") != "noStrike":
+        styles.add("strikethrough")
+    try:
+        baseline = int(rpr.get("baseline", "0"))
+    except ValueError:
+        baseline = 0
+    if baseline > 0:
+        styles.add("superscript")
+    elif baseline < 0:
+        styles.add("subscript")
+    if not styles:
+        return text
+    if not text.strip():
+        if not (styles & {"underline", "strikethrough"}):
+            return text
+    lead = text[: len(text) - len(text.lstrip())]
+    trail = text[len(text.rstrip()):]
+    core = text.strip() or text
+    if "superscript" in styles:
+        core = f"<sup>{core}</sup>"
+    elif "subscript" in styles:
+        core = f"<sub>{core}</sub>"
+    if "underline" in styles:
+        core = f"<u>{core}</u>"
+    if "strikethrough" in styles:
+        core = f"~~{core}~~"
+    if "bold" in styles and "italic" in styles:
+        core = f"***{core}***"
+    elif "bold" in styles:
+        core = f"**{core}**"
+    elif "italic" in styles:
+        core = f"*{core}*"
+    return f"{lead}{core}{trail}" if text.strip() else text
+
+
 def _shape_text(sp, rels: dict | None = None) -> list[str]:
     """Paragraph texts of a shape: runs joined (hyperlinks become
     markdown links via `rels`), `a:br` as newline, bullet paragraphs
@@ -45,22 +108,39 @@ def _shape_text(sp, rels: dict | None = None) -> list[str]:
         return out
     auto_counters: dict[int, int] = {}
     for para in txbody.findall(f"{{{A}}}p"):
-        parts = []
+        # (text, rpr-or-None, link-target) segments; adjacent runs with
+        # identical styling+link merge before wrapping so split runs
+        # don't emit "**bo****ld**"
+        segs: list[list] = []
         for el in para:
             if el.tag == f"{{{A}}}r":
                 t = el.find(f"{{{A}}}t")
                 if t is None or not t.text:
                     continue
-                text = t.text
                 rpr = el.find(f"{{{A}}}rPr")
-                link = rpr.find(f"{{{A}}}hlinkClick") if rpr is not None else None
-                if link is not None and rels:
-                    target = rels.get(link.get(q("r:id")))
-                    if target and target.startswith(("http://", "https://")):
-                        text = f"[{text}]({target})"
-                parts.append(text)
+                link = None
+                if rpr is not None and rels:
+                    hl = rpr.find(f"{{{A}}}hlinkClick")
+                    if hl is not None:
+                        target = rels.get(hl.get(q("r:id")))
+                        if target and target.startswith(
+                            ("http://", "https://")
+                        ):
+                            link = target
+                key = (_run_style_key(rpr), link)
+                if segs and segs[-1][1] == key:
+                    segs[-1][0] += t.text
+                else:
+                    segs.append([t.text, key, rpr])
             elif el.tag == f"{{{A}}}br":
-                parts.append("\n")
+                segs.append(["\n", (None, None), None])
+        parts = []
+        for seg_text, (style_key, link), rpr in segs:
+            if rpr is not None and style_key:
+                seg_text = _wrap_run_style(seg_text, rpr)
+            if link:
+                seg_text = f"[{seg_text}]({link})"
+            parts.append(seg_text)
         text = "".join(parts).strip()
         if not text:
             continue

@@ -234,3 +234,55 @@ def test_xlsx_data_islands_split_and_trim():
     # no empty leading cells: first cell of first table is H1
     assert tables[0].startswith("<table><tr><td>H1</td><td>H2</td></tr>")
     assert tables[1] == "<table><tr><td>K1</td><td>K2</td></tr></table>"
+
+
+def test_inline_rich_text_styles():
+    """Run-level bold/italic/underline/strike/super/subscript render as
+    markdown(+HTML) wrappers; adjacent same-style runs merge (reference:
+    utils/office_rich_text.py + office/mkcontent/inline_renderer.py)."""
+    body = (
+        "<w:p>"
+        '<w:r><w:rPr><w:b/></w:rPr><w:t>bo</w:t></w:r>'
+        '<w:r><w:rPr><w:b/></w:rPr><w:t>ld</w:t></w:r>'
+        "<w:r><w:t> plain </w:t></w:r>"
+        '<w:r><w:rPr><w:i/></w:rPr><w:t>it</w:t></w:r>'
+        '<w:r><w:rPr><w:b/><w:i/></w:rPr><w:t>both</w:t></w:r>'
+        '<w:r><w:rPr><w:strike/></w:rPr><w:t>gone</w:t></w:r>'
+        '<w:r><w:rPr><w:u w:val="single"/></w:rPr><w:t>under</w:t></w:r>'
+        '<w:r><w:rPr><w:vertAlign w:val="superscript"/></w:rPr><w:t>2</w:t></w:r>'
+        "</w:p>"
+    )
+    res = docx_to_blocks(make_docx(body))
+    text = _texts(res)
+    assert "**bold**" in text           # merged adjacent bold runs
+    assert " plain " in text
+    assert "*it*" in text
+    assert "***both***" in text
+    assert "~~gone~~" in text
+    assert "<u>under</u>" in text
+    assert "<sup>2</sup>" in text
+
+
+def test_rich_text_stays_plain_in_titles_tables_blankruns():
+    body = (
+        '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+        '<w:r><w:rPr><w:b/></w:rPr><w:t>Title</w:t></w:r></w:p>'
+        # bold whitespace-only run: style dropped
+        '<w:p><w:r><w:t>a</w:t></w:r>'
+        '<w:r><w:rPr><w:b/></w:rPr><w:t> </w:t></w:r>'
+        "<w:r><w:t>b</w:t></w:r></w:p>"
+        '<w:tbl><w:tr><w:tc><w:p><w:r><w:rPr><w:b/></w:rPr>'
+        "<w:t>cell</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+    )
+    styles = (
+        f'<?xml version="1.0"?><w:styles {W}>'
+        '<w:style w:styleId="Heading1"><w:name w:val="heading 1"/></w:style>'
+        "</w:styles>"
+    )
+    res = docx_to_blocks(
+        make_docx(body, extra_parts={"word/styles.xml": styles})
+    )
+    text = _texts(res)
+    assert "Title" in text and "**Title**" not in text
+    assert "a b" in text
+    assert "<td>cell</td>" in text  # cells escape -> keep plain

@@ -139,3 +139,44 @@ def test_slide_notes_appended():
     assert "speaker note here" in text
     assert text.index("slide body") < text.index("speaker note here")
     assert "\n3" not in text  # sldNum placeholder skipped
+
+
+def test_inline_rich_text_styles():
+    """a:rPr b/i/u/strike/baseline render as markdown(+HTML) wrappers;
+    adjacent same-style runs merge (reference office_rich_text.py)."""
+    para = (
+        f'<a:p xmlns:a="{A}">'
+        '<a:r><a:rPr b="1"/><a:t>bo</a:t></a:r>'
+        '<a:r><a:rPr b="1"/><a:t>ld</a:t></a:r>'
+        "<a:r><a:t> plain </a:t></a:r>"
+        '<a:r><a:rPr i="1"/><a:t>it</a:t></a:r>'
+        '<a:r><a:rPr b="1" i="1"/><a:t>both</a:t></a:r>'
+        '<a:r><a:rPr strike="sngStrike"/><a:t>gone</a:t></a:r>'
+        '<a:r><a:rPr u="sng"/><a:t>under</a:t></a:r>'
+        '<a:r><a:rPr baseline="30000"/><a:t>2</a:t></a:r>'
+        '<a:r><a:rPr baseline="-25000"/><a:t>n</a:t></a:r>'
+        "</a:p>"
+    )
+    res = pptx_to_blocks(_make_pptx(_sp("Text", para, 0, 0)))
+    text = "\n".join(b.text for b in res.blocks if b.text)
+    assert "**bold**" in text
+    assert "plain" in text
+    assert "*it*" in text and "***both***" in text
+    assert "~~gone~~" in text and "<u>under</u>" in text
+    assert "<sup>2</sup>" in text and "<sub>n</sub>" in text
+
+
+def test_styled_hyperlink_run():
+    rid = "rId9"
+    para = (
+        f'<a:p xmlns:a="{A}" xmlns:r="{R}">'
+        f'<a:r><a:rPr b="1"><a:hlinkClick r:id="{rid}"/></a:rPr>'
+        "<a:t>click</a:t></a:r></a:p>"
+    )
+    rels = (
+        f'<Relationship Id="{rid}" Type="t" Target="https://x.example/"'
+        ' TargetMode="External"/>'
+    )
+    res = pptx_to_blocks(_make_pptx(_sp("T", para, 0, 0), rels))
+    text = "\n".join(b.text for b in res.blocks if b.text)
+    assert "[**click**](https://x.example/)" in text
