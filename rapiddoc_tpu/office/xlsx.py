@@ -31,13 +31,60 @@ def _row_of(ref: str) -> int:
     return int(m.group(1)) - 1 if m else 0
 
 
-def _shared_strings(z: zipfile.ZipFile) -> list[str]:
-    out = []
+def _rpr_wrap(rpr, escaped: str) -> str:
+    """SpreadsheetML run properties -> inline HTML tags around escaped
+    text (reference: xlsx_converter _apply_inline_font_tags)."""
+    if rpr is None or not escaped:
+        return escaped
+
+    def on(tag: str) -> bool:
+        el = rpr.find(f"{{{S}}}{tag}")
+        return el is not None and el.get("val", "1") not in (
+            "0", "false", "none"
+        )
+
+    va = rpr.find(f"{{{S}}}vertAlign")
+    if va is not None:
+        v = va.get("val")
+        if v == "superscript":
+            escaped = f"<sup>{escaped}</sup>"
+        elif v == "subscript":
+            escaped = f"<sub>{escaped}</sub>"
+    if on("u"):
+        escaped = f"<u>{escaped}</u>"
+    if on("strike"):
+        escaped = f"<s>{escaped}</s>"
+    if on("b"):
+        escaped = f"<strong>{escaped}</strong>"
+    if on("i"):
+        escaped = f"<em>{escaped}</em>"
+    return escaped
+
+
+def _shared_strings(z: zipfile.ZipFile) -> list[tuple[str, str | None]]:
+    """-> [(plain_text, styled_html_or_None)] per shared-string item.
+    Rich runs (<r><rPr>...) keep their inline styling as HTML since
+    cells land inside HTML tables."""
+    out: list[tuple[str, str | None]] = []
     if "xl/sharedStrings.xml" not in z.namelist():
         return out
     root = ET.fromstring(z.read("xl/sharedStrings.xml"))
     for si in root.findall(f"{{{S}}}si"):
-        out.append("".join(t.text or "" for t in si.iter(f"{{{S}}}t")))
+        plain = "".join(t.text or "" for t in si.iter(f"{{{S}}}t"))
+        html = None
+        runs = si.findall(f"{{{S}}}r")
+        if runs and any(r.find(f"{{{S}}}rPr") is not None for r in runs):
+            parts = []
+            for r in runs:
+                t = r.find(f"{{{S}}}t")
+                parts.append(
+                    _rpr_wrap(r.find(f"{{{S}}}rPr"),
+                              esc(t.text or "" if t is not None else ""))
+                )
+            html = "".join(parts)
+            if html == esc(plain):  # styling was all-empty
+                html = None
+        out.append((plain, html))
     return out
 
 
@@ -45,17 +92,28 @@ _BUILTIN_DATE_FMTS = set(range(14, 23)) | {27, 30, 36, 45, 46, 47}
 _BUILTIN_PERCENT_FMTS = {9, 10}
 
 
-def _load_styles(z: zipfile.ZipFile) -> list[str]:
-    """styles.xml -> per-style kind: '' | 'date' | 'percent' (reference:
-    xlsx_converter number-format handling)."""
+def _load_styles(
+    z: zipfile.ZipFile,
+) -> tuple[list[str], list[tuple[bool, bool]]]:
+    """styles.xml -> (per-xf number kind '' | 'date' | 'percent',
+    per-xf (bold, italic) font flags) (reference: xlsx_converter
+    number-format handling + _extract_cell_style)."""
     if "xl/styles.xml" not in z.namelist():
-        return []
+        return [], []
     import xml.etree.ElementTree as ET
 
     try:
         root = ET.fromstring(z.read("xl/styles.xml"))
     except ET.ParseError:
-        return []
+        return [], []
+    fonts: list[tuple[bool, bool]] = []
+    fonts_el = root.find(f"{{{S}}}fonts")
+    if fonts_el is not None:
+        for f in fonts_el.findall(f"{{{S}}}font"):
+            fonts.append((
+                f.find(f"{{{S}}}b") is not None,
+                f.find(f"{{{S}}}i") is not None,
+            ))
     custom: dict[int, str] = {}
     fmts = root.find(f"{{{S}}}numFmts")
     if fmts is not None:
@@ -67,10 +125,18 @@ def _load_styles(z: zipfile.ZipFile) -> list[str]:
             except ValueError:
                 pass
     kinds: list[str] = []
+    xf_fonts: list[tuple[bool, bool]] = []
     xfs = root.find(f"{{{S}}}cellXfs")
     if xfs is None:
-        return []
+        return [], []
     for xf in xfs.findall(f"{{{S}}}xf"):
+        try:
+            font_id = int(xf.get("fontId", "-1"))
+        except ValueError:
+            font_id = -1
+        xf_fonts.append(
+            fonts[font_id] if 0 <= font_id < len(fonts) else (False, False)
+        )
         try:
             fid = int(xf.get("numFmtId", "0"))
         except ValueError:
@@ -90,7 +156,7 @@ def _load_styles(z: zipfile.ZipFile) -> list[str]:
                 kinds.append("")
         else:
             kinds.append("")
-    return kinds
+    return kinds, xf_fonts
 
 
 def _excel_date(serial: float) -> str:
@@ -112,7 +178,10 @@ def _excel_date(serial: float) -> str:
     return d.isoformat()
 
 
-def _cell_value(c, shared: list[str], styles: list[str] | None = None) -> str:
+def _cell_value(
+    c, shared: list, styles: list[str] | None = None
+) -> tuple[str, str | None]:
+    """-> (plain_text, styled_html_or_None) of one cell."""
     ctype = c.get("t", "n")
     kind = ""
     if styles and ctype == "n":
@@ -127,36 +196,50 @@ def _cell_value(c, shared: list[str], styles: list[str] | None = None) -> str:
             try:
                 f = float(v.text)
                 if kind == "date" and f > 0:
-                    return _excel_date(f)
+                    return _excel_date(f), None
                 if kind == "percent":
                     p = f * 100
                     return (
                         f"{int(p)}%" if p == int(p) else f"{p:g}%"
-                    )
+                    ), None
             except ValueError:
                 pass
     if ctype == "s":
         v = c.find(f"{{{S}}}v")
         try:
-            return shared[int(v.text)] if v is not None and v.text else ""
+            if v is not None and v.text:
+                return shared[int(v.text)]
+            return "", None
         except (ValueError, IndexError):
-            return ""
+            return "", None
     if ctype == "inlineStr":
-        return "".join(t.text or "" for t in c.iter(f"{{{S}}}t"))
+        runs = c.findall(f"{{{S}}}is/{{{S}}}r")
+        plain = "".join(t.text or "" for t in c.iter(f"{{{S}}}t"))
+        if runs and any(r.find(f"{{{S}}}rPr") is not None for r in runs):
+            html = "".join(
+                _rpr_wrap(
+                    r.find(f"{{{S}}}rPr"),
+                    esc((r.find(f"{{{S}}}t").text or "")
+                        if r.find(f"{{{S}}}t") is not None else ""),
+                )
+                for r in runs
+            )
+            return plain, (html if html != esc(plain) else None)
+        return plain, None
     v = c.find(f"{{{S}}}v")
     if v is None or v.text is None:
-        return ""
+        return "", None
     if ctype == "b":
-        return "TRUE" if v.text == "1" else "FALSE"
+        return ("TRUE" if v.text == "1" else "FALSE"), None
     text = v.text
     # trim float noise
     try:
         f = float(text)
         if f == int(f) and abs(f) < 1e15:
-            return str(int(f))
-        return f"{f:g}"
+            return str(int(f)), None
+        return f"{f:g}", None
     except ValueError:
-        return text
+        return text, None
 
 
 def _data_islands(
@@ -189,26 +272,57 @@ def _data_islands(
     return islands
 
 
-def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str],
-                   styles: list[str] | None = None) -> list[str]:
+def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list,
+                   styles: list[str] | None = None,
+                   xf_fonts: list[tuple[bool, bool]] | None = None) -> list[str]:
     """Sheet XML -> one HTML table per compact data island, trimmed to
     its true bounds (reference: xlsx_converter.py _find_data_tables —
     flood-fill islands with gap tolerance instead of emitting the whole
-    used range with its empty margin rows/columns)."""
+    used range with its empty margin rows/columns). Cells keep inline
+    rich-text styling, cell-level bold/italic fonts and hyperlinks as
+    HTML (reference: _cell_value_to_html/_apply_inline_font_tags)."""
     root = ET.fromstring(z.read(path))
     data = root.find(f"{{{S}}}sheetData")
     if data is None:
         return []
-    grid: dict[tuple[int, int], str] = {}
+    grid: dict[tuple[int, int], tuple[str, str | None]] = {}
     for row in data.findall(f"{{{S}}}row"):
         for c in row.findall(f"{{{S}}}c"):
             ref = c.get("r", "A1")
             r, col = _row_of(ref), _col_to_idx(ref)
-            val = _cell_value(c, shared, styles)
+            val, html = _cell_value(c, shared, styles)
             if val != "":
-                grid[(r, col)] = val
+                if html is None and xf_fonts:
+                    try:
+                        si = int(c.get("s", "-1"))
+                        bold, italic = (
+                            xf_fonts[si]
+                            if 0 <= si < len(xf_fonts)
+                            else (False, False)
+                        )
+                    except ValueError:
+                        bold = italic = False
+                    if bold or italic:
+                        html = esc(val)
+                        if bold:
+                            html = f"<strong>{html}</strong>"
+                        if italic:
+                            html = f"<em>{html}</em>"
+                grid[(r, col)] = (val, html)
     if not grid:
         return []
+    # hyperlinks: ref -> external target (worksheet rels)
+    links: dict[tuple[int, int], str] = {}
+    hls = root.find(f"{{{S}}}hyperlinks")
+    if hls is not None:
+        from .docx import _load_rels
+
+        sheet_rels = _load_rels(z, path)
+        for hl in hls.findall(f"{{{S}}}hyperlink"):
+            target = sheet_rels.get(hl.get(q("r:id"))) or ""
+            if target.startswith(("http://", "https://", "mailto:")):
+                ref = (hl.get("ref") or "A1").split(":")[0]
+                links[(_row_of(ref), _col_to_idx(ref))] = target
     # merged cells
     merges: dict[tuple[int, int], tuple[int, int]] = {}
     covered: set[tuple[int, int]] = set()
@@ -249,7 +363,12 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list[str],
                         attrs += f' rowspan="{rs}"'
                     if cs > 1:
                         attrs += f' colspan="{cs}"'
-                cells.append(f"<td{attrs}>{esc(grid.get((r, c), ''))}</td>")
+                val, html = grid.get((r, c), ("", None))
+                content = html if html is not None else esc(val)
+                href = links.get((r, c))
+                if href and content:
+                    content = f'<a href="{esc(href)}">{content}</a>'
+                cells.append(f"<td{attrs}>{content}</td>")
             rows_html.append("<tr>" + "".join(cells) + "</tr>")
         tables.append("<table>" + "".join(rows_html) + "</table>")
     return tables
@@ -261,7 +380,7 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
     result = OfficeResult()
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         shared = _shared_strings(z)
-        styles = _load_styles(z)
+        styles, xf_fonts = _load_styles(z)
         sheets: list[tuple[str, str]] = []
         if "xl/workbook.xml" in z.namelist():
             wb_rels = _load_rels(z, "xl/workbook.xml")
@@ -284,7 +403,7 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
             ]
         result.n_pages = max(len(sheets), 1)
         for page_idx, (name, path) in enumerate(sheets):
-            tables = _sheet_to_html(z, path, shared, styles)
+            tables = _sheet_to_html(z, path, shared, styles, xf_fonts)
             if tables:
                 result.add_title(name, level=2, page=page_idx)
                 for html in tables:
