@@ -32,7 +32,9 @@ def markdown_to_html(markdown: str, full_page: bool = True) -> str:
     try:
         from markdown_it import MarkdownIt
 
-        md = MarkdownIt("commonmark", {"html": True}).enable("table")
+        md = MarkdownIt("commonmark", {"html": True}).enable(
+            ["table", "strikethrough"]
+        )
         body = md.render(markdown)
     except ImportError:  # pragma: no cover
         body = f"<pre>{html_mod.escape(markdown)}</pre>"
@@ -44,10 +46,55 @@ def markdown_to_html(markdown: str, full_page: bool = True) -> str:
 _W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
 
 
+# inline markdown/HTML style spans -> OOXML run properties
+_INLINE_RE = re.compile(
+    r"\*\*\*(?P<bi>.+?)\*\*\*"
+    r"|\*\*(?P<b>.+?)\*\*"
+    r"|\*(?P<i>[^*]+)\*"
+    r"|~~(?P<s>.+?)~~"
+    r"|<u>(?P<u>.*?)</u>"
+    r"|<sup>(?P<sup>.*?)</sup>"
+    r"|<sub>(?P<sub>.*?)</sub>"
+)
+_RPR = {
+    "bi": "<w:b/><w:i/>",
+    "b": "<w:b/>",
+    "i": "<w:i/>",
+    "s": "<w:strike/>",
+    "u": '<w:u w:val="single"/>',
+    "sup": '<w:vertAlign w:val="superscript"/>',
+    "sub": '<w:vertAlign w:val="subscript"/>',
+}
+
+
+def _runs(text: str) -> str:
+    """Markdown/HTML inline styling -> styled w:r runs (role parity with
+    the reference's pandoc md->docx conversion of inline emphasis)."""
+    out = []
+    pos = 0
+    for m in _INLINE_RE.finditer(text):
+        if m.start() > pos:
+            out.append(
+                "<w:r><w:t xml:space=\"preserve\">"
+                f"{html_mod.escape(text[pos:m.start()])}</w:t></w:r>"
+            )
+        kind = m.lastgroup
+        out.append(
+            f"<w:r><w:rPr>{_RPR[kind]}</w:rPr><w:t xml:space=\"preserve\">"
+            f"{html_mod.escape(m.group(kind))}</w:t></w:r>"
+        )
+        pos = m.end()
+    if pos < len(text):
+        out.append(
+            "<w:r><w:t xml:space=\"preserve\">"
+            f"{html_mod.escape(text[pos:])}</w:t></w:r>"
+        )
+    return "".join(out) or "<w:r><w:t/></w:r>"
+
+
 def _para(text: str, style: str | None = None) -> str:
     ppr = f"<w:pPr><w:pStyle w:val=\"{style}\"/></w:pPr>" if style else ""
-    runs = f"<w:r><w:t xml:space=\"preserve\">{html_mod.escape(text)}</w:t></w:r>"
-    return f"<w:p>{ppr}{runs}</w:p>"
+    return f"<w:p>{ppr}{_runs(text)}</w:p>"
 
 
 def _table(html: str) -> str:
