@@ -6,7 +6,8 @@ import pytest
 from PIL import Image
 
 
-def test_ocr_cli_smoke(tmp_path, capsys):
+def test_ocr_cli_smoke(tmp_path, capsys, monkeypatch):
+    monkeypatch.delenv("RAPIDDOC_DISABLE_OCR", raising=False)
     from rapiddoc_tpu.models.cli import main
     from rapiddoc_tpu.models.registry import DEMO_ASSETS_DIR
 
