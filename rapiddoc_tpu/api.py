@@ -291,9 +291,10 @@ class RapidDoc:
                         # image placements (was three passes)
                         from .pdfio.render import render_page_full
 
-                        img, tdict, boxes = render_page_full(page, dpi=dpi)
-                        if parse_method != "txt":
-                            tdict = None
+                        img, tdict, boxes = render_page_full(
+                            page, dpi=dpi,
+                            with_text=(parse_method == "txt"),
+                        )
                         dims.append(page.size)
                     except Exception:
                         # per-page failure isolation: blank placeholder
@@ -473,9 +474,9 @@ class RapidDoc:
                     page = doc.get_page(page_i)
                     from .pdfio.render import render_page_full
 
-                    img, tdict, boxes = render_page_full(page, dpi=dpi)
-                    if mode != "txt":
-                        tdict = None
+                    img, tdict, boxes = render_page_full(
+                        page, dpi=dpi, with_text=(mode == "txt")
+                    )
                     dims = page.size
                 except Exception:
                     logger.exception("page %d failed to render", page_i)

@@ -49,9 +49,9 @@ def _render_range(pdf_bytes: bytes, idxs: list[int], dpi: int,
         try:
             page = doc.get_page(i)
             # single interpreter pass: raster + text + placements
-            img, tdict, boxes = render_page_full(page, dpi=dpi)
-            if not want_text:
-                tdict = None
+            img, tdict, boxes = render_page_full(
+                page, dpi=dpi, with_text=want_text
+            )
             buf = io.BytesIO()
             img.save(buf, format="PNG", compress_level=1)
             out.append((buf.getvalue(), page.size, tdict, boxes))

@@ -355,20 +355,23 @@ class _RenderAndExtract(PageRasterizer):
     and the image placements (txt-mode pages previously interpreted
     every content stream three times)."""
 
-    def __init__(self, page: PdfPage, scale: float):
+    def __init__(self, page: PdfPage, scale: float, with_text: bool = True):
         super().__init__(page, scale)
         self.chars: list[dict] = []
         self.image_boxes: list[list[float]] = []
         self._rec_cache: dict = {}
-        from .text import record_char
+        self._record_char = None
+        if with_text:
+            from .text import record_char
 
-        self._record_char = record_char
+            self._record_char = record_char
 
     def on_show_char(self, code, text, trm, advance, font) -> None:
-        self._record_char(
-            self.chars, self.gs, code, text, trm, advance, font,
-            self._rec_cache,
-        )
+        if self._record_char is not None:
+            self._record_char(
+                self.chars, self.gs, code, text, trm, advance, font,
+                self._rec_cache,
+            )
         super().on_show_char(code, text, trm, advance, font)
 
     def on_draw_image(self, stream: Stream, name: str) -> None:
@@ -386,15 +389,16 @@ class _RenderAndExtract(PageRasterizer):
 
 
 def render_page_full(
-    page: PdfPage, dpi: int = 200
-) -> tuple[Image.Image, dict, list[list[float]]]:
+    page: PdfPage, dpi: int = 200, with_text: bool = True
+) -> tuple[Image.Image, dict | None, list[list[float]]]:
     """(raster, native-text page dict, image placement boxes) from ONE
     interpreter pass. The text dict matches text.get_page and the boxes
-    match placements.image_placements (top-left page points)."""
-    from .text import build_page_dict
-
+    match placements.image_placements (top-left page points).
+    with_text=False skips char recording + span building (ocr-mode
+    callers discard the text dict; the per-char record work is ~1/3 of
+    text-page raster time) and returns None for the page dict."""
     scale = dpi / 72.0
-    r = _RenderAndExtract(page, scale)
+    r = _RenderAndExtract(page, scale, with_text=with_text)
     img = r.render()
     # char/box geometry was recorded at raster scale; back to page points
     inv = 1.0 / scale
@@ -407,6 +411,10 @@ def render_page_full(
         pb = [v * inv for v in b]
         if pb[2] - pb[0] >= 1 and pb[3] - pb[1] >= 1:
             boxes.append(pb)
+    if not with_text:
+        return img, None, boxes
+    from .text import build_page_dict
+
     return img, build_page_dict(page, r.chars), boxes
 
 
