@@ -446,11 +446,20 @@ class ContentInterpreter:
             self.gs.font = None
 
     def _load_font_cached(self, font_ref: Any, font_dict: dict) -> Font:
+        # DOC-scope: Font identity must be stable across renders of the
+        # same document, or every id(font)-keyed downstream cache (faces,
+        # glyph tiles, coverage) misses on each new interpreter. The
+        # resolved font dict comes from the doc's object cache, so
+        # id(font_dict) is stable for the doc's life.
+        cache = getattr(self.doc, "_font_obj_cache", None)
+        if cache is None:
+            cache = {}
+            self.doc._font_obj_cache = cache
         key = id(font_dict)
-        font = self._font_cache.get(key)
+        font = cache.get(key)
         if font is None:
             font = load_font(self.doc, font_dict)
-            self._font_cache[key] = font
+            cache[key] = font
         return font
 
     def _op_td(self, tx: float, ty: float) -> None:
