@@ -367,21 +367,40 @@ class Font:
     # -------------------------------------------------------------- runtime
 
     def iter_codes(self, raw: bytes) -> Iterator[tuple[int, str, float]]:
-        """Yield (code, unicode_text, width_in_1000_units) per glyph."""
+        """Yield (code, unicode_text, width_in_1000_units) per glyph.
+        (text, width) memoizes per code — Fonts persist doc-scope, so
+        the lookup chain (ToUnicode/differences/codec + width table)
+        runs once per distinct glyph per document."""
+        cache = self.__dict__.get("_code_cache")
+        if cache is None:
+            cache = self._code_cache = {}
+        get = cache.get
         if self.code_bytes == 2:
-            for i in range(0, len(raw) - 1, 2):
+            n2 = len(raw) - 1
+            for i in range(0, n2, 2):
                 code = (raw[i] << 8) | raw[i + 1]
-                yield code, self._unicode_for(code), self.widths.get(
-                    code, self.default_width
-                )
+                hit = get(code)
+                if hit is None:
+                    hit = cache[code] = (
+                        self._unicode_for(code),
+                        self.widths.get(code, self.default_width),
+                    )
+                yield code, hit[0], hit[1]
             if len(raw) % 2:
                 code = raw[-1]
-                yield code, self._unicode_for(code), self.widths.get(
-                    code, self.default_width
-                )
+                hit = get(code)
+                if hit is None:
+                    hit = cache[code] = (
+                        self._unicode_for(code),
+                        self.widths.get(code, self.default_width),
+                    )
+                yield code, hit[0], hit[1]
         else:
             for b in raw:
-                yield b, self._unicode_for(b), self._width_for(b)
+                hit = get(b)
+                if hit is None:
+                    hit = cache[b] = (self._unicode_for(b), self._width_for(b))
+                yield b, hit[0], hit[1]
 
     def _width_for(self, code: int) -> float:
         if code in self.widths:
