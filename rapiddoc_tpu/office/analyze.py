@@ -49,20 +49,29 @@ def office_parse(data: bytes, name: str, make_md_mode: str = MakeMode.MM_MD):
         )
 
     kind = sniff_office_kind(data)
-    if kind == "docx":
-        from .docx import docx_to_blocks
+    try:
+        if kind == "docx":
+            from .docx import docx_to_blocks
 
-        result = docx_to_blocks(data)
-    elif kind == "pptx":
-        from .pptx import pptx_to_blocks
+            result = docx_to_blocks(data)
+        elif kind == "pptx":
+            from .pptx import pptx_to_blocks
 
-        result = pptx_to_blocks(data)
-    elif kind == "xlsx":
-        from .xlsx import xlsx_to_blocks
+            result = pptx_to_blocks(data)
+        elif kind == "xlsx":
+            from .xlsx import xlsx_to_blocks
 
-        result = xlsx_to_blocks(data)
-    else:
-        raise ValueError(f"not a recognizable office document: {name}")
+            result = xlsx_to_blocks(data)
+        else:
+            raise ValueError(f"not a recognizable office document: {name}")
+    except ValueError:
+        raise
+    except Exception as exc:
+        # corrupt zip members / truncated deflate streams surface as a
+        # uniform error instead of leaking BadZipFile/zlib internals
+        raise ValueError(
+            f"corrupt {kind or 'office'} document: {name} ({exc})"
+        ) from exc
 
     markdown = result.to_markdown()
     return RapidDocOutput(

@@ -386,3 +386,22 @@ def test_zero_byte_office_file_yields_empty_document():
         assert out.markdown == ""
         assert out.content_list_json == []
         assert isinstance(out.middle_json, dict)
+
+
+def test_corrupt_office_raises_uniform_valueerror(tmp_path):
+    """Truncated/bit-flipped office zips raise a clear ValueError, not
+    BadZipFile/zlib internals."""
+    import random
+
+    import pytest
+
+    from rapiddoc_tpu.office.analyze import office_parse
+
+    raw = open("/root/reference/demo/docx/test.docx", "rb").read()
+    rng = random.Random(1)
+    flipped = bytes(
+        b if rng.random() > 0.003 else rng.randrange(256) for b in raw
+    )
+    for data in (raw[: len(raw) * 9 // 10], flipped):
+        with pytest.raises(ValueError):
+            office_parse(data, "fuzz.docx")
