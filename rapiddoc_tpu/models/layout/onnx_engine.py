@@ -227,16 +227,23 @@ class OnnxLayoutDetector:
             batch.append(canvas.transpose(2, 0, 1))
             geoms.append((gain, left, top, w, h))
         preds = np.asarray(self.fn(np.stack(batch))[0])
+        cfg = self.config
         results = []
         for i, (gain, left, top, w, h) in enumerate(geoms):
-            p = preds[i]
-            p = p[p[:, 4] > self.config.conf_threshold]
             dets = []
-            for x0, y0, x1, y1, conf, c in p:
+            for x0, y0, x1, y1, conf, c in preds[i]:
                 c = int(c)
                 label = (
                     self.labels[c] if 0 <= c < len(self.labels) else str(c)
                 )
+                th = (cfg.class_thresholds or {}).get(
+                    label, cfg.conf_threshold
+                )
+                if conf <= th:
+                    continue
+                cat = self.cls_dict.get(label, CategoryId.Text)
+                if label in cfg.markdown_ignore_labels:
+                    cat = CategoryId.Abandon
                 bx = [
                     float(np.clip((x0 - left) / gain, 0, w)),
                     float(np.clip((y0 - top) / gain, 0, h)),
@@ -244,7 +251,7 @@ class OnnxLayoutDetector:
                     float(np.clip((y1 - top) / gain, 0, h)),
                 ]
                 dets.append({
-                    "category_id": self.cls_dict.get(label, CategoryId.Text),
+                    "category_id": cat,
                     "poly": [bx[0], bx[1], bx[2], bx[1],
                              bx[2], bx[3], bx[0], bx[3]],
                     "score": round(float(conf), 3),

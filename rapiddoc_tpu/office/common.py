@@ -317,3 +317,57 @@ _CAPTION_RE = __import__("re").compile(
 
 def esc(text: str) -> str:
     return html_mod.escape(text, quote=False)
+
+
+def wrap_inline_style(text: str, styles, syntax: str = "markdown") -> str:
+    """Render one styled inline segment (reference: office_rich_text.py
+    + mkcontent/inline_renderer.py _apply_markdown_style/_apply_html_style).
+
+    styles: iterable of {bold, italic, underline, strikethrough,
+    superscript, subscript}. syntax="markdown" uses **/*/~~ plus HTML
+    tags for what markdown lacks; syntax="html" uses tags only (for
+    segments that land inside HTML blocks; caller escapes `text` first).
+
+    Whitespace-only text keeps only the visible styles
+    (underline/strikethrough) and wraps the whitespace as-is; markdown
+    delimiters hug the stripped core so they stay valid.
+    """
+    if not text:
+        return text
+    styles = set(styles)
+    if not styles:
+        return text
+    html = syntax == "html"
+    if not text.strip():
+        if not (styles & {"underline", "strikethrough"}):
+            return text
+        core = text
+        if "underline" in styles:
+            core = f"<u>{core}</u>"
+        if "strikethrough" in styles:
+            core = f"<s>{core}</s>" if html else f"~~{core}~~"
+        return core
+    lead = text[: len(text) - len(text.lstrip())]
+    trail = text[len(text.rstrip()):]
+    core = text.strip()
+    if "superscript" in styles:
+        core = f"<sup>{core}</sup>"
+    elif "subscript" in styles:
+        core = f"<sub>{core}</sub>"
+    if "underline" in styles:
+        core = f"<u>{core}</u>"
+    if "strikethrough" in styles:
+        core = f"<s>{core}</s>" if html else f"~~{core}~~"
+    bold, italic = "bold" in styles, "italic" in styles
+    if html:
+        if bold:
+            core = f"<strong>{core}</strong>"
+        if italic:
+            core = f"<em>{core}</em>"
+    elif bold and italic:
+        core = f"***{core}***"
+    elif bold:
+        core = f"**{core}**"
+    elif italic:
+        core = f"*{core}*"
+    return f"{lead}{core}{trail}"

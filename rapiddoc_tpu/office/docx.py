@@ -115,35 +115,11 @@ def _run_style(r) -> frozenset:
 
 
 def _wrap_style(text: str, style: frozenset) -> str:
-    """Render one styled segment as markdown(+HTML for the styles
-    markdown lacks) — wrapper mapping per reference inline_renderer.py
-    _apply_markdown_style/_apply_html_style."""
-    if not style or not text:
-        return text
-    if not text.strip():
-        # bold/italic on pure whitespace is invisible: drop it
-        # (reference normalize_format_for_text)
-        if not (style & {"underline", "strikethrough"}):
-            return text
-    # markdown delimiters must hug non-space text
-    lead = text[: len(text) - len(text.lstrip())]
-    trail = text[len(text.rstrip()):]
-    core = text.strip()
-    if "superscript" in style:
-        core = f"<sup>{core}</sup>"
-    elif "subscript" in style:
-        core = f"<sub>{core}</sub>"
-    if "underline" in style:
-        core = f"<u>{core}</u>"
-    if "strikethrough" in style:
-        core = f"~~{core}~~"
-    if "bold" in style and "italic" in style:
-        core = f"***{core}***"
-    elif "bold" in style:
-        core = f"**{core}**"
-    elif "italic" in style:
-        core = f"*{core}*"
-    return f"{lead}{core}{trail}"
+    """Render one styled segment as markdown (shared helper; reference
+    inline_renderer.py wrapper mapping)."""
+    from .common import wrap_inline_style
+
+    return wrap_inline_style(text, style)
 
 
 def _para_text(p, rels: dict[str, str], rich: bool = False) -> str:
@@ -457,13 +433,16 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 maths = _para_math(el)
                 text = _para_text(el, rels, rich=True)
                 # footnote/endnote references render as [^n] markers
+                # (kept separate so the heading path keeps them too)
+                note_suffix = ""
                 for kind, nid in _note_refs(el):
                     notes = footnotes if kind == "footnote" else endnotes
                     if nid in notes:
                         if (kind, nid) not in used_notes:
                             used_notes.append((kind, nid))
                         idx = used_notes.index((kind, nid)) + 1
-                        text += f"[^{idx}]"
+                        note_suffix += f"[^{idx}]"
+                text += note_suffix
                 images = _para_images(el, rels, z)
                 ppr = el.find(q("w:pPr"))
                 style = None
@@ -479,7 +458,9 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 elif level:
                     flush_list()
                     # titles carry their own # prefix: keep them plain
-                    result.add_title(_para_text(el, rels), level)
+                    result.add_title(
+                        _para_text(el, rels) + note_suffix, level
+                    )
                 elif _is_list_para(el) and text.strip():
                     npr = _num_pr(el)
                     if npr is not None:

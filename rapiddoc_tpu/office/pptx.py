@@ -47,10 +47,9 @@ def _run_style_key(rpr) -> tuple | None:
 
 
 def _wrap_run_style(text: str, rpr) -> str:
-    """DrawingML run styling -> markdown/HTML inline wrappers
-    (reference: office_rich_text.py formatting; a:rPr b/i/u/strike/
-    baseline attributes). Whitespace-only runs keep only the visible
-    styles (underline/strike)."""
+    """DrawingML run styling -> inline wrappers via the shared office
+    renderer (reference: office_rich_text.py formatting; a:rPr
+    b/i/u/strike/baseline attributes)."""
     if not text:
         return text
     styles = set()
@@ -70,29 +69,9 @@ def _wrap_run_style(text: str, rpr) -> str:
         styles.add("superscript")
     elif baseline < 0:
         styles.add("subscript")
-    if not styles:
-        return text
-    if not text.strip():
-        if not (styles & {"underline", "strikethrough"}):
-            return text
-    lead = text[: len(text) - len(text.lstrip())]
-    trail = text[len(text.rstrip()):]
-    core = text.strip() or text
-    if "superscript" in styles:
-        core = f"<sup>{core}</sup>"
-    elif "subscript" in styles:
-        core = f"<sub>{core}</sub>"
-    if "underline" in styles:
-        core = f"<u>{core}</u>"
-    if "strikethrough" in styles:
-        core = f"~~{core}~~"
-    if "bold" in styles and "italic" in styles:
-        core = f"***{core}***"
-    elif "bold" in styles:
-        core = f"**{core}**"
-    elif "italic" in styles:
-        core = f"*{core}*"
-    return f"{lead}{core}{trail}" if text.strip() else text
+    from .common import wrap_inline_style
+
+    return wrap_inline_style(text, styles)
 
 
 def _shape_text(sp, rels: dict | None = None) -> list[str]:

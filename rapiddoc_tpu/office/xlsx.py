@@ -33,7 +33,8 @@ def _row_of(ref: str) -> int:
 
 def _rpr_wrap(rpr, escaped: str) -> str:
     """SpreadsheetML run properties -> inline HTML tags around escaped
-    text (reference: xlsx_converter _apply_inline_font_tags)."""
+    text via the shared office renderer (reference: xlsx_converter
+    _apply_inline_font_tags)."""
     if rpr is None or not escaped:
         return escaped
 
@@ -43,22 +44,25 @@ def _rpr_wrap(rpr, escaped: str) -> str:
             "0", "false", "none"
         )
 
+    styles = set()
     va = rpr.find(f"{{{S}}}vertAlign")
     if va is not None:
         v = va.get("val")
         if v == "superscript":
-            escaped = f"<sup>{escaped}</sup>"
+            styles.add("superscript")
         elif v == "subscript":
-            escaped = f"<sub>{escaped}</sub>"
+            styles.add("subscript")
     if on("u"):
-        escaped = f"<u>{escaped}</u>"
+        styles.add("underline")
     if on("strike"):
-        escaped = f"<s>{escaped}</s>"
+        styles.add("strikethrough")
     if on("b"):
-        escaped = f"<strong>{escaped}</strong>"
+        styles.add("bold")
     if on("i"):
-        escaped = f"<em>{escaped}</em>"
-    return escaped
+        styles.add("italic")
+    from .common import wrap_inline_style
+
+    return wrap_inline_style(escaped, styles, syntax="html")
 
 
 def _shared_strings(z: zipfile.ZipFile) -> list[tuple[str, str | None]]:
@@ -109,11 +113,15 @@ def _load_styles(
     fonts: list[tuple[bool, bool]] = []
     fonts_el = root.find(f"{{{S}}}fonts")
     if fonts_el is not None:
+        def _flag(font, tag: str) -> bool:
+            el = font.find(f"{{{S}}}{tag}")
+            # <b val="0"/> is an explicit OFF (tools emit it)
+            return el is not None and el.get("val", "1") not in (
+                "0", "false"
+            )
+
         for f in fonts_el.findall(f"{{{S}}}font"):
-            fonts.append((
-                f.find(f"{{{S}}}b") is not None,
-                f.find(f"{{{S}}}i") is not None,
-            ))
+            fonts.append((_flag(f, "b"), _flag(f, "i")))
     custom: dict[int, str] = {}
     fmts = root.find(f"{{{S}}}numFmts")
     if fmts is not None:

@@ -164,7 +164,6 @@ class ContentInterpreter:
         self.gs_stack: list[GraphicsState] = []
         self.text_matrix: Matrix = IDENTITY
         self.text_line_matrix: Matrix = IDENTITY
-        self._font_cache: dict[int, Font] = {}
         self._path: list[list[tuple[float, float]]] = []
         self._cur: list[tuple[float, float]] = []
         self._pending_clip: str | None = None

@@ -46,12 +46,14 @@ def markdown_to_html(markdown: str, full_page: bool = True) -> str:
 _W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
 
 
-# inline markdown/HTML style spans -> OOXML run properties
+# inline markdown/HTML style spans -> OOXML run properties. Emphasis
+# content must start/end on non-space (commonmark flanking rule) so
+# literal asterisk math like "5 * 3 * 2" stays verbatim.
 _INLINE_RE = re.compile(
-    r"\*\*\*(?P<bi>.+?)\*\*\*"
-    r"|\*\*(?P<b>.+?)\*\*"
-    r"|\*(?P<i>[^*]+)\*"
-    r"|~~(?P<s>.+?)~~"
+    r"\*\*\*(?P<bi>\S(?:.*?\S)?)\*\*\*"
+    r"|\*\*(?P<b>\S(?:.*?\S)?)\*\*"
+    r"|\*(?P<i>[^\s*](?:[^*]*[^\s*])?)\*"
+    r"|~~(?P<s>\S(?:.*?\S)?)~~"
     r"|<u>(?P<u>.*?)</u>"
     r"|<sup>(?P<sup>.*?)</sup>"
     r"|<sub>(?P<sub>.*?)</sub>"
@@ -67,29 +69,30 @@ _RPR = {
 }
 
 
-def _runs(text: str) -> str:
+def _run_xml(text: str, props: str) -> str:
+    rpr = f"<w:rPr>{props}</w:rPr>" if props else ""
+    return (
+        f"<w:r>{rpr}<w:t xml:space=\"preserve\">"
+        f"{html_mod.escape(text)}</w:t></w:r>"
+    )
+
+
+def _runs(text: str, props: str = "", depth: int = 0) -> str:
     """Markdown/HTML inline styling -> styled w:r runs (role parity with
-    the reference's pandoc md->docx conversion of inline emphasis)."""
+    the reference's pandoc md->docx conversion of inline emphasis).
+    Nested spans (e.g. **<u>x</u>**) recurse, merging run properties."""
     out = []
     pos = 0
-    for m in _INLINE_RE.finditer(text):
-        if m.start() > pos:
-            out.append(
-                "<w:r><w:t xml:space=\"preserve\">"
-                f"{html_mod.escape(text[pos:m.start()])}</w:t></w:r>"
-            )
-        kind = m.lastgroup
-        out.append(
-            f"<w:r><w:rPr>{_RPR[kind]}</w:rPr><w:t xml:space=\"preserve\">"
-            f"{html_mod.escape(m.group(kind))}</w:t></w:r>"
-        )
-        pos = m.end()
+    if depth < 6:
+        for m in _INLINE_RE.finditer(text):
+            if m.start() > pos:
+                out.append(_run_xml(text[pos:m.start()], props))
+            kind = m.lastgroup
+            out.append(_runs(m.group(kind), props + _RPR[kind], depth + 1))
+            pos = m.end()
     if pos < len(text):
-        out.append(
-            "<w:r><w:t xml:space=\"preserve\">"
-            f"{html_mod.escape(text[pos:])}</w:t></w:r>"
-        )
-    return "".join(out) or "<w:r><w:t/></w:r>"
+        out.append(_run_xml(text[pos:], props))
+    return "".join(out) or ("" if depth else "<w:r><w:t/></w:r>")
 
 
 def _para(text: str, style: str | None = None) -> str:

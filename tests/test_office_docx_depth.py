@@ -286,3 +286,44 @@ def test_rich_text_stays_plain_in_titles_tables_blankruns():
     assert "Title" in text and "**Title**" not in text
     assert "a b" in text
     assert "<td>cell</td>" in text  # cells escape -> keep plain
+
+
+def test_heading_keeps_footnote_marker():
+    """Footnote refs inside a heading keep their [^n] marker (the
+    heading re-parse must not drop it)."""
+    body = (
+        '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+        "<w:r><w:t>Title</w:t></w:r>"
+        '<w:r><w:footnoteReference w:id="1"/></w:r></w:p>'
+    )
+    styles = (
+        f'<?xml version="1.0"?><w:styles {W}>'
+        '<w:style w:styleId="Heading1"><w:name w:val="heading 1"/></w:style>'
+        "</w:styles>"
+    )
+    res = docx_to_blocks(
+        make_docx(
+            body,
+            extra_parts={
+                "word/styles.xml": styles,
+                "word/footnotes.xml": FOOTNOTES,
+            },
+        )
+    )
+    text = _texts(res)
+    assert "Title[^1]" in text
+    assert "[^1]: the footnote body" in text
+
+
+def test_whitespace_only_underline_run():
+    """Underline on pure whitespace keeps the whitespace (once) inside
+    the tag; bold on whitespace is dropped."""
+    body = (
+        "<w:p><w:r><w:t>a</w:t></w:r>"
+        '<w:r><w:rPr><w:u w:val="single"/></w:rPr>'
+        '<w:t xml:space="preserve">  </w:t></w:r>'
+        "<w:r><w:t>b</w:t></w:r></w:p>"
+    )
+    res = docx_to_blocks(make_docx(body))
+    text = _texts(res)
+    assert "a<u>  </u>b" in text
