@@ -179,7 +179,11 @@ class RapidDoc:
     ) -> RapidDocOutput | list[RapidDocOutput]:
         if isinstance(inputs, (bytearray, memoryview)):
             inputs = bytes(inputs)
-        if isinstance(inputs, (str, bytes, Path)):
+        if isinstance(inputs, (str, bytes, Path)) or isinstance(
+            inputs, (Image.Image, np.ndarray)
+        ):
+            # note: ndarray/PIL must dispatch BEFORE the iterable branch
+            # (an HxWx3 array is iterable row-wise)
             return self._parse_single(inputs, output_dir, **overrides)
         if output_dir is None and not overrides:
             # multi-document calls batch pages across documents by default
@@ -549,6 +553,19 @@ class RapidDoc:
 
     def _normalize_input(self, item: str | bytes | Path) -> tuple[bytes, str, str]:
         """Returns (pdf_bytes_or_office_bytes, doc_name, kind)."""
+        if isinstance(item, (Image.Image, np.ndarray)):
+            # in-memory image (PIL or HxWx3/HxW numpy): wrap as a
+            # one-page PDF like path-based image inputs
+            import io
+
+            if not isinstance(item, Image.Image):
+                item = Image.fromarray(np.asarray(item))
+            buf = io.BytesIO()
+            (item if item.mode in ("RGB", "L") else item.convert("RGB")).save(
+                buf, format="PNG"
+            )
+            pdf = pdfio.images_to_pdf([buf.getvalue()], dpi=get_pdf_render_dpi())
+            return pdf, "image", "pdf"
         if isinstance(item, (str, Path)):
             s = str(item)
             if s.startswith(("http://", "https://")):

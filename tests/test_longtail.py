@@ -405,3 +405,19 @@ def test_corrupt_office_raises_uniform_valueerror(tmp_path):
     for data in (raw[: len(raw) * 9 // 10], flipped):
         with pytest.raises(ValueError):
             office_parse(data, "fuzz.docx")
+
+
+def test_ndarray_and_pil_inputs():
+    """In-memory images (numpy HxWx3 / PIL) parse like image paths; an
+    ndarray must NOT be treated as an iterable of documents."""
+    import numpy as np
+    from PIL import Image
+
+    from rapiddoc_tpu import RapidDoc
+
+    eng = RapidDoc(parse_method="txt")
+    arr = np.full((120, 160, 3), 255, np.uint8)
+    out = eng(arr)
+    assert hasattr(out, "markdown")
+    out2 = eng(Image.fromarray(arr))
+    assert hasattr(out2, "markdown")
