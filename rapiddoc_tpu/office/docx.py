@@ -122,11 +122,17 @@ def _wrap_style(text: str, style: frozenset) -> str:
     return wrap_inline_style(text, style)
 
 
-def _para_text(p, rels: dict[str, str], rich: bool = False) -> str:
+def _para_text(
+    p, rels: dict[str, str], rich: bool = False, math: bool = True
+) -> str:
     """Concatenate run text, tabs, breaks and hyperlinks of a paragraph.
     With rich=True, adjacent same-style runs merge and render with
     markdown/HTML inline styling (body paragraphs; table cells and
-    titles stay plain because their text is escaped/prefixed later)."""
+    titles stay plain because their text is escaped/prefixed later).
+    With math=True, OMML equations render inline as ``$latex$`` at
+    their position in the run sequence (reference: docx_converter
+    `_build_text_with_equations_and_hyperlinks`); pass math=False to
+    measure the text-only content (pure-math paragraph detection)."""
     parts: list[str] = []
     # style-run buffer: adjacent runs with one style merge before
     # wrapping so "**a****b**" never appears
@@ -178,6 +184,17 @@ def _para_text(p, rels: dict[str, str], rich: bool = False) -> str:
                     parts.append(f"[{link_text}]({href})")
                 else:
                     parts.append(link_text)
+            elif math and tag == f"{{{NS['m']}}}oMath":
+                latex = omml_to_latex(child)
+                if latex:
+                    flush_buf()
+                    parts.append(f"${latex}$")
+            elif math and tag == f"{{{NS['m']}}}oMathPara":
+                for sub in child.findall(f"{{{NS['m']}}}oMath"):
+                    latex = omml_to_latex(sub)
+                    if latex:
+                        flush_buf()
+                        parts.append(f"${latex}$")
             elif tag in (q("w:ins"), q("w:smartTag")):
                 walk_runs(child)
     walk_runs(p)
@@ -451,7 +468,10 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                     if ps is not None:
                         style = ps.get(q("w:val"))
                 level = headings.get(style or "", 0)
-                if maths and not text.strip():
+                # pure-math paragraph (no prose outside the equations)
+                # -> interline equation blocks; mixed paragraphs keep
+                # the $latex$ inline at its run position instead
+                if maths and not _para_text(el, rels, math=False).strip():
                     flush_list()
                     for latex in maths:
                         result.add_equation(latex)

@@ -327,3 +327,44 @@ def test_whitespace_only_underline_run():
     res = docx_to_blocks(make_docx(body))
     text = _texts(res)
     assert "a<u>  </u>b" in text
+
+
+M = 'xmlns:m="http://schemas.openxmlformats.org/officeDocument/2006/math"'
+
+
+def _math(latex_body):
+    return f"<m:oMath {M}><m:r><m:t>{latex_body}</m:t></m:r></m:oMath>"
+
+
+def test_inline_math_in_mixed_paragraph():
+    # prose + OMML in one paragraph: math renders inline at its run
+    # position (reference: docx_converter
+    # _build_text_with_equations_and_hyperlinks)
+    body = (
+        f"<w:p><w:r><w:t>Euler says </w:t></w:r>{_math('e=mc2')}"
+        "<w:r><w:t> holds.</w:t></w:r></w:p>"
+    )
+    res = docx_to_blocks(make_docx(body))
+    texts = [b.text for b in res.blocks if b.type == "text"]
+    assert texts == ["Euler says $e=mc2$ holds."]
+    assert not [b for b in res.blocks if b.type == "equation"]
+
+
+def test_pure_math_paragraph_stays_interline():
+    body = f"<w:p>{_math('a+b')}</w:p>"
+    res = docx_to_blocks(make_docx(body))
+    eqs = [b for b in res.blocks if b.type == "equation"]
+    assert len(eqs) == 1 and eqs[0].text == "a+b"
+
+
+def test_math_inside_table_cell():
+    # reference injects $..$ into cell HTML (_inject_equations_into_table)
+    body = (
+        "<w:tbl><w:tr><w:tc>"
+        f"<w:p><w:r><w:t>area </w:t></w:r>{_math('pi r^2')}</w:p>"
+        "</w:tc></w:tr></w:tbl>"
+    )
+    res = docx_to_blocks(make_docx(body))
+    tables = [b.html for b in res.blocks if b.type == "table"]
+    assert len(tables) == 1
+    assert "area $pi r^2$" in tables[0]
