@@ -423,6 +423,28 @@ def _table_to_html(tbl, rels: dict[str, str]) -> str:
     return "<table>" + "".join(html_rows) + "</table>"
 
 
+def _para_page_break(p, has_content: bool) -> bool:
+    """True when this paragraph ends a section => new page. Mirrors the
+    reference's pagination model (docx_converter convert loop +
+    _is_layout_only_section_break): pages advance on section breaks
+    only, except the synthetic layout-only kind — an empty continuous
+    section break whose pgMar margins are all zero."""
+    ppr = p.find(q("w:pPr"))
+    sect = ppr.find(q("w:sectPr")) if ppr is not None else None
+    if sect is None:
+        return False
+    stype = sect.find(q("w:type"))
+    val = stype.get(q("w:val"), "continuous") if stype is not None else "continuous"
+    if val == "continuous" and not has_content:
+        mar = sect.find(q("w:pgMar"))
+        if mar is not None and all(
+            mar.get(q(f"w:{a}"), "0") == "0"
+            for a in ("header", "footer", "top", "bottom", "left", "right")
+        ):
+            return False  # layout-only artifact, no pagination
+    return True
+
+
 def docx_to_blocks(data: bytes) -> OfficeResult:
     result = OfficeResult()
     with zipfile.ZipFile(io.BytesIO(data)) as z:
@@ -439,16 +461,28 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
         if body is None:
             return result
         pending_list: list[str] = []
+        page = 0
 
         def flush_list():
             if pending_list:
-                result.add_text("\n".join(pending_list))
+                result.add_text("\n".join(pending_list), page=page)
                 pending_list.clear()
 
         for el in body:
             if el.tag == q("w:p"):
                 maths = _para_math(el)
                 text = _para_text(el, rels, rich=True)
+                breaks_page = _para_page_break(
+                    el, bool(text.strip() or maths)
+                )
+                # an empty break-carrier paragraph starts the new page
+                # before anything else lands; a paragraph with content
+                # stays on the old page and paginates after (reference
+                # docx_converter convert loop semantics)
+                if breaks_page and not text.strip() and not maths:
+                    flush_list()
+                    page += 1
+                    breaks_page = False
                 # footnote/endnote references render as [^n] markers
                 # (kept separate so the heading path keeps them too)
                 note_suffix = ""
@@ -474,12 +508,12 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 if maths and not _para_text(el, rels, math=False).strip():
                     flush_list()
                     for latex in maths:
-                        result.add_equation(latex)
+                        result.add_equation(latex, page=page)
                 elif level:
                     flush_list()
                     # titles carry their own # prefix: keep them plain
                     result.add_title(
-                        _para_text(el, rels) + note_suffix, level
+                        _para_text(el, rels) + note_suffix, level, page=page
                     )
                 elif _is_list_para(el) and text.strip():
                     npr = _num_pr(el)
@@ -492,22 +526,26 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 else:
                     flush_list()
                     if text.strip():
-                        result.add_text(text)
+                        result.add_text(text, page=page)
                 for name, img_data in images:
                     flush_list()
-                    result.add_image(name, img_data)
+                    result.add_image(name, img_data, page=page)
                 from .chart import chart_part_to_html, find_chart_refs
 
                 for chart_path in find_chart_refs(el, rels):
                     html = chart_part_to_html(z, chart_path)
                     if html:
                         flush_list()
-                        result.add_table(html)
+                        result.add_table(html, page=page)
+                if breaks_page:
+                    flush_list()
+                    page += 1
             elif el.tag == q("w:tbl"):
                 flush_list()
-                result.add_table(_table_to_html(el, rels))
+                result.add_table(_table_to_html(el, rels), page=page)
         flush_list()
         for i, (kind, nid) in enumerate(used_notes, 1):
             notes = footnotes if kind == "footnote" else endnotes
-            result.add_text(f"[^{i}]: {notes[nid]}")
+            result.add_text(f"[^{i}]: {notes[nid]}", page=page)
+        result.n_pages = page + 1
     return result

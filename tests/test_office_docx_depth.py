@@ -368,3 +368,26 @@ def test_math_inside_table_cell():
     tables = [b.html for b in res.blocks if b.type == "table"]
     assert len(tables) == 1
     assert "area $pi r^2$" in tables[0]
+
+
+def test_section_breaks_paginate():
+    # sections map to pages (reference: docx_converter _start_new_page
+    # on non-layout-only sectPr); explicit w:br page breaks do not
+    sect = (
+        '<w:p><w:pPr><w:sectPr><w:pgMar w:top="720"/></w:sectPr>'
+        "</w:pPr></w:p>"
+    )
+    layout_only = (
+        '<w:p><w:pPr><w:sectPr><w:type w:val="continuous"/>'
+        '<w:pgMar w:header="0" w:footer="0" w:top="0" w:bottom="0"'
+        ' w:left="0" w:right="0"/></w:sectPr></w:pPr></w:p>'
+    )
+    body = (
+        _p("one") + sect + _p("two") + layout_only + _p("three")
+        + '<w:p><w:pPr><w:sectPr/></w:pPr><w:r><w:t>four</w:t></w:r></w:p>'
+        + _p("five")
+    )
+    res = docx_to_blocks(make_docx(body))
+    pages = {b.text: b.page_idx for b in res.blocks}
+    assert pages == {"one": 0, "two": 1, "three": 1, "four": 1, "five": 2}
+    assert res.n_pages == 3
