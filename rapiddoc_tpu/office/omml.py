@@ -39,7 +39,15 @@ _CHAR_MAP = {
 
 
 def _map_text(text: str) -> str:
-    return "".join(_CHAR_MAP.get(ch, ch) for ch in text)
+    out: list[str] = []
+    for ch in text:
+        rep = _CHAR_MAP.get(ch, ch)
+        # a control word (\pi) followed by a letter would fuse into an
+        # undefined macro (\pix); keep the boundary with a space
+        if out and "\\" in out[-1] and out[-1][-1].isalpha() and rep[:1].isalpha():
+            out.append(" ")
+        out.append(rep)
+    return "".join(out)
 
 
 def _children(el, local: str):
@@ -158,10 +166,22 @@ def _h_d(el) -> str:
     return rf"\left{lmap.get(left, left)}{body}\right{rmap.get(right, right)}"
 
 
+_FUNC_NAMES = {
+    "sin", "cos", "tan", "cot", "sec", "csc", "sinh", "cosh", "tanh",
+    "coth", "arcsin", "arccos", "arctan", "log", "ln", "exp", "lim",
+    "min", "max", "det", "gcd", "inf", "sup", "arg", "deg", "dim",
+    "hom", "ker", "Pr",
+}
+
+
 def _h_func(el) -> str:
     name = _child(el, "fName")
     e = _child(el, "e")
-    return f"{_walk(name) if name is not None else ''}{{{_walk(e) if e is not None else ''}}}"
+    fname = _walk(name) if name is not None else ""
+    # bare function names become their LaTeX operator form (\cos, \lim)
+    if fname in _FUNC_NAMES:
+        fname = "\\" + fname
+    return f"{fname}{{{_walk(e) if e is not None else ''}}}"
 
 
 def _h_m(el) -> str:

@@ -391,3 +391,16 @@ def test_section_breaks_paginate():
     pages = {b.text: b.page_idx for b in res.blocks}
     assert pages == {"one": 0, "two": 1, "three": 1, "four": 1, "five": 2}
     assert res.n_pages == 3
+
+
+def test_omml_control_word_boundaries_and_functions():
+    from xml.etree import ElementTree as ET
+    from rapiddoc_tpu.office.omml import omml_to_latex
+
+    el = ET.fromstring(f"<m:oMath {M}><m:r><m:t>nπx</m:t></m:r></m:oMath>")
+    assert omml_to_latex(el) == r"n\pi x"
+    func = (
+        f"<m:oMath {M}><m:func><m:fName><m:r><m:t>cos</m:t></m:r></m:fName>"
+        "<m:e><m:r><m:t>y</m:t></m:r></m:e></m:func></m:oMath>"
+    )
+    assert omml_to_latex(ET.fromstring(func)) == r"\cos{y}"
