@@ -292,27 +292,46 @@ def _roman(n: int) -> str:
     return "".join(out)
 
 
-def _format_marker(fmt: str, n: int, lvl_text: str) -> str:
-    """Render the list marker for one numFmt + counter value."""
+def _format_number(fmt: str, n: int) -> str:
+    if fmt == "decimal":
+        return str(n)
+    if fmt == "lowerLetter":
+        return chr(ord("a") + (n - 1) % 26)
+    if fmt == "upperLetter":
+        return chr(ord("A") + (n - 1) % 26)
+    if fmt == "lowerRoman":
+        return _roman(n)
+    if fmt == "upperRoman":
+        return _roman(n).upper()
+    return str(n)
+
+
+def _format_marker(
+    fmt: str,
+    n: int,
+    lvl_text: str,
+    level_values: dict[int, int] | None = None,
+    level_fmts: dict[int, str] | None = None,
+) -> str:
+    """Render the list marker for one numFmt + counter value. lvlText
+    placeholders %N refer to the counter at level N-1, each formatted
+    with that level's own numFmt (reference: docx_converter
+    _format_numbering_value / _get_numbering_level_format)."""
     if fmt == "bullet":
         return "-"
-    if fmt == "decimal":
-        body = str(n)
-    elif fmt == "lowerLetter":
-        body = chr(ord("a") + (n - 1) % 26)
-    elif fmt == "upperLetter":
-        body = chr(ord("A") + (n - 1) % 26)
-    elif fmt == "lowerRoman":
-        body = _roman(n)
-    elif fmt == "upperRoman":
-        body = _roman(n).upper()
-    else:
-        body = str(n)
-    # lvlText like "%1." / "(%1)" templates the marker
+    body = _format_number(fmt, n)
+    # lvlText like "%1.%2." templates the marker across levels
     if lvl_text and "%" in lvl_text:
         import re as _re
 
-        return _re.sub(r"%\d", body, lvl_text)
+        def sub(m):
+            i = int(m.group(0)[1:]) - 1
+            if level_values is not None and i in level_values:
+                f = (level_fmts or {}).get(i, "decimal")
+                return _format_number(f, level_values[i])
+            return body
+
+        return _re.sub(r"%\d", sub, lvl_text)
     return f"{body}."
 
 
@@ -330,10 +349,17 @@ class _NumberingState:
         for (nid, lv) in list(self.counters):
             if nid == num_id and lv > ilvl:
                 del self.counters[(nid, lv)]
-        fmt, lvl_text = self.numbering.get(num_id, {}).get(
-            ilvl, ("bullet", "")
-        )
-        return _format_marker(fmt, self.counters[key], lvl_text)
+        levels = self.numbering.get(num_id, {})
+        fmt, lvl_text = levels.get(ilvl, ("bullet", ""))
+        # shallower levels not yet seen display as 1 (Word behavior for
+        # a deep item without a shallower predecessor)
+        values = {
+            lv: c for (nid, lv), c in self.counters.items() if nid == num_id
+        }
+        for lv in range(ilvl):
+            values.setdefault(lv, 1)
+        fmts = {lv: levels.get(lv, ("decimal", ""))[0] for lv in values}
+        return _format_marker(fmt, self.counters[key], lvl_text, values, fmts)
 
 
 def _load_notes(z: zipfile.ZipFile, part: str, tag: str) -> dict[str, str]:
@@ -445,6 +471,19 @@ def _para_page_break(p, has_content: bool) -> bool:
     return True
 
 
+def _iter_body(parent):
+    """Body children, transparently descending into w:sdt content
+    wrappers (a TOC field lives inside one; skipping the sdt would drop
+    the whole table of contents)."""
+    for el in parent:
+        if el.tag == q("w:sdt"):
+            content = el.find(q("w:sdtContent"))
+            if content is not None:
+                yield from _iter_body(content)
+        else:
+            yield el
+
+
 def docx_to_blocks(data: bytes) -> OfficeResult:
     result = OfficeResult()
     with zipfile.ZipFile(io.BytesIO(data)) as z:
@@ -468,7 +507,7 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 result.add_text("\n".join(pending_list), page=page)
                 pending_list.clear()
 
-        for el in body:
+        for el in _iter_body(body):
             if el.tag == q("w:p"):
                 maths = _para_math(el)
                 text = _para_text(el, rels, rich=True)

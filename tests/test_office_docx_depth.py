@@ -404,3 +404,41 @@ def test_omml_control_word_boundaries_and_functions():
         "<m:e><m:r><m:t>y</m:t></m:r></m:e></m:func></m:oMath>"
     )
     assert omml_to_latex(ET.fromstring(func)) == r"\cos{y}"
+
+
+NUMBERING_ML = f"""<?xml version="1.0"?>
+<w:numbering {W}>
+  <w:abstractNum w:abstractNumId="0">
+    <w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/><w:lvlText w:val="%1."/></w:lvl>
+    <w:lvl w:ilvl="1"><w:numFmt w:val="decimal"/><w:lvlText w:val="%1.%2."/></w:lvl>
+  </w:abstractNum>
+  <w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>
+</w:numbering>"""
+
+
+def test_multilevel_numbering_uses_per_level_counters():
+    # %1.%2. templates pull the parent level's counter, not the current
+    # one repeated (reference: docx_converter _format_numbering_value)
+    body = (
+        _p("top", num=1) + _p("a", num=1, ilvl=1) + _p("b", num=1, ilvl=1)
+        + _p("top2", num=1) + _p("c", num=1, ilvl=1)
+    )
+    res = docx_to_blocks(
+        make_docx(body, {"word/numbering.xml": NUMBERING_ML})
+    )
+    out = _texts(res)
+    assert "1.1. a" in out and "1.2. b" in out
+    assert "2.1. c" in out  # deeper level resets under the new parent
+
+
+def test_sdt_wrapped_toc_content_is_kept():
+    body = (
+        "<w:sdt><w:sdtContent>"
+        "<w:p><w:r><w:t>TOC heading</w:t></w:r></w:p>"
+        '<w:p><w:hyperlink w:anchor="_Toc1"><w:r><w:t>1.3.</w:t></w:r>'
+        "<w:r><w:t>Chapter</w:t></w:r></w:hyperlink></w:p>"
+        "</w:sdtContent></w:sdt>" + _p("after")
+    )
+    res = docx_to_blocks(make_docx(body))
+    out = _texts(res)
+    assert "TOC heading" in out and "1.3." in out and "after" in out
