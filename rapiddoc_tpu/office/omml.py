@@ -39,6 +39,12 @@ _CHAR_MAP = {
 
 
 def _map_text(text: str) -> str:
+    # OMML run text often uses Mathematical Alphanumeric Symbols
+    # (U+1D400.., e.g. 𝑓 𝜋); NFKC folds them to plain letters so the
+    # Greek map below and LaTeX both understand them
+    import unicodedata
+
+    text = unicodedata.normalize("NFKC", text)
     out: list[str] = []
     for ch in text:
         rep = _CHAR_MAP.get(ch, ch)
@@ -70,6 +76,9 @@ def omml_to_latex(el) -> str:
     return _walk(el).strip()
 
 
+_CTRL_TAIL = __import__("re").compile(r"\\[a-zA-Z]+$")
+
+
 def _walk(el) -> str:
     out = []
     for child in el:
@@ -78,7 +87,12 @@ def _walk(el) -> str:
             continue
         local = tag[len(M) + 2 :]
         handler = _HANDLERS.get(local, _walk)
-        out.append(handler(child))
+        piece = handler(child)
+        # adjacent runs may join a control word to a letter (\pi + x
+        # -> \pix, an undefined macro); keep the boundary
+        if out and piece[:1].isalpha() and _CTRL_TAIL.search(out[-1]):
+            out.append(" ")
+        out.append(piece)
     return "".join(out)
 
 

@@ -18,6 +18,8 @@ from .docx import _load_rels
 
 A = NS["a"]
 P = NS["p"]
+_M_NS = NS["m"]
+_MC_NS = "http://schemas.openxmlformats.org/markup-compatibility/2006"
 
 
 def _shape_xy(sp) -> tuple[int, int]:
@@ -113,6 +115,23 @@ def _shape_text(sp, rels: dict | None = None) -> list[str]:
                     segs.append([t.text, key, rpr])
             elif el.tag == f"{{{A}}}br":
                 segs.append(["\n", (None, None), None])
+            elif el.tag.endswith("}m") or el.tag.endswith("}oMath"):
+                # a14:m-wrapped (or bare) OMML equation inline in the
+                # paragraph -> $latex$ at its run position
+                from .omml import omml_to_latex
+
+                maths = (
+                    [el] if el.tag.endswith("}oMath")
+                    else el.findall(f"{{{_M_NS}}}oMath")
+                    or [
+                        d for d in el.iter()
+                        if d.tag == f"{{{_M_NS}}}oMath"
+                    ]
+                )
+                for om in maths:
+                    latex = omml_to_latex(om)
+                    if latex:
+                        segs.append([f"${latex}$", (None, None), None])
         parts = []
         for seg_text, (style_key, link), rpr in segs:
             if rpr is not None and style_key:
@@ -248,7 +267,15 @@ def _collect_shapes(tree, z, rels, tf) -> list[tuple]:
         )
 
     for el in tree:
-        if el.tag == f"{{{P}}}grpSp":
+        if el.tag == f"{{{_MC_NS}}}AlternateContent":
+            # take mc:Choice (richer content: equations, new drawing
+            # features); mc:Fallback duplicates it as a picture
+            branch = el.find(f"{{{_MC_NS}}}Choice")
+            if branch is None:
+                branch = el.find(f"{{{_MC_NS}}}Fallback")
+            if branch is not None:
+                items.extend(_collect_shapes(branch, z, rels, tf))
+        elif el.tag == f"{{{P}}}grpSp":
             items.extend(
                 _collect_shapes(el, z, rels, _compose_group_transform(el, tf))
             )

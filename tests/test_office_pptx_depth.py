@@ -180,3 +180,25 @@ def test_styled_hyperlink_run():
     res = pptx_to_blocks(_make_pptx(_sp("T", para, 0, 0), rels))
     text = "\n".join(b.text for b in res.blocks if b.text)
     assert "[**click**](https://x.example/)" in text
+
+
+def test_alternate_content_choice_shape_with_inline_math():
+    # shapes inside mc:AlternateContent/mc:Choice must not be dropped,
+    # and a14:m-wrapped OMML renders inline as $latex$
+    MC = "http://schemas.openxmlformats.org/markup-compatibility/2006"
+    MNS = "http://schemas.openxmlformats.org/officeDocument/2006/math"
+    para = (
+        f'<a:p xmlns:a="{A}"><a:r><a:t>before </a:t></a:r>'
+        f'<a14:m xmlns:a14="http://schemas.microsoft.com/office/drawing/2010/main">'
+        f'<m:oMath xmlns:m="{MNS}"><m:r><m:t>x+y</m:t></m:r></m:oMath>'
+        "</a14:m>"
+        "<a:r><a:t> after</a:t></a:r></a:p>"
+    )
+    body = (
+        f'<mc:AlternateContent xmlns:mc="{MC}"><mc:Choice Requires="a14">'
+        + _sp("T", para, 0, 0)
+        + "</mc:Choice><mc:Fallback/></mc:AlternateContent>"
+    )
+    res = pptx_to_blocks(_make_pptx(body))
+    text = "\n".join(b.text for b in res.blocks if b.text)
+    assert "before $x+y$ after" in text
