@@ -198,7 +198,8 @@ class RapidDoc:
             from .office.analyze import office_parse
 
             return office_parse(
-                pdf_bytes, name, make_md_mode=self.make_md_mode
+                pdf_bytes, name, make_md_mode=self.make_md_mode,
+                image_output_mode=self.image_output_mode,
             )
         return self._parse_pipeline(pdf_bytes, name, output_dir, **overrides)
 
@@ -434,7 +435,8 @@ class RapidDoc:
                 from .office.analyze import office_parse
 
                 outputs[slot] = office_parse(
-                    pdf_bytes, name, make_md_mode=self.make_md_mode
+                    pdf_bytes, name, make_md_mode=self.make_md_mode,
+                    image_output_mode=self.image_output_mode,
                 )
                 continue
             mode = self.parse_method
@@ -547,7 +549,16 @@ class RapidDoc:
             b64 = base64.b64encode(data).decode()
             return f"![](data:image/jpeg;base64,{b64})"
 
-        return re.sub(r"!\[\]\(([^)]+)\)", repl, markdown)
+        def repl_html(m: re.Match) -> str:
+            path = m.group(1)
+            data = images.get(path)
+            if data is None:
+                return m.group(0)
+            b64 = base64.b64encode(data).decode()
+            return f'<img src="data:image/jpeg;base64,{b64}"/>'
+
+        markdown = re.sub(r"!\[\]\(([^)]+)\)", repl, markdown)
+        return re.sub(r'<img src="([^"]+)"/>', repl_html, markdown)
 
     # --------------------------------------------------------------- input
 

@@ -31,7 +31,12 @@ def sniff_office_kind(data: bytes) -> str | None:
     return None
 
 
-def office_parse(data: bytes, name: str, make_md_mode: str = MakeMode.MM_MD):
+def office_parse(
+    data: bytes,
+    name: str,
+    make_md_mode: str = MakeMode.MM_MD,
+    image_output_mode: str = "url",
+):
     from ..api import RapidDocOutput
 
     if not data:
@@ -74,6 +79,10 @@ def office_parse(data: bytes, name: str, make_md_mode: str = MakeMode.MM_MD):
         ) from exc
 
     markdown = result.to_markdown()
+    if image_output_mode == "data_uri":
+        from ..api import RapidDoc
+
+        markdown = RapidDoc._embed_data_uris(markdown, result.images)
     return RapidDocOutput(
         markdown=markdown,
         images=result.images,

@@ -395,7 +395,12 @@ def _note_refs(p) -> list[tuple[str, str]]:
     return out
 
 
-def _table_to_html(tbl, rels: dict[str, str]) -> str:
+def _table_to_html(
+    tbl,
+    rels: dict[str, str],
+    z: zipfile.ZipFile | None = None,
+    image_sink: dict[str, bytes] | None = None,
+) -> str:
     rows_html = []
     vmerge_tracker: dict[int, int] = {}
     for tr in tbl.findall(q("w:tr")):
@@ -415,9 +420,17 @@ def _table_to_html(tbl, rels: dict[str, str]) -> str:
             parts = [
                 esc(_para_text(p, rels)) for p in tc.findall(q("w:p"))
             ]
+            # pictures inside cells become <img> tags and register in
+            # the result's image store (reference keeps in-table images)
+            if z is not None and image_sink is not None:
+                for p_el in tc.findall(q("w:p")):
+                    for name, img in _para_images(p_el, rels, z):
+                        image_sink[f"images/{name}"] = img
+                        parts.append(f'<img src="images/{name}"/>')
             # nested tables render inline inside their cell (pre-escaped)
             parts.extend(
-                _table_to_html(sub, rels) for sub in tc.findall(q("w:tbl"))
+                _table_to_html(sub, rels, z, image_sink)
+                for sub in tc.findall(q("w:tbl"))
             )
             text = "\n".join(x for x in parts if x).strip()
             if vmerge == "continue":
@@ -581,7 +594,9 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                     page += 1
             elif el.tag == q("w:tbl"):
                 flush_list()
-                result.add_table(_table_to_html(el, rels), page=page)
+                result.add_table(
+                    _table_to_html(el, rels, z, result.images), page=page
+                )
         flush_list()
         for i, (kind, nid) in enumerate(used_notes, 1):
             notes = footnotes if kind == "footnote" else endnotes

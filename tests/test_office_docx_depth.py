@@ -442,3 +442,35 @@ def test_sdt_wrapped_toc_content_is_kept():
     res = docx_to_blocks(make_docx(body))
     out = _texts(res)
     assert "TOC heading" in out and "1.3." in out and "after" in out
+
+
+def test_image_inside_table_cell_is_kept():
+    import struct, zlib
+
+    # minimal 1x1 png
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\xff\x00\x00"))
+           + chunk(b"IEND", b""))
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxml'
+        'formats.org/package/2006/relationships"><Relationship Id="rId5" '
+        'Type="image" Target="media/pic.png"/></Relationships>'
+    )
+    A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    cell_p = (
+        f'<w:p><w:r><w:drawing><a:blip xmlns:a="{A}" xmlns:r="{R}" '
+        'r:embed="rId5"/></w:drawing></w:r></w:p>'
+    )
+    body = f"<w:tbl><w:tr><w:tc>{cell_p}</w:tc></w:tr></w:tbl>"
+    res = docx_to_blocks(make_docx(body, {
+        "word/_rels/document.xml.rels": rels,
+        "word/media/pic.png": png,
+    }))
+    tables = [b.html for b in res.blocks if b.type == "table"]
+    assert len(tables) == 1 and '<img src="images/pic.png"/>' in tables[0]
+    assert res.images["images/pic.png"] == png
