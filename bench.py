@@ -139,218 +139,55 @@ def _bench_e2e() -> tuple[float, dict, int]:
     return pages / dt, report, pages
 
 
+FORMULA_STEPS_PER_SEQ = 96  # conservative; published max_new_tokens 1536
+
+
 def _bench_torch_reference() -> float | None:
-    """Reference torch det+rec on CPU over a comparable page workload."""
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    try:
-        import refnets
-        import torch
-    except ImportError:
-        return None
-    if not refnets.available():
-        return None
-    try:
-        m = refnets.load("backbones.rec_lcnetv4")
-        fpnm = refnets.load("necks.db_fpn")
-        headm = refnets.load("heads.det_db_head")
-        multim = refnets.load("heads.rec_multi_head")
-    except Exception:
-        return None
-    torch.set_num_threads(os.cpu_count() or 1)
+    """Reference-CPU pages/sec over the SAME measured workload, computed
+    from persisted per-unit costs (BASELINE_CPU.json, written once by
+    rapiddoc_tpu.tools.measure_baseline_cpu — each stage measured in a
+    time-boxed subprocess). Computing from persisted unit costs means a
+    flaky multi-minute torch run can never null the speed gate at bench
+    time; re-measurement happens only when the file is absent."""
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json"
+    )
+    if not os.path.isfile(baseline_path):
+        print(
+            "[baseline] BASELINE_CPU.json missing — measuring now "
+            "(time-boxed per stage)...",
+            file=sys.stderr,
+        )
+        from rapiddoc_tpu.tools.measure_baseline_cpu import run_all
 
-    class Det(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.b = m.PPLCNetV4(det=True, model_size="small")
-            self.n = fpnm.RepLKFPN(
-                in_channels=self.b.out_channels, out_channels=96,
-                dilated_kernel_size=7, shortcut=True,
-            )
-            self.h = headm.DBHead(
-                in_channels=96, k=50, mode="ppocrv6", fix_nan=True,
-                kernel_list=[3, 2, 2],
-            )
+        run_all()
+    costs = json.load(open(baseline_path))["unit_costs_ms"]
 
-        def forward(self, x):
-            return self.h(self.n(self.b(x)))["maps"]
-
-    class Rec(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.b = m.PPLCNetV4(det=False, model_size="small")
-            self.h = multim.MultiHead(
-                in_channels=384,
-                out_channels_list={"CTCLabelDecode": 18710},
-                head_list=[
-                    {"CTCHead": {"Neck": {"name": "lightsvtr", "dims": 120,
-                                           "depth": 2, "mlp_ratio": 2.0,
-                                           "local_kernel": 7},
-                                  "Head": {"fc_decay": 1e-5}}},
-                    {"NRTRHead": {"nrtr_dim": 384, "max_text_length": 25}},
-                ],
-            )
-
-        def forward(self, x):
-            out = self.h(self.b(x))
-            return out["ctc_logits"] if isinstance(out, dict) else out
-
-    det = Det().eval()
-    rec = Rec().eval()
-    det_hw = (192, 192) if TINY else (960, 960)
-    rec_hw = (48, 80) if TINY else (48, 480)
-    # real measured workload of the benched document (falls back to a
-    # text-page nominal when the e2e pass didn't fill it)
     wl = WORKLOAD or {}
     pages = PAGES
     crops = int(wl.get("rec_crops") or pages * 24)
     n_formula = int(wl.get("formula_regions") or 0)
     n_table = int(wl.get("table_regions") or 0)
-    rng = np.random.default_rng(0)
 
-    # --- det+rec: time small samples, extrapolate to real counts
-    det_x = torch.from_numpy(
-        rng.standard_normal((2, 3, *det_hw), dtype=np.float32)
-    )
-    rec_x = torch.from_numpy(
-        rng.standard_normal((32, 3, *rec_hw), dtype=np.float32)
-    )
-    with torch.no_grad():
-        det(det_x[:1])  # warm
-        tic = time.perf_counter()
-        det(det_x)
-        det_s = (time.perf_counter() - tic) / 2 * pages
-        rec(rec_x[:8])  # warm
-        tic = time.perf_counter()
-        rec(rec_x)
-        rec_s = (time.perf_counter() - tic) / 32 * crops
-    total = det_s + rec_s
-
-    # --- formula: reference PP-FormulaNet_plus head (8 layers, d=1024,
-    # ffn=4096) cached greedy decode + B6-class encoder forward, sampled
-    # per step/crop and extrapolated to the measured region count
-    if n_formula and not TINY:
-        total += _torch_formula_cost(n_formula)
-    # --- table: reference default UNET wired path — a 1024x1024 UNet
-    # forward per table region
-    if n_table and not TINY:
-        total += _torch_table_cost(n_table)
+    det_s = pages * costs["det_ms_per_page"] / 1e3
+    rec_s = crops * costs["rec_ms_per_crop"] / 1e3
+    layout_s = pages * costs.get("layout_ms_per_page", 0.0) / 1e3
+    formula_s = n_formula * (
+        costs.get("formula_enc_ms_per_region", 0.0)
+        + FORMULA_STEPS_PER_SEQ * costs.get("formula_step_ms", 0.0)
+    ) / 1e3
+    table_s = n_table * costs.get("table_unet_ms_per_region", 0.0) / 1e3
+    total = det_s + rec_s + layout_s + formula_s + table_s
+    if total <= 0:
+        raise RuntimeError(f"degenerate baseline costs: {costs}")
     print(
-        f"[baseline] det={det_s:.1f}s rec={rec_s:.1f}s "
-        f"total={total:.1f}s for {pages}p/{crops}c/"
-        f"{n_formula}f/{n_table}t (layout excluded: no torch reference "
-        f"implementation — denominator is generous)",
+        f"[baseline] layout={layout_s:.1f}s det={det_s:.1f}s "
+        f"rec={rec_s:.1f}s formula={formula_s:.1f}s table={table_s:.1f}s "
+        f"total={total:.1f}s for {pages}p/{crops}c/{n_formula}f/{n_table}t "
+        f"(per-unit costs from BASELINE_CPU.json)",
         file=sys.stderr,
     )
     return pages / total
-
-
-def _torch_formula_cost(n_regions: int, steps_per_seq: int = 96) -> float:
-    """CPU cost model for the reference formula stage: PPFormulaNet_Head
-    cached greedy decode (reference rec_ppformulanet_head.py:695: 8
-    decoder layers, hidden 1024, ffn 4096, vocab ~50k) plus a
-    B6-backbone encoder forward per region. Measures a few steps and one
-    encoder forward, extrapolates to n_regions x steps_per_seq (96 is
-    conservative; published max_new_tokens is 1536)."""
-    import refnets
-    import torch
-
-    try:
-        heads = refnets.load_formula("heads.rec_ppformulanet_head")
-        torch.manual_seed(0)
-        hd = heads.PPFormulaNet_Head(
-            max_new_tokens=32, decoder_layers=8, decoder_ffn_dim=4096,
-            decoder_hidden_size=1024, encoder_hidden_size=1024,
-            in_channels=1024,
-        ).eval()
-        bb = refnets.load_formula("backbones.rec_pphgnetv2")
-        enc = bb.PPHGNetV2_B6_Formula(class_num=1024).eval()
-    except Exception:
-        return 0.0
-    S = 24 * 24  # ~384x384 crop at stride 16
-    with torch.no_grad():
-        x = torch.randn(1, 3, 384, 384)
-        tic = time.perf_counter()
-        memory = enc(x).last_hidden_state
-        enc_s = time.perf_counter() - tic
-        memory = torch.randn(1, S, 1024)
-        projected = hd.enc_to_dec_proj(memory)
-        past = None
-        tok = torch.zeros((1, 1), dtype=torch.int64)
-        n_steps = 4
-        tic = time.perf_counter()
-        for t in range(n_steps):
-            out = hd.decoder(
-                input_ids=tok,
-                attention_mask=torch.ones((1, t + 1), dtype=torch.int64),
-                encoder_hidden_states=projected,
-                past_key_values=past,
-                use_cache=True,
-                return_dict=True,
-            )
-            past = out.past_key_values
-            tok = out.logits[:, -1:].argmax(-1)
-        step_s = (time.perf_counter() - tic) / n_steps
-    return n_regions * (enc_s + step_s * steps_per_seq)
-
-
-def _torch_table_cost(n_regions: int) -> float:
-    """CPU cost model for the reference wired-table stage: one
-    1024x1024 UNet forward per table region (reference
-    table_structure/unet/main.py fixed-1024 input). Architecture matches
-    the repo's UNet spec (base 16, depth 4)."""
-    import torch
-
-    class DC(torch.nn.Module):
-        def __init__(self, cin, cout):
-            super().__init__()
-            self.net = torch.nn.Sequential(
-                torch.nn.Conv2d(cin, cout, 3, padding=1),
-                torch.nn.BatchNorm2d(cout), torch.nn.ReLU(),
-                torch.nn.Conv2d(cout, cout, 3, padding=1),
-                torch.nn.BatchNorm2d(cout), torch.nn.ReLU(),
-            )
-
-        def forward(self, x):
-            return self.net(x)
-
-    class UNet(torch.nn.Module):
-        def __init__(self, base=16, depth=4):
-            super().__init__()
-            self.downs = torch.nn.ModuleList()
-            f, cin = base, 3
-            for _ in range(depth):
-                self.downs.append(DC(cin, f))
-                cin, f = f, f * 2
-            self.bottom = DC(cin, f)
-            self.ups = torch.nn.ModuleList()
-            self.upc = torch.nn.ModuleList()
-            for _ in range(depth):
-                f //= 2
-                self.upc.append(torch.nn.Conv2d(f * 2, f, 2, padding="same"))
-                self.ups.append(DC(f * 2, f))
-            self.head = torch.nn.Conv2d(base, 2, 1)
-
-        def forward(self, x):
-            skips = []
-            for d in self.downs:
-                x = d(x)
-                skips.append(x)
-                x = torch.nn.functional.max_pool2d(x, 2)
-            x = self.bottom(x)
-            for up, upc, skip in zip(self.ups, self.upc, reversed(skips)):
-                x = torch.nn.functional.interpolate(x, scale_factor=2)
-                x = upc(x)
-                x = up(torch.cat([skip, x], dim=1))
-            return self.head(x)
-
-    net = UNet().eval()
-    with torch.no_grad():
-        x = torch.randn(1, 3, 1024, 1024)
-        net(x)  # warm
-        tic = time.perf_counter()
-        net(x)
-        one = time.perf_counter() - tic
-    return n_regions * one
 
 
 def _device_available(timeout_s: float = 180.0) -> bool:
@@ -387,6 +224,10 @@ def main() -> None:
         try:
             base_pps = _bench_torch_reference()
         except Exception:
+            # never silently null the gate — show exactly what broke
+            import traceback
+
+            traceback.print_exc()
             base_pps = None
     vs = round(pps / base_pps, 3) if base_pps else None
     import jax

@@ -540,6 +540,23 @@ class RapidDoc:
         return outputs  # type: ignore[return-value]
 
     @staticmethod
+    def _image_mime(data: bytes) -> str:
+        """MIME type from magic bytes — office media are typically PNG
+        or GIF, so a hardcoded image/jpeg would misrender in strict
+        data-URI consumers."""
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return "image/png"
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return "image/gif"
+        if data[:2] == b"BM":
+            return "image/bmp"
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return "image/webp"
+        if data[:5] in (b"<?xml", b"<svg ") or data[:4] == b"<svg":
+            return "image/svg+xml"
+        return "image/jpeg"
+
+    @staticmethod
     def _embed_data_uris(markdown: str, images: dict[str, bytes]) -> str:
         def repl(m: re.Match) -> str:
             path = m.group(1)
@@ -547,7 +564,8 @@ class RapidDoc:
             if data is None:
                 return m.group(0)
             b64 = base64.b64encode(data).decode()
-            return f"![](data:image/jpeg;base64,{b64})"
+            mime = RapidDoc._image_mime(data)
+            return f"![](data:{mime};base64,{b64})"
 
         def repl_html(m: re.Match) -> str:
             path = m.group(1)
@@ -555,7 +573,8 @@ class RapidDoc:
             if data is None:
                 return m.group(0)
             b64 = base64.b64encode(data).decode()
-            return f'<img src="data:image/jpeg;base64,{b64}"/>'
+            mime = RapidDoc._image_mime(data)
+            return f'<img src="data:{mime};base64,{b64}"/>'
 
         markdown = re.sub(r"!\[\]\(([^)]+)\)", repl, markdown)
         return re.sub(r'<img src="([^"]+)"/>', repl_html, markdown)

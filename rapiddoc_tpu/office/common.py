@@ -17,6 +17,7 @@ NS = {
     "wp": "http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing",
     "pic": "http://schemas.openxmlformats.org/drawingml/2006/picture",
     "s": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+    "a14": "http://schemas.microsoft.com/office/drawing/2010/main",
 }
 
 
@@ -57,6 +58,11 @@ class OfficeResult:
             self.blocks.append(OfficeBlock("table", html=html, page_idx=page))
 
     def add_image(self, name: str, data: bytes, page: int = 0) -> None:
+        from .images import normalize_office_image
+
+        # WMF/EMF vector media -> labeled placeholder raster (reference:
+        # backend/utils/office_image.py:34-181)
+        name, data = normalize_office_image(name, data)
         self.images[f"images/{name}"] = data
         self.blocks.append(OfficeBlock("image", image_name=f"images/{name}", page_idx=page))
 

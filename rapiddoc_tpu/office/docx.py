@@ -246,37 +246,76 @@ def _num_pr(p) -> tuple[str, int] | None:
         return None
 
 
-def _load_numbering(z: zipfile.ZipFile) -> dict[str, dict[int, tuple[str, str]]]:
-    """word/numbering.xml -> numId -> {ilvl: (numFmt, lvlText)}
-    (reference: docx_converter numbering handling)."""
+def _parse_lvl(lvl) -> tuple[int, tuple[str, str, int]] | None:
+    """One w:lvl element -> (ilvl, (numFmt, lvlText, start))."""
+    try:
+        i = int(lvl.get(q("w:ilvl"), "0"))
+    except ValueError:
+        return None
+    fmt_el = lvl.find(q("w:numFmt"))
+    txt_el = lvl.find(q("w:lvlText"))
+    start_el = lvl.find(q("w:start"))
+    fmt = fmt_el.get(q("w:val"), "decimal") if fmt_el is not None else "decimal"
+    txt = txt_el.get(q("w:val"), "") if txt_el is not None else ""
+    start = 1
+    if start_el is not None:
+        try:
+            start = int(start_el.get(q("w:val"), "1"))
+        except ValueError:
+            start = 1
+    return i, (fmt, txt, start)
+
+
+def _load_numbering(z: zipfile.ZipFile) -> dict[str, dict[int, tuple[str, str, int]]]:
+    """word/numbering.xml -> numId -> {ilvl: (numFmt, lvlText, start)}.
+    w:start and per-num w:lvlOverride/w:startOverride are honored so
+    lists starting at values other than 1 render correct markers
+    (reference: docx_converter _get_numbering_level_start)."""
     if "word/numbering.xml" not in z.namelist():
         return {}
     try:
         root = ET.fromstring(z.read("word/numbering.xml"))
     except ET.ParseError:
         return {}
-    abstract: dict[str, dict[int, tuple[str, str]]] = {}
+    abstract: dict[str, dict[int, tuple[str, str, int]]] = {}
     for an in root.findall(q("w:abstractNum")):
         aid = an.get(q("w:abstractNumId"))
-        lvls: dict[int, tuple[str, str]] = {}
+        lvls: dict[int, tuple[str, str, int]] = {}
         for lvl in an.findall(q("w:lvl")):
-            try:
-                i = int(lvl.get(q("w:ilvl"), "0"))
-            except ValueError:
-                continue
-            fmt_el = lvl.find(q("w:numFmt"))
-            txt_el = lvl.find(q("w:lvlText"))
-            fmt = fmt_el.get(q("w:val"), "decimal") if fmt_el is not None else "decimal"
-            txt = txt_el.get(q("w:val"), "") if txt_el is not None else ""
-            lvls[i] = (fmt, txt)
+            parsed = _parse_lvl(lvl)
+            if parsed is not None:
+                lvls[parsed[0]] = parsed[1]
         if aid is not None:
             abstract[aid] = lvls
-    out: dict[str, dict[int, tuple[str, str]]] = {}
+    out: dict[str, dict[int, tuple[str, str, int]]] = {}
     for num in root.findall(q("w:num")):
         nid = num.get(q("w:numId"))
         ref = num.find(q("w:abstractNumId"))
-        if nid is not None and ref is not None:
-            out[nid] = abstract.get(ref.get(q("w:val"), ""), {})
+        if nid is None or ref is None:
+            continue
+        lvls = dict(abstract.get(ref.get(q("w:val"), ""), {}))
+        # w:lvlOverride: a full w:lvl replaces the abstract level; a bare
+        # w:startOverride replaces only its start value
+        for ov in num.findall(q("w:lvlOverride")):
+            try:
+                oi = int(ov.get(q("w:ilvl"), "0"))
+            except ValueError:
+                continue
+            ov_lvl = ov.find(q("w:lvl"))
+            if ov_lvl is not None:
+                parsed = _parse_lvl(ov_lvl)
+                if parsed is not None:
+                    lvls[parsed[0]] = parsed[1]
+                continue
+            so = ov.find(q("w:startOverride"))
+            if so is not None:
+                try:
+                    s = int(so.get(q("w:val"), "1"))
+                except ValueError:
+                    continue
+                fmt, txt, _ = lvls.get(oi, ("decimal", "", 1))
+                lvls[oi] = (fmt, txt, s)
+        out[nid] = lvls
     return out
 
 
@@ -344,21 +383,24 @@ class _NumberingState:
 
     def marker(self, num_id: str, ilvl: int) -> str:
         key = (num_id, ilvl)
-        self.counters[key] = self.counters.get(key, 0) + 1
+        levels = self.numbering.get(num_id, {})
+        fmt, lvl_text, start = levels.get(ilvl, ("bullet", "", 1))
+        if key in self.counters:
+            self.counters[key] += 1
+        else:
+            self.counters[key] = start  # w:start / startOverride value
         # restarting a level resets deeper levels
         for (nid, lv) in list(self.counters):
             if nid == num_id and lv > ilvl:
                 del self.counters[(nid, lv)]
-        levels = self.numbering.get(num_id, {})
-        fmt, lvl_text = levels.get(ilvl, ("bullet", ""))
-        # shallower levels not yet seen display as 1 (Word behavior for
-        # a deep item without a shallower predecessor)
+        # shallower levels not yet seen display at their start value
+        # (Word behavior for a deep item without a shallower predecessor)
         values = {
             lv: c for (nid, lv), c in self.counters.items() if nid == num_id
         }
         for lv in range(ilvl):
-            values.setdefault(lv, 1)
-        fmts = {lv: levels.get(lv, ("decimal", ""))[0] for lv in values}
+            values.setdefault(lv, levels.get(lv, ("decimal", "", 1))[2])
+        fmts = {lv: levels.get(lv, ("decimal", "", 1))[0] for lv in values}
         return _format_marker(fmt, self.counters[key], lvl_text, values, fmts)
 
 
@@ -423,8 +465,11 @@ def _table_to_html(
             # pictures inside cells become <img> tags and register in
             # the result's image store (reference keeps in-table images)
             if z is not None and image_sink is not None:
+                from .images import normalize_office_image
+
                 for p_el in tc.findall(q("w:p")):
                     for name, img in _para_images(p_el, rels, z):
+                        name, img = normalize_office_image(name, img)
                         image_sink[f"images/{name}"] = img
                         parts.append(f'<img src="images/{name}"/>')
             # nested tables render inline inside their cell (pre-escaped)
@@ -524,14 +569,19 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
             if el.tag == q("w:p"):
                 maths = _para_math(el)
                 text = _para_text(el, rels, rich=True)
-                breaks_page = _para_page_break(
-                    el, bool(text.strip() or maths)
-                )
+                images = _para_images(el, rels, z)
+                # a picture-only paragraph IS content (reference
+                # _is_layout_only_section_break checks picture_xpath_expr)
+                # — without this, its sectPr is misclassified layout-only
+                # and the empty-carrier pre-increment would push the
+                # images onto the wrong page
+                has_content = bool(text.strip() or maths or images)
+                breaks_page = _para_page_break(el, has_content)
                 # an empty break-carrier paragraph starts the new page
                 # before anything else lands; a paragraph with content
                 # stays on the old page and paginates after (reference
                 # docx_converter convert loop semantics)
-                if breaks_page and not text.strip() and not maths:
+                if breaks_page and not has_content:
                     flush_list()
                     page += 1
                     breaks_page = False
@@ -546,7 +596,6 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                         idx = used_notes.index((kind, nid)) + 1
                         note_suffix += f"[^{idx}]"
                 text += note_suffix
-                images = _para_images(el, rels, z)
                 ppr = el.find(q("w:pPr"))
                 style = None
                 if ppr is not None:

@@ -38,16 +38,54 @@ _CHAR_MAP = {
 }
 
 
-def _map_text(text: str) -> str:
-    # OMML run text often uses Mathematical Alphanumeric Symbols
-    # (U+1D400.., e.g. 𝑓 𝜋); NFKC folds them to plain letters so the
-    # Greek map below and LaTeX both understand them
+# letterlike symbols carry semantics NFKC would erase (ℝ→R loses
+# \mathbb{R}); superscript/subscript literals would fold to plain digits
+# (x²→x2), silently changing the equation — map them explicitly instead
+# (reference uses an explicit T2L/latex_dict table for the same reason)
+_LETTERLIKE = {
+    "ℝ": r"\mathbb{R}", "ℂ": r"\mathbb{C}", "ℕ": r"\mathbb{N}",
+    "ℤ": r"\mathbb{Z}", "ℚ": r"\mathbb{Q}", "ℍ": r"\mathbb{H}",
+    "ℙ": r"\mathbb{P}", "ℓ": r"\ell", "ℏ": r"\hbar", "ℑ": r"\Im",
+    "ℜ": r"\Re", "ℵ": r"\aleph", "℘": r"\wp", "ℒ": r"\mathcal{L}",
+    "ℱ": r"\mathcal{F}", "ℋ": r"\mathcal{H}", "ℬ": r"\mathcal{B}",
+    "ℯ": "e", "ℊ": "g", "ℴ": "o",
+}
+_SUPERSCRIPTS = {
+    "⁰": "0", "¹": "1", "²": "2", "³": "3", "⁴": "4", "⁵": "5",
+    "⁶": "6", "⁷": "7", "⁸": "8", "⁹": "9", "⁺": "+", "⁻": "-",
+    "⁼": "=", "⁽": "(", "⁾": ")", "ⁿ": "n", "ⁱ": "i",
+}
+_SUBSCRIPTS = {
+    "₀": "0", "₁": "1", "₂": "2", "₃": "3", "₄": "4", "₅": "5",
+    "₆": "6", "₇": "7", "₈": "8", "₉": "9", "₊": "+", "₋": "-",
+    "₌": "=", "₍": "(", "₎": ")",
+}
+
+
+def _fold_char(ch: str) -> str:
+    """NFKC-fold ONLY the Mathematical Alphanumeric Symbols block
+    (U+1D400–U+1D7FF, e.g. 𝑓 𝜋 → f π) — the one block where folding is
+    lossless for LaTeX; everything else maps through explicit tables."""
     import unicodedata
 
-    text = unicodedata.normalize("NFKC", text)
+    cp = ord(ch)
+    if 0x1D400 <= cp <= 0x1D7FF:
+        return unicodedata.normalize("NFKC", ch)
+    return ch
+
+
+def _map_text(text: str) -> str:
     out: list[str] = []
     for ch in text:
-        rep = _CHAR_MAP.get(ch, ch)
+        ch = _fold_char(ch)
+        if ch in _LETTERLIKE:
+            rep = _LETTERLIKE[ch]
+        elif ch in _SUPERSCRIPTS:
+            rep = "^{" + _SUPERSCRIPTS[ch] + "}"
+        elif ch in _SUBSCRIPTS:
+            rep = "_{" + _SUBSCRIPTS[ch] + "}"
+        else:
+            rep = _CHAR_MAP.get(ch, ch)
         # a control word (\pi) followed by a letter would fuse into an
         # undefined macro (\pix); keep the boundary with a space
         if out and "\\" in out[-1] and out[-1][-1].isalpha() and rep[:1].isalpha():

@@ -19,6 +19,12 @@ from .docx import _load_rels
 A = NS["a"]
 P = NS["p"]
 _M_NS = NS["m"]
+# the three node kinds that carry inline OMML in a pptx paragraph
+_MATH_TAGS = frozenset({
+    f"{{{NS['a14']}}}m",
+    f"{{{_M_NS}}}oMath",
+    f"{{{_M_NS}}}oMathPara",
+})
 _MC_NS = "http://schemas.openxmlformats.org/markup-compatibility/2006"
 
 
@@ -115,13 +121,16 @@ def _shape_text(sp, rels: dict | None = None) -> list[str]:
                     segs.append([t.text, key, rpr])
             elif el.tag == f"{{{A}}}br":
                 segs.append(["\n", (None, None), None])
-            elif el.tag.endswith("}m") or el.tag.endswith("}oMath"):
-                # a14:m-wrapped (or bare) OMML equation inline in the
-                # paragraph -> $latex$ at its run position
+            elif el.tag in _MATH_TAGS:
+                # a14:m-wrapped, bare m:oMath, or m:oMathPara equation
+                # inline in the paragraph -> $latex$ at its run position
+                # (explicit tag set like the reference's
+                # _is_math_content_node — endswith('}m') would match
+                # local name 'm' in ANY namespace and miss oMathPara)
                 from .omml import omml_to_latex
 
                 maths = (
-                    [el] if el.tag.endswith("}oMath")
+                    [el] if el.tag == f"{{{_M_NS}}}oMath"
                     else el.findall(f"{{{_M_NS}}}oMath")
                     or [
                         d for d in el.iter()
