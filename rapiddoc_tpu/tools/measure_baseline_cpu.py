@@ -267,9 +267,16 @@ def measure_layout() -> dict:
     JAX-CPU — an equivalent-architecture forward on the same host. This
     slightly FAVORS the reference (XLA-CPU convs are typically no slower
     than ORT), keeping the denominator honest."""
+    # the axon sitecustomize registers the TPU plugin at interpreter
+    # start and sets jax_platforms itself — the env var is ignored by
+    # then; config.update is the only reliable way to force CPU here
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
     from rapiddoc_tpu.models.layout.rtdetr import RTDETR
 
