@@ -136,6 +136,29 @@ def _bench_e2e() -> tuple[float, dict, int]:
             f"compiles={st['compiles']}",
             file=sys.stderr,
         )
+    # transfer-vs-compute split: measured wire constants x observed byte
+    # counters — separates what a faster link would fix from what the
+    # chip actually spends computing
+    from rapiddoc_tpu.engine.session import (
+        measure_wire_bandwidth,
+        transfer_split_report,
+    )
+
+    try:
+        print(f"[wire] {measure_wire_bandwidth()}", file=sys.stderr)
+        split = transfer_split_report()
+        for name, tr in split.items():
+            stage_ms = rep.get(name, {}).get("total_s", 0.0) * 1e3
+            print(
+                f"[split] {name}: transfer~{tr['transfer_ms_est']:.0f}ms "
+                f"compute~{max(stage_ms - tr['transfer_ms_est'], 0.0):.0f}ms "
+                f"of {stage_ms:.0f}ms stage wall",
+                file=sys.stderr,
+            )
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
     return pages / dt, report, pages
 
 

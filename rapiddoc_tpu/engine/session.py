@@ -73,6 +73,38 @@ class SessionStats:
         }
 
 
+def commit_params(params: Any, *, dtype=jnp.bfloat16, sharding=None) -> Any:
+    """Cast float weight leaves to the compute dtype and commit the tree
+    to device once.
+
+    Two distinct wins on TPU: (1) passing host numpy trees into a jitted
+    call re-transfers every leaf per call — committing once makes weight
+    transfer a startup cost, not a per-call one; (2) flax layers with
+    dtype=None promote to the WIDEST of (input, param) dtype, so fp32
+    params silently turn an intended-bf16 forward into fp32 — storing
+    params in bf16 makes the compute genuinely bf16 (MXU-native) and
+    halves weight HBM reads, which is what bounds AR decode steps.
+    Integer / bool leaves pass through. RAPIDDOC_FP32_PARAMS=1 keeps
+    fp32 storage (numerical escape hatch)."""
+    import os
+
+    if os.environ.get("RAPIDDOC_FP32_PARAMS"):
+        dtype = jnp.float32
+
+    def cast(a):
+        if isinstance(a, jax.Array):
+            if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != dtype:
+                return a.astype(dtype)
+            return a
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating) and a.dtype != dtype:
+            return a.astype(dtype)
+        return a
+
+    tree = jax.tree.map(cast, params)
+    return jax.device_put(tree, sharding) if sharding is not None else jax.device_put(tree)
+
+
 _ALL_SESSIONS: list["JaxSession"] = []
 
 
@@ -81,6 +113,85 @@ def session_stats_report() -> dict[str, dict]:
     profiling view for tunnel-bound deployments where host<->device
     bytes and roundtrips, not FLOPs, set the ceiling."""
     return {s.name: s.stats.as_dict() for s in _ALL_SESSIONS}
+
+
+_WIRE_BW: dict | None = None
+
+
+def measure_wire_bandwidth(size_mb: int = 8, iters: int = 3) -> dict:
+    """One-shot host<->device wire calibration (cached).
+
+    Measures h2d / d2h bandwidth with a bulk uint8 buffer and the
+    per-roundtrip latency with a tiny array — the two constants that,
+    with the byte counters in SessionStats, let the stage report split
+    wall time into est. transfer vs compute. On a tunneled chip the
+    wire, not the MXU, usually sets the ceiling; this makes that
+    auditable instead of asserted."""
+    global _WIRE_BW
+    if _WIRE_BW is not None:
+        return _WIRE_BW
+    n = size_mb * (1 << 20)
+    buf = np.random.default_rng(0).integers(0, 255, n, dtype=np.uint8)
+    dev = jax.device_put(buf)  # warm path + allocation
+    jax.block_until_ready(dev)
+    h2d = min(
+        _timed(lambda: jax.block_until_ready(jax.device_put(buf)))
+        for _ in range(iters)
+    )
+    # d2h: a FRESH device array per iteration — jax caches the host copy
+    # of an array after its first transfer, so re-reading `dev` would
+    # measure a memcpy, not the wire
+    add_one = jax.jit(lambda a, i: a + i)
+    d2h_times = []
+    for i in range(iters):
+        fresh = jax.block_until_ready(add_one(dev, np.uint8(i + 1)))
+        d2h_times.append(_timed(lambda: np.asarray(fresh)))
+    d2h = min(d2h_times)
+    tiny0 = jax.device_put(np.zeros(8, np.uint8))
+    rts = []
+    for i in range(iters):
+        t = jax.block_until_ready(add_one(tiny0, np.uint8(i + 1)))
+        rts.append(_timed(lambda: np.asarray(t)))
+    rt = min(rts)
+    _WIRE_BW = {
+        "h2d_mb_per_s": n / (1 << 20) / max(h2d, 1e-9),
+        "d2h_mb_per_s": n / (1 << 20) / max(d2h, 1e-9),
+        "roundtrip_ms": rt * 1e3,
+    }
+    return _WIRE_BW
+
+
+def _timed(fn) -> float:
+    import time
+
+    tic = time.perf_counter()
+    fn()
+    return time.perf_counter() - tic
+
+
+def transfer_split_report() -> dict[str, dict]:
+    """Per-session estimated transfer cost from measured wire constants
+    x observed byte counters: {session: {transfer_ms_est, bytes_in,
+    bytes_out, fetches}}. transfer_ms_est is a SERIALIZED upper bound —
+    dispatch/fetch pipelining overlaps transfer under compute, so stage
+    wall can be below it; compute_ms = max(stage wall - est, 0) is the
+    caller's join (bench.py)."""
+    bw = measure_wire_bandwidth()
+    out = {}
+    for s in _ALL_SESSIONS:
+        st = s.stats
+        ms = (
+            st.bytes_in / (1 << 20) / bw["h2d_mb_per_s"] * 1e3
+            + st.bytes_out / (1 << 20) / bw["d2h_mb_per_s"] * 1e3
+            + st.fetches * bw["roundtrip_ms"]
+        )
+        out[s.name] = {
+            "transfer_ms_est": round(ms, 1),
+            "bytes_in": st.bytes_in,
+            "bytes_out": st.bytes_out,
+            "fetches": st.fetches,
+        }
+    return out
 
 
 class JaxSession:
@@ -119,10 +230,13 @@ class JaxSession:
         self.n_shards = (
             self.mesh.devices.size if self.mesh is not None else 1
         )
-        if self.mesh is not None and self.n_shards > 1:
-            self.params = jax.device_put(params, replicated(self.mesh))
-        else:
-            self.params = jax.device_put(params)
+        self.params = commit_params(
+            params,
+            dtype=compute_dtype,
+            sharding=replicated(self.mesh)
+            if self.mesh is not None and self.n_shards > 1
+            else None,
+        )
         _ALL_SESSIONS.append(self)
 
     # ----------------------------------------------------------------- jit

@@ -167,7 +167,13 @@ class FormulaRecognizer:
                     np.zeros((cfg.layers, 1, S0, self.mbart_cfg.heads, hd), np.float32),
                     np.ones((1, S0), bool),
                 )
-        self.variables = variables
+        # commit weights to device once in bf16 — passing host numpy trees
+        # into a jitted call re-transfers every leaf per call (hundreds of
+        # ms on a tunneled chip), and fp32 params silently promote the
+        # whole forward to fp32 (engine/session.py commit_params)
+        from ...engine.session import commit_params
+
+        self.variables = commit_params(variables)
         self.tokenizer = FormulaTokenizer(
             get_models_dir() / "formula_tokenizer.json"
         )

@@ -36,7 +36,9 @@ class OrientationClassifier:
                 jax.random.PRNGKey(seed),
                 np.zeros((1, self.INPUT, self.INPUT, 3), np.float32),
             )
-        self.variables = variables
+        from ...engine.session import commit_params
+
+        self.variables = commit_params(variables)
         self._fwd = jax.jit(
             lambda v, x: jax.nn.softmax(
                 self.model.apply(

@@ -260,7 +260,10 @@ class SLANetStructure:
             )
             variables = {"backbone": bb_vars, "neck": neck_vars,
                          "fea_key": fk_vars, "step": step_vars}
-        self.variables = variables
+        # device-resident bf16 weights (engine/session.py commit_params)
+        from ...engine.session import commit_params
+
+        self.variables = commit_params(variables)
         self._fn = None
 
     def _compiled(self):
@@ -272,7 +275,10 @@ class SLANetStructure:
                 feats = self.backbone.apply(bb_vars, x.astype(jnp.bfloat16))
                 fea_map = self.neck.apply(neck_vars, feats)
                 b, h, w, c = fea_map.shape
-                fea = fea_map.reshape(b, h * w, c).astype(jnp.float32)
+                # stay in bf16 through the decode loop (softmax/argmax/loc
+                # escapes to fp32 inside SLAHeadStep); fp32 here would
+                # promote every step's matmuls off the fast path
+                fea = fea_map.reshape(b, h * w, c)
                 return sla_decode(
                     self.step, step_vars, self.fea_key, fk_vars, fea,
                     self.vocab.sos_id, self.vocab.eos_id,

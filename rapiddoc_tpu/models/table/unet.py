@@ -138,7 +138,9 @@ class WiredTableStructure:
                 jax.random.PRNGKey(seed),
                 np.zeros((1, 256, 256, 3), np.float32),
             )
-        self.variables = variables
+        from ...engine.session import commit_params
+
+        self.variables = commit_params(variables)
 
         def fwd(v, x):
             # uint8 in (4x less host->device), /255 fused on device;

@@ -327,7 +327,9 @@ class UniTableStructure:
             )
             variables = {"encoder": enc_vars, "decoder": dec_vars,
                          "mem_proj": mem_vars}
-        self.variables = variables
+        from ...engine.session import commit_params
+
+        self.variables = commit_params(variables)
         self._fn: dict = {}
 
     @staticmethod
