@@ -929,6 +929,24 @@ class _Executor:
         return tuple(final_carried) + tuple(final_bufs)
 
 
+def _static_float_operands(model) -> set[str]:
+    """Names feeding shape-like float inputs (Resize scales/sizes), which
+    must resolve at trace time even though they are float initializers —
+    real exports (UNET upsample paths) ship Resize scales as float32
+    initializers, not graph constants. Recurses into If/Loop subgraphs:
+    a branch may consume an outer-scope initializer."""
+    names: set[str] = set()
+    for node in model.nodes:
+        if node.op_type == "Resize":
+            for idx in (2, 3):
+                if len(node.inputs) > idx and node.inputs[idx]:
+                    names.add(node.inputs[idx])
+        for v in node.attrs.values():
+            if hasattr(v, "nodes"):  # subgraph attribute
+                names |= _static_float_operands(v)
+    return names
+
+
 class OnnxJaxFunction:
     """A jittable callable over an ONNX graph: fn(inputs_dict) -> outputs.
 
@@ -951,9 +969,10 @@ class OnnxJaxFunction:
         # Shape/Reshape/Slice chains resolve at trace time.
         self.params: dict[str, np.ndarray] = {}
         self.static: dict[str, np.ndarray] = {}
+        force_static = _static_float_operands(model)
         for k, v in model.initializers.items():
             arr = np.asarray(v)
-            if np.issubdtype(arr.dtype, np.floating):
+            if np.issubdtype(arr.dtype, np.floating) and k not in force_static:
                 self.params[k] = arr
             else:
                 self.static[k] = arr
