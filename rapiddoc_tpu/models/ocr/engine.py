@@ -194,6 +194,54 @@ class TextDetector:
                 results[i] = DetResult(boxes, scores)
         return results  # type: ignore[return-value]
 
+    def detect_polys(
+        self,
+        images: Sequence[np.ndarray],
+        params=None,
+        n_points: int = 8,
+    ) -> list[list[np.ndarray]]:
+        """Curved-text detection: per image, a list of 2k-point polygons
+        (top edge left->right then bottom edge right->left) in source
+        pixels — the reference seal det's det_box_type='poly' contract
+        (rapid_doc/model/ocr/rapid_ocr.py:122-151). Pass the seal params
+        (models/ocr/seal.SEAL_DET_PARAMS) for stamp crops."""
+        from .pre_post import db_postprocess_poly
+
+        prepped = []
+        metas = []
+        for img in images:
+            resized, _, _ = det_resize(img, self.limit_side_len, self.limit_type)
+            metas.append((img.shape[0], img.shape[1],
+                          resized.shape[0], resized.shape[1]))
+            if self.contrast_stretch:
+                resized = pp_contrast_stretch(resized)
+            if self.gray_transfer:
+                resized = to_luma(resized)
+            prepped.append(resized)
+        spec = self.session.bucket_spec
+        groups = group_by_bucket([(m[2], m[3]) for m in metas], spec)
+        results: list[list[np.ndarray]] = [[] for _ in images]
+        max_b = spec.max_batch()
+        pending = []
+        for (bh, bw), idxs in groups.items():
+            batch_imgs = [pad_image_to(prepped[i], bh, bw) for i in idxs]
+            handles = [
+                self.session.dispatch(np.stack(batch_imgs[j : j + max_b]))
+                for j in range(0, len(batch_imgs), max_b)
+            ]
+            pending.append((idxs, handles))
+        for idxs, handles in pending:
+            outs = self.session.fetch_rows(handles)
+            for i, out in zip(idxs, outs):
+                src_h, src_w, rh, rw = metas[i]
+                prob2d = self._reconstruct_prob(out)
+                polys, _scores = db_postprocess_poly(
+                    prob2d, src_h, src_w, valid_h=rh, valid_w=rw,
+                    params=params or self.post_params, n_points=n_points,
+                )
+                results[i] = polys
+        return results
+
     def _refine_merged(
         self, images: Sequence[np.ndarray], results: list[DetResult]
     ) -> list[DetResult]:

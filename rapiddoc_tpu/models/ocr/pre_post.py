@@ -201,6 +201,97 @@ def db_postprocess(
     return np.stack(boxes), np.asarray(scores, dtype=np.float32)
 
 
+def db_postprocess_poly(
+    prob_map: np.ndarray,
+    src_h: int,
+    src_w: int,
+    valid_h: int | None = None,
+    valid_w: int | None = None,
+    params: DBPostParams | None = None,
+    n_points: int = 8,
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """DB prob map -> 2k-point text polygons (curved-text mode).
+
+    The poly convention matches the reference seal det (reference:
+    rapid_doc/model/ocr/rapid_ocr.py:122-151 det_box_type='poly' +
+    seal_det_warp.py:119-616 AutoRectifier input): first k points trace
+    the top edge left->right, last k the bottom edge right->left. Edges
+    are sampled column-wise from the filled component mask, so arbitrary
+    vertical curvature (arcs, waves) is captured; near-vertical text
+    degrades to the minAreaRect quad (column sampling is then
+    meaningless) — the quad path handles it as the reference does.
+    Returns (list of (2k, 2) float32 polys in source pixels, scores).
+    """
+    p = params or DBPostParams()
+    prob = prob_map[..., 0] if prob_map.ndim == 3 else prob_map
+    if valid_h is not None:
+        prob = prob[:valid_h, :valid_w]
+    seg = (prob > p.thresh).astype(np.uint8)
+    if p.use_dilation:
+        seg = cv2.dilate(seg, np.array([[1, 1], [1, 1]], dtype=np.uint8))
+    contours, _ = cv2.findContours(seg, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
+    h, w = prob.shape
+    scale_x = src_w / w
+    scale_y = src_h / h
+    polys: list[np.ndarray] = []
+    scores = []
+    for contour in contours[: p.max_candidates]:
+        rect = cv2.minAreaRect(contour)
+        if min(rect[1]) < p.min_size:
+            continue
+        x, y, cw, chh = cv2.boundingRect(contour)
+        mask = np.zeros((chh, cw), np.uint8)
+        cv2.drawContours(mask, [contour - [x, y]], -1, 1, -1)
+        # score over the component mask, not the minAreaRect — a curved
+        # band's rect is mostly background and would dilute the score
+        # below box_thresh (the quad scorer's known failure on arcs)
+        region = prob[y : y + chh, x : x + cw]
+        denom = float(mask.sum())
+        score = float((region * mask).sum() / denom) if denom else 0.0
+        if score < p.box_thresh:
+            continue
+        # unclip: pad the component outward by ~unclip_ratio x thickness
+        thickness = max(1.0, float(mask.sum()) / max(cw, 1))
+        pad = max(1, int(round(thickness * p.unclip_ratio)))
+        mask = np.pad(mask, pad)
+        mask = cv2.dilate(
+            mask, cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
+                                            (2 * pad + 1, 2 * pad + 1))
+        )
+        cols = np.where(mask.any(axis=0))[0]
+        if len(cols) < 2 or cw < chh:  # degenerate / vertical: quad path
+            pts = _order_quad(cv2.boxPoints(_unclip_rect(rect, p.unclip_ratio)))
+            pts = np.concatenate([pts[:2], pts[2:]], axis=0)
+            top = pts[:2]
+            bot = pts[2:]
+            poly = np.concatenate([top, bot], axis=0).astype(np.float32)
+        else:
+            sample_x = np.linspace(cols[0], cols[-1], n_points)
+            top_pts, bot_pts = [], []
+            for sx in sample_x:
+                col = mask[:, int(round(sx))]
+                ys = np.where(col)[0]
+                if not len(ys):  # gap inside the band: interpolate later
+                    top_pts.append(None)
+                    bot_pts.append(None)
+                    continue
+                top_pts.append((sx, float(ys[0])))
+                bot_pts.append((sx, float(ys[-1])))
+            filled = [(t, b) for t, b in zip(top_pts, bot_pts)
+                      if t is not None]
+            if len(filled) < 2:
+                continue
+            top = np.asarray([t for t, _ in filled], np.float32)
+            bot = np.asarray([b for _, b in filled], np.float32)
+            poly = np.concatenate([top, bot[::-1]], axis=0)
+            poly += [x - pad, y - pad]
+        poly[:, 0] = np.clip(poly[:, 0] * scale_x, 0, src_w)
+        poly[:, 1] = np.clip(poly[:, 1] * scale_y, 0, src_h)
+        polys.append(poly.astype(np.float32))
+        scores.append(score)
+    return polys, np.asarray(scores, dtype=np.float32)
+
+
 # ------------------------------------------------------------------ rec pre
 
 REC_HEIGHT = 48

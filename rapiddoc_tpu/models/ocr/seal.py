@@ -95,6 +95,77 @@ def rectify_curved_polygon(img: np.ndarray, pts) -> np.ndarray | None:
     return np.concatenate(slices, axis=1)
 
 
+class AutoRectifier:
+    """General curved-text rectification from a detected 2k-point polygon.
+
+    Counterpart of the reference AutoRectifier (reference:
+    rapid_doc/model/ocr/seal_det_warp.py:119-823): the reference fits
+    polynomial curves to the text poly's long edges and densely remaps the
+    band to a straight strip; this does the same with a quartic
+    least-squares fit per edge and one cv2.remap. Arc-length-uniform
+    column sampling of the mid-curve compensates the horizontal
+    compression a steep arc would otherwise get. Falls back to the
+    piecewise-perspective rectify_curved_polygon for polys too short to
+    fit (k < 4)."""
+
+    def __init__(self, degree: int = 4, max_h: int = 64):
+        self.degree = degree
+        self.max_h = max_h
+
+    def __call__(self, img: np.ndarray, pts) -> np.ndarray | None:
+        pts = np.asarray(pts, np.float32)
+        if len(pts) < 6 or len(pts) % 2:
+            return None
+        k = len(pts) // 2
+        if k < 4:
+            return rectify_curved_polygon(img, pts)
+        top = pts[:k]
+        bot = pts[k:][::-1]
+        # near-vertical text: column-parameterized fits are degenerate
+        x_span = max(top[:, 0].max() - top[:, 0].min(), 1.0)
+        y_span = max(
+            pts[:, 1].max() - pts[:, 1].min(), 1.0
+        )
+        if x_span < y_span * 0.75:
+            return rectify_curved_polygon(img, pts)
+        deg = int(min(self.degree, k - 1))
+        try:
+            top_fit = np.polyfit(top[:, 0], top[:, 1], deg)
+            bot_fit = np.polyfit(bot[:, 0], bot[:, 1], deg)
+        except (np.linalg.LinAlgError, ValueError):
+            return rectify_curved_polygon(img, pts)
+        x0 = float(min(top[:, 0].min(), bot[:, 0].min()))
+        x1 = float(max(top[:, 0].max(), bot[:, 0].max()))
+        # arc length of the mid curve -> output width; uniform arc-length
+        # sampling so curved ends are not horizontally squashed
+        mid_fit = (top_fit + bot_fit) / 2.0
+        xs_dense = np.linspace(x0, x1, 512)
+        ys_dense = np.polyval(mid_fit, xs_dense)
+        seg = np.hypot(np.diff(xs_dense), np.diff(ys_dense))
+        arc = np.concatenate([[0.0], np.cumsum(seg)])
+        out_w = int(np.clip(arc[-1], 8, 4096))
+        thick = np.abs(
+            np.polyval(bot_fit, xs_dense) - np.polyval(top_fit, xs_dense)
+        )
+        out_h = int(np.clip(np.median(thick), 8, self.max_h))
+        # invert arc-length: for each output column, the source x
+        u = np.linspace(0.0, arc[-1], out_w)
+        src_x = np.interp(u, arc, xs_dense)  # (out_w,)
+        ty = np.polyval(top_fit, src_x)
+        by = np.polyval(bot_fit, src_x)
+        v = (np.arange(out_h, dtype=np.float32) + 0.5) / out_h  # (out_h,)
+        map_x = np.broadcast_to(
+            src_x[None, :], (out_h, out_w)
+        ).astype(np.float32)
+        map_y = (ty[None, :] + v[:, None] * (by - ty)[None, :]).astype(
+            np.float32
+        )
+        return cv2.remap(
+            img, map_x, map_y, cv2.INTER_LINEAR,
+            borderValue=(255, 255, 255),
+        )
+
+
 def detect_ellipse(img: np.ndarray) -> tuple | None:
     """((cx, cy), (major, minor), angle) of the dominant stamp ellipse."""
     gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) if img.ndim == 3 else img
@@ -189,13 +260,61 @@ class SealOCR:
                     regions.append(inner)
                     owners.append(i)
                 continue
-            regions.append(crop)
+            # no circular/elliptical stamp: general curved text — detect
+            # 2k-point polys and AutoRectify each band (reference:
+            # seal_det_warp.py AutoRectifier over det_box_type='poly')
+            strips, remainder = self._curved_strips(crop)
+            for s in strips:
+                regions.append(s)
+                owners.append(i)
+            # the remainder (curved bands painted out) keeps any straight
+            # lines readable without double-reading the curved text
+            regions.append(remainder)
             owners.append(i)
         texts: list[list[str]] = [[] for _ in crops]
         if regions:
             for i, items in zip(owners, self.text_system(regions)):
                 texts[i].extend(item["text"] for item in items)
         return [" ".join(t for t in ts if t) for ts in texts]
+
+    def _curved_strips(
+        self, crop: np.ndarray
+    ) -> tuple[list[np.ndarray], np.ndarray]:
+        """Detect curved text polys in the crop and rectify each to a
+        straight strip. Returns (strips, remainder) where remainder is the
+        crop with the rectified bands painted out — straight lines (quads
+        and effectively-straight polys) stay in the remainder for the
+        normal det+rec path; rectifying them would only lose resolution."""
+        det = getattr(self.text_system, "detector", None)
+        if det is None or not hasattr(det, "detect_polys"):
+            return [], crop
+        try:
+            polys = det.detect_polys([crop], params=SEAL_DET_PARAMS)[0]
+        except Exception:
+            return [], crop
+        rectifier = AutoRectifier()
+        strips: list[np.ndarray] = []
+        remainder = crop
+        for poly in polys:
+            if len(poly) <= 4:
+                continue
+            top = poly[: len(poly) // 2]
+            # curvature gate: skip effectively-straight bands
+            resid = np.abs(
+                np.polyval(np.polyfit(top[:, 0], top[:, 1], 1), top[:, 0])
+                - top[:, 1]
+            ).max() if len(top) >= 3 else 0.0
+            if resid < 2.0:
+                continue
+            strip = rectifier(crop, poly)
+            if strip is not None and strip.size:
+                strips.append(strip)
+                if remainder is crop:
+                    remainder = crop.copy()
+                cv2.fillPoly(
+                    remainder, [poly.astype(np.int32)], (255, 255, 255)
+                )
+        return strips, remainder
 
     _dump_n = 0
 
