@@ -60,25 +60,35 @@ _WORD_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
 
 
 def _detect_latin_lang(text: str) -> str:
+    # trained n-gram model first (fasttext lid.176 role, utils/langid.py);
+    # the stopword/diacritic heuristic stays as the low-confidence tiebreak
+    from .langid import classify
+
+    lang, margin = classify(text, "latin")
+    # margin is per-gram: ~0.02+ already separates well on a sentence of
+    # running text; below that (or on very short text) fall back to the
+    # stopword/diacritic heuristic
+    if margin >= 0.015 and len(text.strip()) >= 40:
+        return lang
     words = [w.lower() for w in _WORD_RE.findall(text[:4000])]
     if not words:
         return "en"
     scores: Counter[str] = Counter()
     for w in words:
-        for lang, stops in _LATIN_STOPWORDS.items():
+        for stop_lang, stops in _LATIN_STOPWORDS.items():
             if w in stops:
-                scores[lang] += 1
+                scores[stop_lang] += 1
     for ch in text[:4000]:
-        for lang, marks in _LATIN_DIACRITICS.items():
+        for dia_lang, marks in _LATIN_DIACRITICS.items():
             if ch in marks:
-                scores[lang] += 2
+                scores[dia_lang] += 2
     if not scores:
-        return "en"
-    lang, n = scores.most_common(1)[0]
+        return lang if margin >= 0.02 else "en"
+    heur, n = scores.most_common(1)[0]
     # demand a real signal before leaving the default dictionary family
-    if lang != "en" and n < max(3, len(words) // 50):
+    if heur != "en" and n < max(3, len(words) // 50):
         return "en"
-    return lang
+    return heur
 
 
 def detect_lang(text: str, default: str = "ch") -> str:
@@ -104,6 +114,12 @@ def detect_lang(text: str, default: str = "ch") -> str:
         return _detect_latin_lang(text)
     if lang == "japan" and counts.get("ch", 0) > n * 3:
         return "ch"
+    if lang == "cyrillic":
+        # refine within the script family (ru/uk/bg/sr share the range)
+        from .langid import classify
+
+        sub, margin = classify(text, "cyrillic")
+        return sub if margin >= 0.01 and len(text.strip()) >= 40 else "ru"
     return lang
 
 

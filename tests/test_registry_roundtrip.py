@@ -81,7 +81,8 @@ def test_lang_detection():
 
     assert detect_lang("这是一个中文文档的内容示例，包含很多汉字。") == "ch"
     assert detect_lang("This is clearly an English document sample.") == "en"
-    assert detect_lang("Это русский текст документа") == "cyrillic"
+    # cyrillic now refines to a concrete language (utils/langid.py)
+    assert detect_lang("Это русский текст документа") == "ru"
     assert detect_lang("한국어 문서 내용입니다") == "korean"
     # Latin-script discrimination via stopword/diacritic profiles
     # (lid.176 role for the languages script ranges cannot separate)
