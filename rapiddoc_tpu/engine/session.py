@@ -212,6 +212,7 @@ class JaxSession:
         donate: bool = False,
         multi_device: bool = True,
         preproc: Callable[[jax.Array], jax.Array] | None = None,
+        mesh=None,
     ):
         """`preproc`, when given, runs ON DEVICE inside the compiled
         program before the compute-dtype cast — callers then ship uint8
@@ -226,7 +227,9 @@ class JaxSession:
         self.stats = SessionStats()
         self._compiled: dict[tuple[int, int, int, int], Callable] = {}
         self._lock = threading.Lock()
-        self.mesh = get_mesh() if multi_device else None
+        self.mesh = mesh if mesh is not None else (
+            get_mesh() if multi_device else None
+        )
         self.n_shards = (
             self.mesh.devices.size if self.mesh is not None else 1
         )
@@ -267,6 +270,15 @@ class JaxSession:
                 in_shardings = (replicated(self.mesh), data_sharding(self.mesh))
                 fn = jax.jit(forward, in_shardings=in_shardings)
             else:
+                if self.mesh is not None and self.n_shards > 1:
+                    # a mis-bucketed batch quietly serializing onto one
+                    # device is an n_shards-x slowdown — never silent
+                    logger.warning(
+                        "%s: batch=%d not divisible by %d shards — "
+                        "FALLING BACK to single-device execution for "
+                        "this bucket (check BucketSpec batch sizes)",
+                        self.name, batch, self.n_shards,
+                    )
                 fn = jax.jit(forward)
             self.stats.compiles += 1
             logger.info(
