@@ -242,3 +242,48 @@ def download_asset(key: str, force: bool = False) -> Path:
         raise RuntimeError(f"SHA256 mismatch for {key}")
     tmp.rename(target)
     return target
+
+
+def download_and_convert(key: str, force: bool = False) -> Path:
+    """Fetch one asset and run its converter; returns the path the
+    runtime will load (npz for torch assets, the file itself for
+    onnx/dict assets)."""
+    asset = REGISTRY[key]
+    path = download_asset(key, force=force)
+    if asset.converter is None:
+        return path
+    from ..tools.convert_weights import CONVERTERS
+
+    return CONVERTERS[asset.converter](path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """python -m rapiddoc_tpu.models.download [key ...] [--force]
+
+    No keys = the full registry. Each asset downloads (SHA256-pinned),
+    converts to the runtime format, and reports; failures don't stop the
+    rest (zero-egress boxes get a clear per-asset message instead of a
+    dead run). Exit code = number of failed assets."""
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    force = "--force" in argv
+    keys = [a for a in argv if not a.startswith("-")] or list(REGISTRY)
+    failed = 0
+    for key in keys:
+        if key not in REGISTRY:
+            logger.error("unknown asset %r (known: %s)", key,
+                         ", ".join(REGISTRY))
+            failed += 1
+            continue
+        try:
+            path = download_and_convert(key, force=force)
+            logger.info("%s ready: %s", key, path)
+        except Exception as e:
+            logger.error("%s FAILED: %s", key, e)
+            failed += 1
+    return failed
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
