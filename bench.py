@@ -162,6 +162,66 @@ def _bench_e2e() -> tuple[float, dict, int]:
     return pages / dt, report, pages
 
 
+def _bench_published_dims() -> dict:
+    """Stage costs at PUBLISHED architecture dims (random-init where the
+    converted weights are absent) — the e2e run uses demo-size layout
+    and formula nets, whose speed does not predict deployment. Measured
+    here on the same document images:
+
+    - layout: RT-DETR B4 at 800^2 with the V3 mask branch (reference:
+      model_handler/pp_doclayout/main.py:17-29), ms/page warm.
+    - formula: PPHGNetV2-B6 encoder + 6x512 MBart decoder, vocab 50000
+      (reference: pp_formulanet_arch_config.yaml:12), length bucket 256.
+      Random init emits no EOS, so the decode runs the FULL bucket —
+      ms/region is the worst case and ms/step is exact (256 steps).
+    """
+    import cv2
+
+    from rapiddoc_tpu.pdfio.render import render_pdf_page
+
+    out: dict = {}
+    raw = open(DEMO_PDF, "rb").read()
+    n_pages = 4
+    pages = [
+        np.asarray(render_pdf_page(raw, i, dpi=144).convert("RGB"))
+        for i in range(n_pages)
+    ]
+
+    # ---- layout at published dims
+    from rapiddoc_tpu.models.layout.engine import LayoutDetector
+
+    layout = LayoutDetector.build({"allow_random_init": True})
+    layout.batch_predict(pages)  # warm (compile)
+    tic = time.perf_counter()
+    layout.batch_predict(pages)
+    out["layout_ms_per_page"] = round(
+        (time.perf_counter() - tic) * 1e3 / n_pages, 1
+    )
+
+    # ---- formula at published dims
+    from rapiddoc_tpu.models.formula.engine import (
+        FormulaConfig,
+        FormulaRecognizer,
+    )
+
+    LEN_BUCKET = 256
+    rec = FormulaRecognizer(config=FormulaConfig())  # B6, 6x512, 50k vocab
+    crops = []
+    for i in range(4):
+        crop = np.full((64 + 16 * i, 320 + 64 * i, 3), 255, np.uint8)
+        cv2.putText(crop, "E=mc2", (10, 40), cv2.FONT_HERSHEY_SIMPLEX,
+                    1.0, (0, 0, 0), 2)
+        crops.append(crop)
+    rec.batch_predict(crops, length_bucket=LEN_BUCKET)  # warm (compile)
+    tic = time.perf_counter()
+    rec.batch_predict(crops, length_bucket=LEN_BUCKET)
+    dt = time.perf_counter() - tic
+    out["formula_ms_per_region"] = round(dt * 1e3 / len(crops), 1)
+    out["formula_ms_per_step"] = round(dt * 1e3 / LEN_BUCKET, 2)
+    out["formula_len_bucket"] = LEN_BUCKET
+    return out
+
+
 FORMULA_STEPS_PER_SEQ = 96  # conservative; published max_new_tokens 1536
 
 
@@ -242,6 +302,20 @@ def main() -> None:
         TINY = True
         PAGES = min(PAGES, 2)
     pps, stages, pages = _bench_e2e()
+    published = None
+    if (
+        not TINY
+        and not tpu_down
+        and not os.environ.get("RAPIDDOC_BENCH_SKIP_PUBLISHED")
+        and os.path.isfile(DEMO_PDF)
+    ):
+        try:
+            published = _bench_published_dims()
+            print(f"[published-dims] {published}", file=sys.stderr)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
     base_pps = None
     if not os.environ.get("RAPIDDOC_BENCH_SKIP_BASELINE"):
         try:
@@ -266,6 +340,7 @@ def main() -> None:
                     k: round(v, 1) for k, v in (stages or {}).items()
                 },
                 "pages": pages,
+                **({"published_dims": published} if published else {}),
                 "platform": jax.default_backend(),
                 **(
                     {

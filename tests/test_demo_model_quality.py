@@ -3,8 +3,10 @@
 Each test loads the shipped asset (skip when the asset has not been
 trained yet) and asserts detection/recognition quality on held-out
 synthetic samples through the PRODUCTION inference paths — the same
-pattern as test_ocr_quality.py. Slow (full forward passes on the CPU
-test mesh): gated behind RAPIDDOC_RUN_SLOW=1.
+pattern as test_ocr_quality.py. The DEFAULT suite runs a small-N
+version of every gate (a quality regression in any family fails plain
+`pytest`); RAPIDDOC_RUN_SLOW=1 runs the full-N version with the same
+thresholds on a bigger sample.
 """
 from __future__ import annotations
 
@@ -14,10 +16,12 @@ import pytest
 
 from rapiddoc_tpu.models.registry import DEMO_ASSETS_DIR, _load_variables
 
-slow = pytest.mark.skipif(
-    not os.environ.get("RAPIDDOC_RUN_SLOW"),
-    reason="slow demo-model quality gates (RAPIDDOC_RUN_SLOW=1)",
-)
+SLOW = bool(os.environ.get("RAPIDDOC_RUN_SLOW"))
+
+
+def _n(small: int, full: int) -> int:
+    """Sample size: small in the default suite, full under RUN_SLOW."""
+    return full if SLOW else small
 
 
 def _vars_or_skip(name: str):
@@ -27,48 +31,43 @@ def _vars_or_skip(name: str):
     return v
 
 
-@slow
 def test_layout_demo_quality():
     v = _vars_or_skip("layout_demo.npz")
     from rapiddoc_tpu.train.layout import evaluate
 
-    m = evaluate(v, n_pages=6)
+    m = evaluate(v, n_pages=_n(2, 6))
     # block-level recall plus label accuracy on matched blocks
-    assert m["recall"] >= 0.55, m
-    assert m["cls_acc"] >= 0.65, m
-    assert m["precision"] >= 0.5, m
+    assert m["recall"] >= 0.7, m
+    assert m["cls_acc"] >= 0.7, m
+    assert m["precision"] >= 0.65, m
 
 
-@slow
 def test_table_unet_demo_quality():
     v = _vars_or_skip("table_unet_demo.npz")
     from rapiddoc_tpu.train.table import eval_unet
 
-    recall = eval_unet(v, n_tables=4)
-    assert recall >= 0.7, recall
+    recall = eval_unet(v, n_tables=_n(2, 4))
+    assert recall >= 0.9, recall
 
 
-@slow
 def test_table_cls_demo_quality():
     v = _vars_or_skip("table_cls_demo.npz")
     from rapiddoc_tpu.train.table import eval_cls
 
-    acc = eval_cls(v, n=16)
-    assert acc >= 0.8, acc
+    acc = eval_cls(v, n=_n(8, 16))
+    assert acc >= 0.85, acc
 
 
-@slow
 def test_table_slanet_demo_quality():
     v = _vars_or_skip("table_slanet_demo.npz")
     from rapiddoc_tpu.train.table import eval_slanet
 
-    m = eval_slanet(v, n=6)
+    m = eval_slanet(v, n=_n(4, 12))
     # exact structure-token sequences are a hard target; cell-box IoU
     # catches regressions even when a span token flips
     assert m["seq_acc"] >= 0.4 or m["cell_iou"] >= 0.5, m
 
 
-@slow
 def test_formula_demo_quality():
     import json
 
@@ -79,14 +78,13 @@ def test_formula_demo_quality():
     vocab = json.loads(meta_path.read_text())["vocab"]
     from rapiddoc_tpu.train.formula import evaluate
 
-    m = evaluate(v, vocab, n=8)
+    m = evaluate(v, vocab, n=_n(4, 8))
     assert m["exact"] >= 0.25 or m["cer~"] <= 0.3, m
 
 
-@slow
 def test_orientation_demo_quality():
     v = _vars_or_skip("orientation_demo.npz")
     from rapiddoc_tpu.train.orientation import evaluate
 
-    acc = evaluate(v, n=16)
-    assert acc >= 0.85, acc
+    acc = evaluate(v, n=_n(8, 16))
+    assert acc >= 0.875, acc  # demo checkpoint achieves 0.975 at full N

@@ -93,10 +93,6 @@ def test_synthetic_page_cer():
     assert cer < 0.35, f"char error rate {cer:.3f}"
 
 
-@pytest.mark.skipif(
-    not os.environ.get("RAPIDDOC_RUN_SLOW"),
-    reason="slow: full-page ocr parse on the CPU test mesh",
-)
 @demo_available
 def test_reference_fixture_ocr_mode():
     """The reference CI document parsed in ocr mode: captions and body
