@@ -129,17 +129,58 @@ def bringup(keys: list[str] | None = None, force: bool = False,
             logger.error("[load] %s FAILED: %s", key, e)
             failed.append(key)
     if run_eval and not failed:
-        from . import eval_quality
+        import os
 
-        rc = eval_quality.main([])
-        if rc:
-            logger.error("[eval] quality smoke failed (rc=%d)", rc)
-            return rc
+        dataset = os.environ.get("RAPIDDOC_EVAL_DATASET")
+        gt = os.environ.get("RAPIDDOC_EVAL_GT")
+        if dataset and gt:
+            from . import eval_quality
+
+            rc = eval_quality.main([dataset, gt])
+            if rc:
+                logger.error("[eval] quality eval failed (rc=%d)", rc)
+                return rc
+        else:
+            rc = _eval_smoke()
+            if rc:
+                return rc
     if failed:
         logger.error("bring-up incomplete: %s", ", ".join(failed))
     else:
         logger.info("bring-up complete: %d asset(s) ready", len(keys))
     return len(failed)
+
+
+def _eval_smoke() -> int:
+    """No-dataset eval: parse a bundled/reference fixture end-to-end and
+    require non-trivial markdown — catches weights that load but produce
+    garbage. Full metrics need RAPIDDOC_EVAL_DATASET + RAPIDDOC_EVAL_GT
+    (tools/eval_quality)."""
+    import os
+
+    fixture = None
+    for cand in (
+        "/root/reference/tests/unittest/pdfs/test.pdf",
+        "/root/reference/demo/pdfs/demo1.pdf",
+    ):
+        if os.path.isfile(cand):
+            fixture = cand
+            break
+    if fixture is None:
+        logger.warning("[eval] no fixture PDF found; skipping smoke")
+        return 0
+    from ..api import RapidDoc
+
+    out = RapidDoc()(fixture, parse_method="ocr")
+    if not out.markdown or len(out.markdown) < 200:
+        logger.error(
+            "[eval] smoke FAILED: %d chars of markdown from %s",
+            len(out.markdown or ""), fixture,
+        )
+        return 1
+    logger.info("[eval] smoke ok: %d chars markdown from %s",
+                len(out.markdown), fixture)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
