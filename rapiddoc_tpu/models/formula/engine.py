@@ -230,9 +230,9 @@ class FormulaRecognizer:
                 x = (x - UNIMER_MEAN) / UNIMER_STD
                 if x.shape[-1] == 1:
                     x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
-                memory = self.encoder.apply(
-                    enc_vars, x.astype(jnp.bfloat16)
-                ).astype(jnp.float32)
+                # keep memory bf16: mem_proj's K/V stacks are read every
+                # decode step, fp32 storage doubles that HBM traffic
+                memory = self.encoder.apply(enc_vars, x.astype(jnp.bfloat16))
                 mem_mask = jnp.ones(memory.shape[:2], bool)
                 return greedy_decode(
                     self.decoder, dec_vars, self.mem_proj, mem_vars,
