@@ -68,8 +68,10 @@ def render_table(
     # span layout: occupancy grid; a few rowspan/colspan merges
     owner = [[(r, c) for c in range(nc)] for r in range(nr)]
     spans: dict[tuple[int, int], tuple[int, int]] = {}
-    if rng.random() < 0.5:
-        for _ in range(rng.randint(1, 2)):
+    # spans are the hard part of structure decoding (the head must count
+    # crossed row/col boundaries): train with them often and plural
+    if rng.random() < 0.8:
+        for _ in range(rng.randint(1, 3)):
             r = rng.randrange(nr)
             c = rng.randrange(nc)
             if owner[r][c] != (r, c) or (r, c) in spans:

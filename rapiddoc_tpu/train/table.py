@@ -292,7 +292,7 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
     )
     opt_state = tx.init(trainable)
 
-    def loss_fn(trainable, bstats, x_u8, tok, loc, lmask, lens):
+    def loss_fn(trainable, bstats, x_u8, tok, loc, lmask, lens, coins):
         x = x_u8.astype(jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         feats, bb_upd = backbone.apply(
@@ -310,21 +310,32 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
         fea = fea_map.reshape(b, h * w, c).astype(jnp.float32)
         fkey = fea_key.apply(trainable["fea_key"], fea)
         B, T = tok.shape
-        # teacher forcing: prev token stream = [sos, tok[:-1]]
+        # teacher forcing with SCHEDULED SAMPLING: prev token stream =
+        # [sos, tok[:-1]], but where coins[t] is set, the model's own
+        # step-(t-1) argmax is fed instead — the greedy decode at
+        # inference runs on its own predictions, and pure teacher forcing
+        # leaves the hidden state brittle to its first mistake (measured:
+        # token error 7.7% free-run at 0.03 TF loss)
         prev = jnp.concatenate(
             [jnp.full((B, 1), vocab.sos_id, jnp.int32), tok[:, :-1]], axis=1
         )
         hidden = jnp.zeros((B, cfg.hidden), fea.dtype)
+        prev_pred0 = jnp.full((B,), vocab.sos_id, jnp.int32)
 
-        def scan_body(hidden, inputs):
-            prev_t, = inputs
+        def scan_body(carry, inputs):
+            hidden, prev_pred = carry
+            gt_prev, coin = inputs
+            prev_t = jnp.where(coin, prev_pred, gt_prev)
             hidden, logits, locp = step_mod.apply(
                 trainable["step"], hidden, prev_t, fea, fkey
             )
-            return hidden, (logits, locp)
+            pred = jnp.argmax(
+                jax.lax.stop_gradient(logits).astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
+            return (hidden, pred), (logits, locp)
 
-        _, (logits, locp) = jax.lax.scan(
-            scan_body, hidden, (prev.T,)
+        (_, _), (logits, locp) = jax.lax.scan(
+            scan_body, (hidden, prev_pred0), (prev.T, coins)
         )  # (T, B, V), (T, B, 8)
         logits = jnp.transpose(logits, (1, 0, 2)).astype(jnp.float32)
         locp = jnp.transpose(locp, (1, 0, 2)).astype(jnp.float32)
@@ -339,9 +350,10 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
         return ce + 2.0 * l1, new_bs
 
     @jax.jit
-    def train_step(trainable, bstats, opt_state, x, tok, loc, lmask, lens):
+    def train_step(trainable, bstats, opt_state, x, tok, loc, lmask, lens,
+                   coins):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, bstats, x, tok, loc, lmask, lens
+            trainable, bstats, x, tok, loc, lmask, lens, coins
         )
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(trainable, updates), new_bs, opt_state, loss
@@ -363,15 +375,21 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
     with bn_training():
         for i in range(steps):
             idx = nrng.integers(0, pool_n, batch)
+            # scheduled-sampling rate: 0 for the first quarter (learn the
+            # grammar teacher-forced), then ramp to 0.35
+            p = 0.0 if i < steps // 4 else min(
+                0.35, 0.35 * (i - steps // 4) / max(steps // 4, 1)
+            )
+            coins = nrng.random((SLA_TRAIN_STEPS, batch)) < p
             trainable, bstats, opt_state, loss = train_step(
                 trainable, bstats, opt_state, imgs[idx], toks[idx],
-                locs[idx], lmask[idx], lens[idx],
+                locs[idx], lmask[idx], lens[idx], coins,
             )
             if i % 20 == 0:
                 loss.block_until_ready()
             if i % 100 == 0 or i == steps - 1:
-                logger.info("slanet step %d loss %.4f (%.1fs)", i,
-                            float(loss), time.perf_counter() - tic)
+                logger.info("slanet step %d loss %.4f p_ss %.2f (%.1fs)", i,
+                            float(loss), p, time.perf_counter() - tic)
             if out_path is not None and i and i % 1000 == 0:
                 from ..models.registry import save_variables
 
