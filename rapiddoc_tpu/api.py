@@ -79,10 +79,27 @@ class ModelStack:
             configs=configs,
         )
 
+    # env that changes what build_analyzer produces — part of the cache
+    # identity, else a stack built under e.g. RAPIDDOC_DISABLE_OCR=1
+    # would be silently reused after the flag is cleared
+    _ENV_KEYS = (
+        "DISABLE_OCR", "DISABLE_LAYOUT", "DISABLE_FORMULA", "DISABLE_TABLE",
+        "DEMO_LAYOUT", "MODELS_DIR", "CONTRAST_STRETCH",
+    )
+
+    @classmethod
+    def _env_fingerprint(cls) -> tuple:
+        from .config import env_str
+
+        return tuple(env_str(k) for k in cls._ENV_KEYS) + (
+            os.environ.get("USE_DOC_ORIENTATION_CLASSIFY"),
+        )
+
     @classmethod
     def get(cls, lang: str, formula_enable: bool, table_enable: bool,
             configs: dict | None = None) -> "ModelStack":
-        key = (lang, formula_enable, table_enable, repr(sorted((configs or {}).items())))
+        key = (lang, formula_enable, table_enable,
+               repr(sorted((configs or {}).items())), cls._env_fingerprint())
         if key not in cls._instances:
             cls._instances[key] = cls(lang, formula_enable, table_enable, configs or {})
         return cls._instances[key]

@@ -421,3 +421,20 @@ def test_ndarray_and_pil_inputs():
     assert hasattr(out, "markdown")
     out2 = eng(Image.fromarray(arr))
     assert hasattr(out2, "markdown")
+
+
+def test_model_stack_env_fingerprint(monkeypatch):
+    """A ModelStack built under RAPIDDOC_DISABLE_OCR must not be reused
+    once the flag is cleared — env that shapes build_analyzer is part of
+    the cache identity (regression: the reference-fixture ocr gate got a
+    stale OCR-less stack from an earlier test module)."""
+    from rapiddoc_tpu.api import ModelStack
+
+    monkeypatch.setenv("RAPIDDOC_DISABLE_OCR", "1")
+    fp_disabled = ModelStack._env_fingerprint()
+    monkeypatch.delenv("RAPIDDOC_DISABLE_OCR")
+    monkeypatch.delenv("MINERU_DISABLE_OCR", raising=False)
+    fp_enabled = ModelStack._env_fingerprint()
+    assert fp_disabled != fp_enabled
+    monkeypatch.setenv("RAPIDDOC_MODELS_DIR", "/tmp/elsewhere")
+    assert ModelStack._env_fingerprint() != fp_enabled
