@@ -133,14 +133,26 @@ def render_table(
             if owner[r][c] != (r, c):
                 continue
             rs, cs = spans.get((r, c), (1, 1))
+            merged = rs > 1 or cs > 1
             x0, y0, x1, y1 = cell_rect(r, c)
             font = header_font if r == 0 else body_font
-            empty = rng.random() < 0.12
+            # merged cells always carry text, typeset CENTERED in the
+            # merged extent (real-world convention, and for wireless
+            # tables the only visual evidence of the merge — top-left
+            # placement makes a colspan indistinguishable from a cell
+            # with empty neighbours)
+            empty = (not merged) and rng.random() < 0.12
             text = "" if empty else random_text(rng, max_words=2)
             text, bbox = _truncate(text, font, x1 - x0 - 6)
             if text:
-                tx = x0 + 3
-                ty = y0 + 2
+                if merged:
+                    tw = bbox[2] - bbox[0]
+                    th = bbox[3] - bbox[1]
+                    tx = x0 + max(3, (x1 - x0 - tw) // 2)
+                    ty = y0 + max(2, (y1 - y0 - th) // 2)
+                else:
+                    tx = x0 + 3
+                    ty = y0 + 2
                 draw.text((tx - bbox[0], ty - bbox[1]), text,
                           fill=(rng.randint(0, 90),) * 3, font=font)
             if rs == 1 and cs == 1:

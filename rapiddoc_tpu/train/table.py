@@ -247,6 +247,7 @@ def make_sla_pool(n: int, vocab, seed: int = 0):
 def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
                  batch: int = 8, lr: float = 1e-3, seed: int = 0,
                  variables=None):
+    warm = variables is not None
     cfg = SLANetConfig()
     vocab = SLANetVocab()
     backbone = SLANetBackbone(cfg.scale)
@@ -375,11 +376,15 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
     with bn_training():
         for i in range(steps):
             idx = nrng.integers(0, pool_n, batch)
-            # scheduled-sampling rate: 0 for the first quarter (learn the
-            # grammar teacher-forced), then ramp to 0.35
-            p = 0.0 if i < steps // 4 else min(
-                0.35, 0.35 * (i - steps // 4) / max(steps // 4, 1)
-            )
+            # scheduled-sampling rate: fresh runs learn the grammar
+            # teacher-forced for a quarter then ramp to 0.35; warm
+            # continues (model already decodes) ramp over 1k steps
+            if warm:
+                p = min(0.35, 0.35 * i / 1000.0)
+            else:
+                p = 0.0 if i < steps // 4 else min(
+                    0.35, 0.35 * (i - steps // 4) / max(steps // 4, 1)
+                )
             coins = nrng.random((SLA_TRAIN_STEPS, batch)) < p
             trainable, bstats, opt_state, loss = train_step(
                 trainable, bstats, opt_state, imgs[idx], toks[idx],
@@ -404,16 +409,25 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
 
 
 def eval_slanet(variables, n: int = 24, seed: int = 3333):
-    """Structure-token exact-sequence rate + mean cell-box IoU."""
+    """Structure-token exact-sequence rate, TEDS-S (structure-only tree
+    edit distance similarity — the OmniDocBench/PubTabNet table metric),
+    and mean cell-box IoU."""
     from ..models.table.slanet import SLANetStructure
+    from ..utils.teds import teds
 
     sla = SLANetStructure(variables)
     rng = random.Random(seed)
     seq_ok = 0
     ious = []
+    teds_scores = []
     for _ in range(n):
         s = render_table(rng, wired=rng.random() < 0.5)
         (structure, bboxes), = sla([s.img])
+        teds_scores.append(teds(
+            "<table>" + "".join(structure) + "</table>",
+            "<table>" + "".join(s.tokens) + "</table>",
+            structure_only=True,
+        ))
         if structure == s.tokens:
             seq_ok += 1
         for pred, gt in zip(bboxes, s.cell_boxes):
@@ -427,6 +441,7 @@ def eval_slanet(variables, n: int = 24, seed: int = 3333):
             )
             ious.append(inter / max(union, 1e-9))
     return {"seq_acc": seq_ok / n,
+            "teds_s": float(np.mean(teds_scores)) if teds_scores else 0.0,
             "cell_iou": float(np.mean(ious)) if ious else 0.0}
 
 
@@ -453,7 +468,13 @@ if __name__ == "__main__":
         v = train_cls(steps or 1200, out)
         logger.info("cls acc: %.3f", eval_cls(v))
     elif which == "slanet":
-        v = train_slanet(steps or 4000, out, variables=init)
+        # warm continues default to a FRESH pool seed: re-touring the
+        # pool the model already fits teaches nothing about free-run
+        # generalization
+        seed = int(os.environ.get(
+            "RAPIDDOC_TRAIN_SEED", "17" if init is not None else "0"
+        ))
+        v = train_slanet(steps or 4000, out, variables=init, seed=seed)
         logger.info("slanet eval: %s", eval_slanet(v))
     else:
         raise SystemExit(f"unknown target {which}")

@@ -27,6 +27,7 @@ import optax
 from ..models.formula.decoder import MemoryProjector
 from ..models.table.unitable import (
     BBOX_BASE,
+    DEMO_UNITABLE_DIMS,
     EOS_ID,
     HTML_BASE,
     HTML_TOKENS,
@@ -34,9 +35,8 @@ from ..models.table.unitable import (
     N_BBOX_BINS,
     PAD_ID,
     PREFIX_ID,
-    GPTConfig,
     GPTFastDecoder,
-    GPTMemoryCfg,
+    UniTableDims,
     UniTableEncoder,
     UNITABLE_MEAN,
     UNITABLE_STD,
@@ -129,13 +129,26 @@ def make_pool(n: int, seed: int = 0):
     return imgs, toks, lens
 
 
-def train_unitable(steps: int = 3000, out_path=None, pool_n: int = 1024,
-                   batch: int = 4, lr: float = 2e-4, seed: int = 0,
-                   variables=None):
-    encoder = UniTableEncoder()
-    decoder = GPTFastDecoder()
-    mem_proj = MemoryProjector(GPTMemoryCfg)
-    cfg = GPTConfig
+def train_unitable(steps: int = 12000, out_path=None, pool_n: int = 3072,
+                   batch: int = 8, lr: float = 2e-4, seed: int = 0,
+                   variables=None, dims: UniTableDims | None = None):
+    """Default dims are DEMO_UNITABLE_DIMS (~7M params — the committed
+    asset must stay small); pass UniTableDims() to exercise the published
+    12x768/4x768 architecture (recipe validated at that size too:
+    same corpus, TF loss ~0.03 at 8k steps)."""
+    if dims is None:
+        if variables is not None:
+            from ..models.table.unitable import dims_from_variables
+
+            dims = dims_from_variables(variables)
+        else:
+            dims = DEMO_UNITABLE_DIMS
+    cfg = dims
+    encoder = UniTableEncoder(
+        d_model=dims.enc_d, layers=dims.enc_layers, heads=dims.enc_heads
+    )
+    decoder = GPTFastDecoder(cfg=dims)
+    mem_proj = MemoryProjector(dims)
     hd = cfg.d_model // cfg.heads
     S = (IMG_SIZE // 16) ** 2
     if variables is None:
@@ -210,11 +223,11 @@ def train_unitable(steps: int = 3000, out_path=None, pool_n: int = 1024,
         if out_path is not None and i and i % 1000 == 0:
             from ..models.registry import save_variables
 
-            save_variables(variables, out_path)
+            save_variables(variables, out_path, half=True)
     if out_path is not None:
         from ..models.registry import save_variables
 
-        save_variables(variables, out_path)
+        save_variables(variables, out_path, half=True)
         logger.info("unitable weights -> %s", out_path)
     return variables
 
@@ -223,11 +236,13 @@ def eval_unitable(variables, n: int = 12, seed: int = 4444):
     """Exact structure-token rate + cell-box IoU through the production
     UniTableStructure path (decode grammar, white-list, _parse)."""
     from ..models.table.unitable import UniTableStructure
+    from ..utils.teds import teds
 
     uni = UniTableStructure(variables)
     rng = random.Random(seed)
     seq_ok = 0
     ious = []
+    teds_scores = []
     tried = 0
     while tried < n:
         s = render_table(rng, wired=rng.random() < 0.5)
@@ -237,6 +252,11 @@ def eval_unitable(variables, n: int = 12, seed: int = 4444):
             continue
         tried += 1
         (structure, bboxes), = uni([s.img])
+        teds_scores.append(teds(
+            "<table>" + "".join(structure) + "</table>",
+            "<table>" + "".join(s.tokens) + "</table>",
+            structure_only=True,
+        ))
         if structure == s.tokens:
             seq_ok += 1
         for pred, gt in zip(bboxes, s.cell_boxes):
@@ -250,6 +270,7 @@ def eval_unitable(variables, n: int = 12, seed: int = 4444):
             )
             ious.append(inter / max(union, 1e-9))
     return {"seq_acc": seq_ok / n,
+            "teds_s": float(np.mean(teds_scores)) if teds_scores else 0.0,
             "cell_iou": float(np.mean(ious)) if ious else 0.0}
 
 
@@ -269,5 +290,10 @@ if __name__ == "__main__":
         init = _load_variables(Path(out))
         if init is not None:
             logger.info("warm start from %s", out)
-    v = train_unitable(steps, out, variables=init)
+    # warm continues default to a FRESH pool seed — another tour of a
+    # pool the model already fits teaches nothing about free-run drift
+    seed = int(os.environ.get(
+        "RAPIDDOC_TRAIN_SEED", "17" if init is not None else "0"
+    ))
+    v = train_unitable(steps, out, variables=init, seed=seed)
     logger.info("unitable eval: %s", eval_unitable(v))
