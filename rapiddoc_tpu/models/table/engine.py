@@ -94,7 +94,7 @@ class TableRecognizer:
         # network egress; converted published checkpoints take priority
         from ..registry import DEMO_ASSETS_DIR
 
-        for key in ("unet", "slanet", "cls"):
+        for key in ("unet", "slanet", "cls", "unitable"):
             if variables[key] is None:
                 demo = _load_variables(
                     DEMO_ASSETS_DIR / f"table_{key}_demo.npz"

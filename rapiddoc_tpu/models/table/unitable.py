@@ -138,6 +138,67 @@ class GPTConfig:
     max_positions = MAX_SEQ_LEN
 
 
+@dataclass(frozen=True)
+class UniTableDims:
+    """Joint encoder+decoder dims. Defaults are the published checkpoint
+    (12x768 encoder, 4x768 GPT decoder); the committed demo asset uses
+    smaller dims, inferred back from its shapes by dims_from_variables.
+
+    The instance doubles as the GPTFastDecoder cfg and the
+    MemoryProjector cfg: both only read d_model/layers/heads/ffn/
+    vocab_size/max_positions, exposed as properties over the decoder
+    dims. Head dim is pinned at 64 (published 768/12)."""
+
+    enc_d: int = 768
+    enc_layers: int = 12
+    dec_d: int = 768
+    dec_layers: int = 4
+    dec_ffn: int = 3072
+    head_dim: int = 64
+    vocab_size: int = VOCAB_SIZE
+    max_positions: int = MAX_SEQ_LEN
+
+    @property
+    def enc_heads(self) -> int:
+        return self.enc_d // self.head_dim
+
+    @property
+    def d_model(self) -> int:
+        return self.dec_d
+
+    @property
+    def layers(self) -> int:
+        return self.dec_layers
+
+    @property
+    def heads(self) -> int:
+        return self.dec_d // self.head_dim
+
+    @property
+    def ffn(self) -> int:
+        return self.dec_ffn
+
+
+# demo-scale dims for the committed asset (~7M params, ~14MB fp16 —
+# published size is ~120M/500MB, far too large for a repo asset)
+DEMO_UNITABLE_DIMS = UniTableDims(
+    enc_d=256, enc_layers=4, dec_d=256, dec_layers=2, dec_ffn=1024
+)
+
+
+def dims_from_variables(variables) -> UniTableDims:
+    """Recover UniTableDims from a checkpoint's tree shapes."""
+    enc_p = variables["encoder"]["params"]
+    dec_p = variables["decoder"]["params"]
+    return UniTableDims(
+        enc_d=int(enc_p["conv_proj"]["kernel"].shape[-1]),
+        enc_layers=sum(1 for k in enc_p if k.startswith("block")),
+        dec_d=int(dec_p["token_embed"]["embedding"].shape[-1]),
+        dec_layers=sum(1 for k in dec_p if k.startswith("layer")),
+        dec_ffn=int(dec_p["layer0"]["linear1"]["kernel"].shape[-1]),
+    )
+
+
 class FusedCachedAttention(nn.Module):
     """Self-attention with fused QKV projection + external KV cache slot
     (reference: unitable_modules.py Attention :806 — wqkv/wo)."""
@@ -301,28 +362,33 @@ class UniTableConfig:
 
 class UniTableStructure:
     def __init__(self, variables=None, config: UniTableConfig | None = None,
-                 seed: int = 0):
+                 seed: int = 0, dims: UniTableDims | None = None):
         self.config = config or UniTableConfig()
-        self.encoder = UniTableEncoder()
-        self.decoder = GPTFastDecoder()
-        self.mem_proj = MemoryProjector(GPTMemoryCfg)
+        if dims is None:
+            dims = (dims_from_variables(variables) if variables is not None
+                    else UniTableDims())
+        self.dims = dims
+        self.encoder = UniTableEncoder(
+            d_model=dims.enc_d, layers=dims.enc_layers, heads=dims.enc_heads
+        )
+        self.decoder = GPTFastDecoder(cfg=dims)
+        self.mem_proj = MemoryProjector(dims)
         self.vocab = TableVocab(self._vocab_path())
         if variables is None:
             rng = jax.random.PRNGKey(seed)
-            cfg = GPTConfig
-            hd = cfg.d_model // cfg.heads
+            hd = dims.head_dim
             S = (IMG_SIZE // PATCH) ** 2
             x = np.zeros((1, IMG_SIZE, IMG_SIZE, 3), np.float32)
             enc_vars = self.encoder.init(rng, x)
-            mem = np.zeros((1, S, cfg.d_model), np.float32)
+            mem = np.zeros((1, S, dims.d_model), np.float32)
             mem_vars = self.mem_proj.init(rng, mem)
             dec_vars = self.decoder.init(
                 rng, np.zeros((1, 1), np.int32),
-                np.zeros((cfg.layers, 1, 8, cfg.heads, hd), np.float32),
-                np.zeros((cfg.layers, 1, 8, cfg.heads, hd), np.float32),
+                np.zeros((dims.layers, 1, 8, dims.heads, hd), np.float32),
+                np.zeros((dims.layers, 1, 8, dims.heads, hd), np.float32),
                 0,
-                np.zeros((cfg.layers, 1, S, cfg.heads, hd), np.float32),
-                np.zeros((cfg.layers, 1, S, cfg.heads, hd), np.float32),
+                np.zeros((dims.layers, 1, S, dims.heads, hd), np.float32),
+                np.zeros((dims.layers, 1, S, dims.heads, hd), np.float32),
                 np.ones((1, S), bool),
             )
             variables = {"encoder": enc_vars, "decoder": dec_vars,
@@ -345,9 +411,8 @@ class UniTableStructure:
             def run(enc_vars, dec_vars, mem_vars, images):
                 x = images.astype(jnp.float32) / 255.0
                 x = (x - UNITABLE_MEAN) / UNITABLE_STD
-                memory = self.encoder.apply(
-                    enc_vars, x.astype(jnp.bfloat16)
-                ).astype(jnp.float32)
+                # bf16 memory: the per-step cross-attn K/V reads dominate
+                memory = self.encoder.apply(enc_vars, x.astype(jnp.bfloat16))
                 return unitable_decode(
                     self.decoder, dec_vars, self.mem_proj, mem_vars, memory,
                     max_len,

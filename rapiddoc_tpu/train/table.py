@@ -371,6 +371,29 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
 
     logger.info("rendering %d slanet tables", pool_n)
     imgs, toks, locs, lmask, lens = make_sla_pool(pool_n, vocab, seed)
+
+    # continuous pool refresh while the chip trains (see train/unitable.py:
+    # a fixed pool gets memorized; streaming fresh tables bounds repeats)
+    import threading
+
+    pool_lock = threading.Lock()
+    stop_refresh = threading.Event()
+    refreshed = [0]
+
+    def _refresh():
+        rrng = random.Random(seed + 101)
+        nidx = np.random.default_rng(seed + 202)
+        while not stop_refresh.is_set():
+            s = slanet_sample(rrng, vocab, SLA_TRAIN_STEPS)
+            if s is None:
+                continue
+            j = int(nidx.integers(0, pool_n))
+            with pool_lock:
+                imgs[j], toks[j], locs[j], lmask[j], lens[j] = s
+            refreshed[0] += 1
+
+    threading.Thread(target=_refresh, daemon=True).start()
+
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
     with bn_training():
@@ -386,9 +409,12 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
                     0.35, 0.35 * (i - steps // 4) / max(steps // 4, 1)
                 )
             coins = nrng.random((SLA_TRAIN_STEPS, batch)) < p
+            with pool_lock:
+                batch_arrs = (imgs[idx].copy(), toks[idx].copy(),
+                              locs[idx].copy(), lmask[idx].copy(),
+                              lens[idx].copy())
             trainable, bstats, opt_state, loss = train_step(
-                trainable, bstats, opt_state, imgs[idx], toks[idx],
-                locs[idx], lmask[idx], lens[idx], coins,
+                trainable, bstats, opt_state, *batch_arrs, coins,
             )
             if i % 20 == 0:
                 loss.block_until_ready()
@@ -399,6 +425,7 @@ def train_slanet(steps: int = 4000, out_path=None, pool_n: int = 3072,
                 from ..models.registry import save_variables
 
                 save_variables(assemble(trainable, bstats), out_path)
+    stop_refresh.set()
     variables = assemble(trainable, bstats)
     if out_path is not None:
         from ..models.registry import save_variables

@@ -208,22 +208,52 @@ def train_unitable(steps: int = 12000, out_path=None, pool_n: int = 3072,
 
     logger.info("rendering %d unitable tables", pool_n)
     imgs, toks, lens = make_pool(pool_n, seed)
+
+    # continuous pool refresh: a host thread re-renders random rows while
+    # the chip trains. The ViT memorizes a FIXED pool (free-run is exact
+    # on train tables, drifts on fresh ones); streaming fresh tables at
+    # renderer speed bounds how often any table repeats.
+    import threading
+
+    pool_lock = threading.Lock()
+    stop_refresh = threading.Event()
+    refreshed = [0]
+
+    def _refresh():
+        rrng = random.Random(seed + 101)
+        nidx = np.random.default_rng(seed + 202)
+        while not stop_refresh.is_set():
+            s = unitable_sample(rrng)
+            if s is None:
+                continue
+            j = int(nidx.integers(0, pool_n))
+            with pool_lock:
+                imgs[j], toks[j], lens[j] = s
+            refreshed[0] += 1
+
+    refresher = threading.Thread(target=_refresh, daemon=True)
+    refresher.start()
+
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
     for i in range(steps):
         idx = nrng.integers(0, pool_n, batch)
+        with pool_lock:
+            bx, bt, bl = imgs[idx].copy(), toks[idx].copy(), lens[idx].copy()
         variables, opt_state, loss = train_step(
-            variables, opt_state, imgs[idx], toks[idx], lens[idx]
+            variables, opt_state, bx, bt, bl
         )
         if i % 20 == 0:
             loss.block_until_ready()
         if i % 100 == 0 or i == steps - 1:
-            logger.info("unitable step %d loss %.4f (%.1fs)", i, float(loss),
+            logger.info("unitable step %d loss %.4f refreshed %d (%.1fs)",
+                        i, float(loss), refreshed[0],
                         time.perf_counter() - tic)
         if out_path is not None and i and i % 1000 == 0:
             from ..models.registry import save_variables
 
             save_variables(variables, out_path, half=True)
+    stop_refresh.set()
     if out_path is not None:
         from ..models.registry import save_variables
 

@@ -68,6 +68,16 @@ def test_table_slanet_demo_quality():
     assert m["seq_acc"] >= 0.4 or m["cell_iou"] >= 0.5, m
 
 
+def test_table_unitable_demo_quality():
+    v = _vars_or_skip("table_unitable_demo.npz")
+    from rapiddoc_tpu.train.unitable import eval_unitable
+
+    m = eval_unitable(v, n=_n(3, 8))
+    # published-size AR decoder on a demo-scale synthetic corpus: exact
+    # sequences are hard; bbox IoU catches regressions either way
+    assert m["seq_acc"] >= 0.3 or m["cell_iou"] >= 0.5, m
+
+
 def test_formula_demo_quality():
     import json
 
