@@ -136,6 +136,7 @@ def train_unitable(steps: int = 12000, out_path=None, pool_n: int = 3072,
     asset must stay small); pass UniTableDims() to exercise the published
     12x768/4x768 architecture (recipe validated at that size too:
     same corpus, TF loss ~0.03 at 8k steps)."""
+    init_warm = variables is not None
     if dims is None:
         if variables is not None:
             from ..models.table.unitable import dims_from_variables
@@ -176,7 +177,20 @@ def train_unitable(steps: int = 12000, out_path=None, pool_n: int = 3072,
     )
     opt_state = tx.init(variables)
 
-    def loss_fn(variables, x_u8, tok, lens):
+    def _decode_full(variables, prev, mem_k, mem_v, mem_mask):
+        # teacher forcing == one full-width cached step at position 0:
+        # FusedCachedAttention's (key_pos <= query_pos) mask is exactly
+        # the causal mask when T == max_len
+        B, T = prev.shape
+        caches_k = jnp.zeros((cfg.layers, B, T, cfg.heads, hd), jnp.float32)
+        caches_v = jnp.zeros_like(caches_k)
+        logits, _, _ = decoder.apply(
+            variables["decoder"], prev, caches_k, caches_v, 0,
+            mem_k, mem_v, mem_mask,
+        )
+        return logits.astype(jnp.float32)
+
+    def loss_fn(variables, x_u8, tok, lens, coins):
         x = x_u8.astype(jnp.float32) / 255.0
         x = (x - UNITABLE_MEAN) / UNITABLE_STD
         memory = encoder.apply(variables["encoder"], x)
@@ -186,25 +200,55 @@ def train_unitable(steps: int = 12000, out_path=None, pool_n: int = 3072,
         prev = jnp.concatenate(
             [jnp.full((B, 1), PREFIX_ID, jnp.int32), tok[:, :-1]], axis=1
         )
-        # teacher forcing == one full-width cached step at position 0:
-        # FusedCachedAttention's (key_pos <= query_pos) mask is exactly
-        # the causal mask when T == max_len
-        caches_k = jnp.zeros((cfg.layers, B, T, cfg.heads, hd), jnp.float32)
-        caches_v = jnp.zeros_like(caches_k)
-        logits, _, _ = decoder.apply(
-            variables["decoder"], prev, caches_k, caches_v, 0,
-            mem_k, mem_v, mem_mask,
+        # two-pass scheduled sampling (transformer variant of the SLANet
+        # per-step coin flips, train/table.py:402): pass 1 teacher-forced
+        # under stop_gradient yields the model's own argmax stream; where
+        # coins is set, pass 2 sees that prediction as the previous token
+        # instead of ground truth, so the greedy free-run distribution is
+        # trained on — not just the gold prefix.
+        logits1 = _decode_full(
+            jax.lax.stop_gradient(variables), prev,
+            jax.lax.stop_gradient(mem_k), jax.lax.stop_gradient(mem_v),
+            mem_mask,
         )
-        logits = logits.astype(jnp.float32)
+        pred = jnp.argmax(logits1, axis=-1).astype(jnp.int32)
+        model_prev = jnp.concatenate(
+            [jnp.full((B, 1), PREFIX_ID, jnp.int32), pred[:, :-1]], axis=1
+        )
+        mixed = jnp.where(coins, model_prev, prev)
+        logits = _decode_full(variables, mixed, mem_k, mem_v, mem_mask)
         mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, tok)
-        return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        is_bbox = (tok >= BBOX_BASE) & (tok < BBOX_BASE + N_BBOX_BINS)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+
+        def _nll(ids):
+            return -jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+
+        ce_hard = _nll(tok)
+        # bbox bins are ordinal: a +/-1-bin miss is visually lossless, so
+        # smooth 15% of the target mass onto each neighbouring bin — the
+        # head learns the geometry instead of over-penalised exact bins
+        lo = jnp.maximum(tok - 1, BBOX_BASE)
+        hi = jnp.minimum(tok + 1, BBOX_BASE + N_BBOX_BINS - 1)
+        ce_bbox = 0.7 * ce_hard + 0.15 * _nll(lo) + 0.15 * _nll(hi)
+        ce = jnp.where(is_bbox, ce_bbox, ce_hard)
+        denom = jnp.maximum(mask.sum(), 1.0)
+        loss = (ce * mask).sum() / denom
+        m_st = mask * (~is_bbox)
+        m_bb = mask * is_bbox
+        aux = (
+            (ce_hard * m_st).sum() / jnp.maximum(m_st.sum(), 1.0),
+            (ce_hard * m_bb).sum() / jnp.maximum(m_bb.sum(), 1.0),
+        )
+        return loss, aux
 
     @jax.jit
-    def train_step(variables, opt_state, x, tok, lens):
-        loss, grads = jax.value_and_grad(loss_fn)(variables, x, tok, lens)
+    def train_step(variables, opt_state, x, tok, lens, coins):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables, x, tok, lens, coins
+        )
         updates, opt_state = tx.update(grads, opt_state, variables)
-        return optax.apply_updates(variables, updates), opt_state, loss
+        return optax.apply_updates(variables, updates), opt_state, loss, aux
 
     logger.info("rendering %d unitable tables", pool_n)
     imgs, toks, lens = make_pool(pool_n, seed)
@@ -234,21 +278,34 @@ def train_unitable(steps: int = 12000, out_path=None, pool_n: int = 3072,
     refresher = threading.Thread(target=_refresh, daemon=True)
     refresher.start()
 
+    warm_start = init_warm
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
     for i in range(steps):
         idx = nrng.integers(0, pool_n, batch)
+        # scheduled-sampling rate (mirrors train/table.py SLANet ramp):
+        # fresh runs learn the grammar teacher-forced for a quarter then
+        # ramp to 0.35; warm continues ramp over 1k steps
+        if warm_start:
+            p = min(0.35, 0.35 * i / 1000.0)
+        else:
+            p = 0.0 if i < steps // 4 else min(
+                0.35, 0.35 * (i - steps // 4) / max(steps // 4, 1)
+            )
+        coins = nrng.random((batch, TRAIN_STEPS)) < p
         with pool_lock:
             bx, bt, bl = imgs[idx].copy(), toks[idx].copy(), lens[idx].copy()
-        variables, opt_state, loss = train_step(
-            variables, opt_state, bx, bt, bl
+        variables, opt_state, loss, aux = train_step(
+            variables, opt_state, bx, bt, bl, coins
         )
         if i % 20 == 0:
             loss.block_until_ready()
         if i % 100 == 0 or i == steps - 1:
-            logger.info("unitable step %d loss %.4f refreshed %d (%.1fs)",
-                        i, float(loss), refreshed[0],
-                        time.perf_counter() - tic)
+            logger.info(
+                "unitable step %d loss %.4f (st %.4f bb %.4f) p_ss %.2f "
+                "refreshed %d (%.1fs)",
+                i, float(loss), float(aux[0]), float(aux[1]), p,
+                refreshed[0], time.perf_counter() - tic)
         if out_path is not None and i and i % 1000 == 0:
             from ..models.registry import save_variables
 
