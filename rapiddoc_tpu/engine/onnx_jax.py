@@ -1003,5 +1003,11 @@ class OnnxJaxFunction:
 
             fn = jax.jit(run)
             self._jitted[key] = fn
+        from .flops import track
+
+        track(
+            getattr(self, "name", "onnx"), fn, (self.params, inputs),
+            sig=key,
+        )
         out = fn(self.params, {k: jnp.asarray(v) for k, v in inputs.items()})
         return [np.asarray(o) for o in out]

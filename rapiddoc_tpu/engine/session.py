@@ -73,7 +73,7 @@ class SessionStats:
         }
 
 
-def commit_params(params: Any, *, dtype=jnp.bfloat16, sharding=None) -> Any:
+def commit_params(params: Any, *, dtype=None, sharding=None) -> Any:
     """Cast float weight leaves to the compute dtype and commit the tree
     to device once.
 
@@ -84,12 +84,19 @@ def commit_params(params: Any, *, dtype=jnp.bfloat16, sharding=None) -> Any:
     params silently turn an intended-bf16 forward into fp32 — storing
     params in bf16 makes the compute genuinely bf16 (MXU-native) and
     halves weight HBM reads, which is what bounds AR decode steps.
-    Integer / bool leaves pass through. RAPIDDOC_FP32_PARAMS=1 keeps
-    fp32 storage (numerical escape hatch)."""
+    Integer / bool leaves pass through. dtype=None (the default) means
+    "policy dtype": bf16 unless RAPIDDOC_FP32_PARAMS=1 flips the
+    process-wide default to fp32. An EXPLICIT dtype always wins over the
+    env var, so a single numerically sensitive model can keep fp32 (or
+    bf16) without forcing it everywhere (docs/models.md)."""
     import os
 
-    if os.environ.get("RAPIDDOC_FP32_PARAMS"):
-        dtype = jnp.float32
+    if dtype is None:
+        dtype = (
+            jnp.float32
+            if os.environ.get("RAPIDDOC_FP32_PARAMS")
+            else jnp.bfloat16
+        )
 
     def cast(a):
         if isinstance(a, jax.Array):
@@ -208,7 +215,7 @@ class JaxSession:
         bucket_spec: BucketSpec,
         *,
         name: str = "model",
-        compute_dtype: jnp.dtype = jnp.bfloat16,
+        compute_dtype: jnp.dtype | None = None,
         donate: bool = False,
         multi_device: bool = True,
         preproc: Callable[[jax.Array], jax.Array] | None = None,
@@ -222,6 +229,16 @@ class JaxSession:
         self.name = name
         self.apply_fn = apply_fn
         self.bucket_spec = bucket_spec
+        if compute_dtype is None:
+            # policy dtype: bf16 unless RAPIDDOC_FP32_PARAMS flips the
+            # process default; an explicit compute_dtype always wins
+            import os
+
+            compute_dtype = (
+                jnp.float32
+                if os.environ.get("RAPIDDOC_FP32_PARAMS")
+                else jnp.bfloat16
+            )
         self.compute_dtype = compute_dtype
         self.preproc = preproc
         self.stats = SessionStats()
@@ -318,6 +335,12 @@ class JaxSession:
             pad = np.zeros((nb - n, h, w, c), dtype=batch_nhwc.dtype)
             batch_nhwc = np.concatenate([batch_nhwc, pad], axis=0)
         fn = self._get_compiled(nb, h, w, c)
+        from .flops import track
+
+        track(
+            self.name, fn, (self.params, batch_nhwc),
+            sig=(nb, h, w, c, str(batch_nhwc.dtype)),
+        )
         out = fn(self.params, jnp.asarray(batch_nhwc))
         self.stats.calls += 1
         self.stats.items += n
@@ -328,13 +351,15 @@ class JaxSession:
             rows = getattr(leaf, "shape", (nb,))
             frac = n / rows[0] if rows and rows[0] else 1.0
             self.stats.bytes_out += int(leaf.nbytes * frac)
-        self.stats.fetches += 1
-        return out, n
+        # NOTE: stats.fetches counts host materializations and is
+        # incremented in fetch(), not here — _merge_handles collapses
+        # many dispatch chunks into ONE roundtrip
+        return out, n, self
 
     @staticmethod
     def _merge_handles(
-        handles: Sequence[tuple[Any, int]]
-    ) -> tuple[Any, int]:
+        handles: Sequence[tuple[Any, int, "JaxSession"]]
+    ) -> tuple[Any, int, "JaxSession"]:
         """Concatenate several dispatch() handles into one, slicing each
         chunk to its true n ON DEVICE — the host<->device roundtrip is
         paid once for the merged result, not per chunk. Falls back to
@@ -342,8 +367,8 @@ class JaxSession:
         outputs) are not merged on device."""
         if len(handles) == 1:
             return handles[0]
-        trees = [out for out, _ in handles]
-        ns = [n for _, n in handles]
+        trees = [h[0] for h in handles]
+        ns = [h[1] for h in handles]
         treedef = jax.tree.structure(trees[0])
         assert all(
             jax.tree.structure(t) == treedef for t in trees[1:]
@@ -355,15 +380,21 @@ class JaxSession:
             )
             for k in range(len(leaves_per[0]))
         ]
-        return jax.tree.unflatten(treedef, merged), sum(ns)
+        return jax.tree.unflatten(treedef, merged), sum(ns), handles[0][2]
 
     @staticmethod
-    def fetch(handle: tuple[Any, int]) -> Any:
-        """Materialize a dispatch() result on the host (sliced to true n)."""
+    def fetch(handle: tuple[Any, int, "JaxSession"]) -> Any:
+        """Materialize a dispatch() result on the host (sliced to true n).
+
+        This is where stats.fetches is counted: one increment per actual
+        host materialization, so roundtrip accounting matches reality
+        even when _merge_handles collapsed many dispatch chunks."""
         import os
         import time
 
-        out, n = handle
+        out, n, sess = handle
+        if sess is not None:
+            sess.stats.fetches += 1
         if os.environ.get("RAPIDDOC_DEBUG_TIMING"):
             tic = time.perf_counter()
             res = jax.tree.map(lambda a: np.asarray(a[:n]), out)
@@ -375,7 +406,9 @@ class JaxSession:
         return jax.tree.map(lambda a: np.asarray(a[:n]), out)
 
     @classmethod
-    def fetch_rows(cls, handles: Sequence[tuple[Any, int]]) -> list[Any]:
+    def fetch_rows(
+        cls, handles: Sequence[tuple[Any, int, "JaxSession"]]
+    ) -> list[Any]:
         """Fetch several dispatch() handles and split them into per-row
         pytrees (callers dispatch all groups first, then fetch here)."""
         outs: list[Any] = []

@@ -129,6 +129,12 @@ class FormulaConfig:
     backbone_size: str = "B6"
     out_index: int = 3  # backbone stage for memory (3=stride 32, 2=16)
     default_length_bucket: int = 256
+    # published PP-FormulaNet_plus-M decoder dims (reference:
+    # pp_formulanet_arch_config.yaml); overridable for small-dim
+    # full-stack parity tests
+    d_model: int = 512
+    ffn: int = 2048
+    heads: int = 16
 
 
 class FormulaRecognizer:
@@ -140,7 +146,8 @@ class FormulaRecognizer:
             build_formula_modules(
                 max_len=cfg.max_len, vocab_size=cfg.vocab_size,
                 layers=cfg.layers, backbone_size=cfg.backbone_size,
-                out_index=cfg.out_index,
+                out_index=cfg.out_index, d_model=cfg.d_model,
+                ffn=cfg.ffn, heads=cfg.heads,
             )
         )
         variables = dict(variables) if variables else {}
@@ -174,6 +181,14 @@ class FormulaRecognizer:
         from ...engine.session import commit_params
 
         self.variables = commit_params(variables)
+        # decoder weight census for AR FLOPs/HBM accounting
+        # (engine/flops.py track_ar_extra): per decode step every decoder
+        # weight is read once and contributes ~2 FLOPs/param/sample
+        dec_leaves = jax.tree.leaves(self.variables["decoder"])
+        self._dec_params = float(sum(x.size for x in dec_leaves))
+        self._dec_param_bytes = float(
+            sum(x.size * x.dtype.itemsize for x in dec_leaves)
+        )
         self.tokenizer = FormulaTokenizer(
             get_models_dir() / "formula_tokenizer.json"
         )
@@ -223,6 +238,15 @@ class FormulaRecognizer:
     def _decode_fn(self, max_len: int):
         fn = self._compiled.get(max_len)
         if fn is None:
+            # compute dtype follows weight storage: bf16 by default
+            # (RAPIDDOC_FP32_PARAMS=1 stores fp32 — then the decode runs
+            # genuinely fp32, which full-stack parity tests rely on)
+            leaves = [
+                a for a in jax.tree.leaves(self.variables["decoder"])
+                if jnp.issubdtype(a.dtype, jnp.floating)
+            ]
+            cdtype = leaves[0].dtype if leaves else jnp.bfloat16
+
             def run(enc_vars, dec_vars, mem_vars, images):
                 # uint8 luma on the wire; normalize + 3ch broadcast fuse
                 # into the encoder's first conv
@@ -230,13 +254,14 @@ class FormulaRecognizer:
                 x = (x - UNIMER_MEAN) / UNIMER_STD
                 if x.shape[-1] == 1:
                     x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
-                # keep memory bf16: mem_proj's K/V stacks are read every
-                # decode step, fp32 storage doubles that HBM traffic
-                memory = self.encoder.apply(enc_vars, x.astype(jnp.bfloat16))
+                # keep memory bf16 (default): mem_proj's K/V stacks are
+                # read every decode step, fp32 storage doubles that HBM
+                # traffic
+                memory = self.encoder.apply(enc_vars, x.astype(cdtype))
                 mem_mask = jnp.ones(memory.shape[:2], bool)
                 return greedy_decode(
                     self.decoder, dec_vars, self.mem_proj, mem_vars,
-                    memory, mem_mask, max_len,
+                    memory, mem_mask, max_len, dtype=cdtype,
                 )
 
             fn = jax.jit(run, static_argnums=())
@@ -244,8 +269,12 @@ class FormulaRecognizer:
         return fn
 
     def batch_predict(
-        self, crops: list[np.ndarray], length_bucket: int | None = None
-    ) -> list[str]:
+        self, crops: list[np.ndarray], length_bucket: int | None = None,
+        return_ids: bool = False,
+    ) -> list:
+        """LaTeX per crop; with return_ids, raw token-id lists instead
+        (pre-detokenize — the full-stack parity tests compare these
+        token-for-token against the torch oracle)."""
         if not crops:
             return []
         max_len = length_bucket or self.config.default_length_bucket
@@ -264,10 +293,18 @@ class FormulaRecognizer:
         from ...engine.buckets import batch_chunks, pad_rows
 
         handles = []
+        from ...engine.flops import track
+
         for bucket, idxs in groups.items():
             for s, e, padded in batch_chunks(len(idxs), sizes=(4, 16)):
                 batch = pad_rows(
                     np.stack([prepped[i] for i in idxs[s:e]]), padded
+                )
+                track(
+                    "formula", fn,
+                    (self.variables["encoder"], self.variables["decoder"],
+                     self.variables["mem_proj"], batch),
+                    sig=(batch.shape, str(batch.dtype), max_len),
                 )
                 handles.append(
                     (idxs[s:e], fn(
@@ -275,10 +312,27 @@ class FormulaRecognizer:
                         self.variables["mem_proj"], jnp.asarray(batch),
                     ))
                 )
+        from ...engine.flops import track_ar_extra
+
         for idxs, (tokens, lengths) in handles:
             tokens = np.asarray(tokens)
             lengths = np.asarray(lengths)
+            # realized decode length = while_loop trip count (early exit
+            # fires when every row is done, so max over the padded batch)
+            track_ar_extra(
+                "formula", steps=float(lengths.max()),
+                batch=int(tokens.shape[0]),
+                dec_params=self._dec_params,
+                dec_param_bytes=self._dec_param_bytes,
+            )
+            eos = self.mbart_cfg.eos_token_id
             for j, i in enumerate(idxs):
-                ids = tokens[j, : max(int(lengths[j]) - 1, 0)].tolist()
-                out[i] = self.tokenizer.decode(ids)
+                n_tok = int(lengths[j])
+                # strip the terminator only when one was actually emitted
+                # — a decode that exhausts the length budget ends on a
+                # real token, which must not be dropped
+                if n_tok > 0 and int(tokens[j, n_tok - 1]) == eos:
+                    n_tok -= 1
+                ids = tokens[j, :n_tok].tolist()
+                out[i] = ids if return_ids else self.tokenizer.decode(ids)
         return out

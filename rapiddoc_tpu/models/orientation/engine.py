@@ -65,6 +65,10 @@ class OrientationClassifier:
             batch = np.concatenate(
                 [batch, np.zeros((nb - n, *batch.shape[1:]), batch.dtype)]
             )
+        from ...engine.flops import track
+
+        track("orientation", self._fwd, (self.variables, batch),
+              sig=(batch.shape, str(batch.dtype)))
         probs = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))[:n]
         return [ANGLES[int(p.argmax())] for p in probs]
 

@@ -70,6 +70,10 @@ class TableClassifier:
             batch = np.concatenate(
                 [batch, np.zeros((nb - n, *batch.shape[1:]), batch.dtype)]
             )
+        from ...engine.flops import track
+
+        track("table_cls", self._fwd, (self.variables, batch),
+              sig=(batch.shape, str(batch.dtype)))
         probs = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))[:n]
         return ["wired" if p[0] >= p[1] else "wireless" for p in probs]
 

@@ -274,6 +274,13 @@ class SLANetStructure:
         from ...engine.session import commit_params
 
         self.variables = commit_params(variables)
+        # per-step weight census for AR FLOPs/HBM accounting
+        # (engine/flops.py track_ar_extra)
+        step_leaves = jax.tree.leaves(self.variables["step"])
+        self._step_params = float(sum(x.size for x in step_leaves))
+        self._step_param_bytes = float(
+            sum(x.size * x.dtype.itemsize for x in step_leaves)
+        )
         self._fn = None
 
     def _compiled(self):
@@ -318,14 +325,28 @@ class SLANetStructure:
         fn = self._compiled()
         # batch dim padded to a closed bucket set (anti-recompile)
         parts = []
+        from ...engine.flops import track, track_ar_extra
+
         for s, e, padded in batch_chunks(len(imgs), sizes=(4, 16)):
+            batch = pad_rows(all_imgs[s:e], padded)
+            track(
+                "table_slanet", fn,
+                (self.variables["backbone"], self.variables["neck"],
+                 self.variables["fea_key"], self.variables["step"], batch),
+                sig=(batch.shape, str(batch.dtype)),
+            )
             t, l, n = fn(
                 self.variables["backbone"], self.variables["neck"],
                 self.variables["fea_key"], self.variables["step"],
-                jnp.asarray(pad_rows(all_imgs[s:e], padded)),
+                jnp.asarray(batch),
             )
-            parts.append((np.asarray(t)[: e - s], np.asarray(l)[: e - s],
-                          np.asarray(n)[: e - s]))
+            t, l, n = np.asarray(t), np.asarray(l), np.asarray(n)
+            track_ar_extra(
+                "table_slanet", steps=float(n.max()),
+                batch=int(t.shape[0]), dec_params=self._step_params,
+                dec_param_bytes=self._step_param_bytes,
+            )
+            parts.append((t[: e - s], l[: e - s], n[: e - s]))
         tokens = np.concatenate([p[0] for p in parts])
         locs = np.concatenate([p[1] for p in parts])
         lengths = np.concatenate([p[2] for p in parts])

@@ -163,9 +163,15 @@ class WiredTableStructure:
         self, imgs: list[np.ndarray]
     ) -> list[tuple[list[list[float]], list]]:
         """All tables dispatched before any mask is fetched."""
+        from ...engine.flops import track
+
         handles = []
         for img in imgs:
             resized = cv2.resize(img, (self.INPUT, self.INPUT))
+            track(
+                "table_unet", self._fwd, (self.variables, resized[None]),
+                sig=(resized[None].shape, str(resized.dtype)),
+            )
             handles.append(self._fwd(self.variables, jnp.asarray(resized[None])))
         out = []
         for img, h8 in zip(imgs, handles):

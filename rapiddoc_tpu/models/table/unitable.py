@@ -396,6 +396,13 @@ class UniTableStructure:
         from ...engine.session import commit_params
 
         self.variables = commit_params(variables)
+        # decoder weight census for AR FLOPs/HBM accounting
+        # (engine/flops.py track_ar_extra)
+        dec_leaves = jax.tree.leaves(self.variables["decoder"])
+        self._dec_params = float(sum(x.size for x in dec_leaves))
+        self._dec_param_bytes = float(
+            sum(x.size * x.dtype.itemsize for x in dec_leaves)
+        )
         self._fn: dict = {}
 
     @staticmethod
@@ -436,13 +443,27 @@ class UniTableStructure:
         fn = self._compiled(max_len)
         # batch dim padded to a closed bucket set (anti-recompile)
         parts = []
+        from ...engine.flops import track, track_ar_extra
+
         for s, e, padded in batch_chunks(len(imgs), sizes=(4, 16)):
+            batch = pad_rows(all_imgs[s:e], padded)
+            track(
+                "table_unitable", fn,
+                (self.variables["encoder"], self.variables["decoder"],
+                 self.variables["mem_proj"], batch),
+                sig=(batch.shape, str(batch.dtype), max_len),
+            )
             t, l = fn(
                 self.variables["encoder"], self.variables["decoder"],
-                self.variables["mem_proj"],
-                jnp.asarray(pad_rows(all_imgs[s:e], padded)),
+                self.variables["mem_proj"], jnp.asarray(batch),
             )
-            parts.append((np.asarray(t)[: e - s], np.asarray(l)[: e - s]))
+            t, l = np.asarray(t), np.asarray(l)
+            track_ar_extra(
+                "table_unitable", steps=float(l.max()),
+                batch=int(t.shape[0]), dec_params=self._dec_params,
+                dec_param_bytes=self._dec_param_bytes,
+            )
+            parts.append((t[: e - s], l[: e - s]))
         tokens = np.concatenate([p[0] for p in parts])
         lengths = np.concatenate([p[1] for p in parts])
         results = []

@@ -83,7 +83,11 @@ def _detect_latin_lang(text: str) -> str:
             if ch in marks:
                 scores[dia_lang] += 2
     if not scores:
-        return lang if margin >= 0.02 else "en"
+        # same trust bar as above: the classifier is only believed on
+        # text long enough to carry n-gram signal
+        if margin >= 0.02 and len(text.strip()) >= 40:
+            return lang
+        return "en"
     heur, n = scores.most_common(1)[0]
     # demand a real signal before leaving the default dictionary family
     if heur != "en" and n < max(3, len(words) // 50):
