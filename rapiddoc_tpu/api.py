@@ -85,6 +85,10 @@ class ModelStack:
     _ENV_KEYS = (
         "DISABLE_OCR", "DISABLE_LAYOUT", "DISABLE_FORMULA", "DISABLE_TABLE",
         "DEMO_LAYOUT", "MODELS_DIR", "CONTRAST_STRETCH",
+        # registry.py gates the orientation classifier through the
+        # prefixed lookup (env_bool), so the prefixed spelling must be
+        # part of the identity too — not just the raw unprefixed form
+        "USE_DOC_ORIENTATION_CLASSIFY",
     )
 
     @classmethod
@@ -149,6 +153,16 @@ class RapidDoc:
         self.pdf_pages_batch = (
             pdf_pages_batch if pdf_pages_batch is not None
             else get_processing_window_size()
+        )
+        # neither the ctor arg nor the env pinned a window: the parse
+        # loop may shrink it per document so the render/compute/assembly
+        # pipeline has >= 3 windows of depth (overlap needs stages to
+        # coexist; one giant window serializes them)
+        from .config import env_str as _env_str
+
+        self._window_auto = (
+            pdf_pages_batch is None
+            and _env_str("PROCESSING_WINDOW_SIZE") is None
         )
         self.checkpoint_dir = checkpoint_dir
         if preload_model:
@@ -242,7 +256,8 @@ class RapidDoc:
         image_writer = FanoutDataWriter(*writers)
 
         stack = ModelStack.get(
-            self.lang, self.formula_enable, self.table_enable,
+            overrides.get("lang", self.lang),
+            self.formula_enable, self.table_enable,
             {
                 "layout": self.layout_config,
                 "ocr": self.ocr_config,
@@ -257,6 +272,14 @@ class RapidDoc:
         dpi = get_pdf_render_dpi()
         scale = dpi / 72.0
         window = max(1, self.pdf_pages_batch)
+        if self._window_auto and n_pages > 4:
+            # pipeline depth >= 3 windows lets render(N+1) and
+            # assembly(N-1) hide under device compute of window N;
+            # floor of 4 keeps det/layout batches full (DET_BUCKETS
+            # max batch 4)
+            import math as _math
+
+            window = min(window, max(4, _math.ceil(n_pages / 3)))
 
         all_model_infos: list[dict] = []
         page_dims: list[tuple[float, float]] = []
@@ -330,18 +353,36 @@ class RapidDoc:
                     w_boxes.append(boxes)
             return w_imgs, w_text, w_boxes, dims
 
-        # double-buffer: render window N+1 on a worker thread while the
-        # device chews window N (reference keeps render behind a process
-        # pool; here one prefetch thread hides it under device time)
+        # three-stage window pipeline: render window N+1 on a prefetch
+        # thread AND assemble window N-1 on an assembly thread while the
+        # device chews window N (reference only overlaps render, via a
+        # process pool, main.py:294-368; assembly there is fully serial)
         from concurrent.futures import ThreadPoolExecutor
 
+        from .pipeline.middle import build_page_infos, finalize_middle_json
         from .utils.checkpoint import resolve_checkpoint
 
         ckpt = resolve_checkpoint(
             self.checkpoint_dir, pdf_bytes, parse_method, dpi, window
         )
+        want_originals = bool(self.image_config.get("extract_original_image"))
         starts = list(range(0, n_pages, window))
-        with ThreadPoolExecutor(max_workers=1) as pool:
+
+        def assemble_window(start, infos, dims, w_imgs, w_text, originals):
+            with stage_timer("assembly", len(infos)):
+                return build_page_infos(
+                    infos, dims, [scale] * len(infos),
+                    page_imgs=w_imgs, page_text_dicts=w_text,
+                    parse_mode=parse_method, image_writer=image_writer,
+                    page_idx_offset=start,
+                    originals_per_page=originals,
+                    image_config=self.image_config,
+                )
+
+        asm_futures = []
+        with ThreadPoolExecutor(max_workers=1) as pool, ThreadPoolExecutor(
+            max_workers=1
+        ) as asm_pool:
             future = pool.submit(render_window, starts[0]) if starts else None
             for wi, start in enumerate(starts):
                 w_imgs, w_text, w_boxes, dims = future.result()
@@ -364,30 +405,31 @@ class RapidDoc:
                 else:
                     logger.info("window %d resumed from checkpoint", start)
                     w_modes = [parse_method] * len(w_imgs)
+                originals = (
+                    _collect_original_images(
+                        doc, len(w_imgs), first_page=start
+                    )
+                    if want_originals
+                    else None
+                )
+                # reference image_config: image spans matching an embedded
+                # image keep the ORIGINAL pixels (docs/analyze_param.md)
+                asm_futures.append(
+                    asm_pool.submit(
+                        assemble_window, start, infos, dims, w_imgs,
+                        w_text, originals,
+                    )
+                )
                 all_model_infos.extend(infos)
                 page_imgs.extend(w_imgs)
                 text_dicts.extend(w_text)
                 parse_modes.extend(w_modes)
                 page_dims.extend(dims)
                 scales.extend([scale] * len(w_imgs))
+            page_infos = [p for f in asm_futures for p in f.result()]
 
-        originals_per_page = None
-        if self.image_config.get("extract_original_image"):
-            # reference image_config: image spans matching an embedded
-            # image keep the ORIGINAL pixels (docs/analyze_param.md)
-            originals_per_page = _collect_original_images(doc, n_pages)
-        with stage_timer("assembly", n_pages):
-            middle_json = result_to_middle_json(
-                all_model_infos,
-                page_dims,
-                scales,
-                page_imgs=page_imgs,
-                page_text_dicts=text_dicts,
-                parse_mode=parse_method,
-                image_writer=image_writer,
-                originals_per_page=originals_per_page,
-                image_config=self.image_config,
-            )
+        with stage_timer("assembly_final", n_pages):
+            middle_json = finalize_middle_json(page_infos, parse_method)
 
         img_prefix = self.image_dir_name
         markdown = union_make(middle_json["pdf_info"], self.make_md_mode, img_prefix)
@@ -695,13 +737,13 @@ def _legacy_office_to_modern(data: bytes, suffix: str) -> bytes:
         return out.read_bytes()
 
 
-def _collect_original_images(doc, n_pages: int):
+def _collect_original_images(doc, n_pages: int, first_page: int = 0):
     """Per page: (bbox in page units, decoded PIL) for embedded images."""
     from .pdfio.images import xobject_to_pil
     from .pdfio.placements import original_image_streams
 
     out = []
-    for i in range(n_pages):
+    for i in range(first_page, first_page + n_pages):
         items = []
         try:
             for bbox, stream in original_image_streams(doc.get_page(i)):

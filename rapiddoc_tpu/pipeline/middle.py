@@ -7,6 +7,7 @@ per-page PageModel cleanup, span assembly (model spans + native pdf text in
 """
 from __future__ import annotations
 
+import re
 from typing import Any, Sequence
 
 from PIL import Image
@@ -95,7 +96,7 @@ def page_to_page_info(
     return page_info
 
 
-def result_to_middle_json(
+def build_page_infos(
     model_infos: Sequence[dict],
     page_dims: Sequence[tuple[float, float]],
     scales: Sequence[float],
@@ -107,13 +108,13 @@ def result_to_middle_json(
     page_idx_offset: int = 0,
     originals_per_page=None,
     image_config: dict | None = None,
-) -> dict[str, Any]:
-    middle: dict[str, Any] = {
-        "pdf_info": [],
-        "_backend": "pipeline",
-        "_version_name": __version__,
-        "_parse_type": parse_mode,
-    }
+) -> list[dict]:
+    """The per-page half of result_to_middle_json: model output ->
+    page_info (span fill, image cutting, xycut sort). Window-local, so
+    the api window loop can run it on an assembly worker thread UNDER
+    the next window's device compute; the cross-page passes live in
+    finalize_middle_json."""
+    infos: list[dict] = []
     for i, model_info in enumerate(model_infos):
         w, h = page_dims[i]
         info = page_to_page_info(
@@ -133,12 +134,123 @@ def result_to_middle_json(
         )
         if info is None:
             info = make_page_info([], page_idx_offset + i, w, h, [])
-        middle["pdf_info"].append(info)
+        infos.append(info)
+    return infos
 
+
+def finalize_middle_json(
+    page_infos: list[dict], parse_mode: str = "ocr"
+) -> dict[str, Any]:
+    """Cross-page passes (need every page): running-decoration demotion,
+    formula-number \\tag merge, paragraph split, cross-page table merge."""
+    middle: dict[str, Any] = {
+        "pdf_info": page_infos,
+        "_backend": "pipeline",
+        "_version_name": __version__,
+        "_parse_type": parse_mode,
+    }
+    _drop_running_decorations(middle["pdf_info"])
     _merge_formula_numbers(middle["pdf_info"])
     para_split(middle["pdf_info"])
     cross_page_table_merge(middle["pdf_info"])
     return middle
+
+
+_DECOR_DIGITS_RE = re.compile(r"\d+")
+
+
+def _drop_running_decorations(pdf_info: list[dict]) -> None:
+    """Demote running headers/footers: digit-normalized texts of
+    edge-hugging blocks that repeat on >= 3 pages (or half the doc).
+
+    The analyze pass runs the same heuristic (scheduler.decoration_texts)
+    but only sees ONE WINDOW of pages — a footer that repeats across
+    windows is invisible to it, so page outputs would depend on the
+    window size. This document-level pass makes the final result
+    window-invariant. (Reference analogue: the layout model's
+    header/footer labels, rapid_layout.py:131 label maps.)"""
+    from collections import Counter
+
+    def norm(block: dict) -> str | None:
+        text = _block_text(block)
+        if not text or len(text) > 80:
+            return None
+        return _DECOR_DIGITS_RE.sub("#", text)
+
+    def edge(block: dict, page_h: float) -> bool:
+        bbox = block.get("bbox")
+        if not bbox or not page_h:
+            return False
+        return bbox[3] < page_h * 0.08 or bbox[1] > page_h * 0.92
+
+    counts: Counter = Counter()
+    pages = 0
+    for page in pdf_info:
+        pages += 1
+        page_h = float((page.get("page_size") or [0, 0])[1])
+        seen: set[str] = set()
+        for block in page.get("preproc_blocks", []):
+            if block.get("type") not in (BlockType.TEXT, BlockType.TITLE):
+                continue
+            if not edge(block, page_h):
+                continue
+            key = norm(block)
+            if key and key not in seen:
+                seen.add(key)
+                counts[key] += 1
+        # blocks the per-window pass already demoted still count toward
+        # the repeat threshold, so window sizes converge on one answer
+        for block in page.get("discarded_blocks", []):
+            if edge(block, page_h):
+                key = norm(block)
+                if key and key not in seen:
+                    seen.add(key)
+                    counts[key] += 1
+    if pages < 2:
+        return
+    need = min(3, max(2, pages // 2))
+    repeated = {t for t, c in counts.items() if c >= need}
+    if not repeated:
+        return
+    for page in pdf_info:
+        page_h = float((page.get("page_size") or [0, 0])[1])
+        kept, dropped = [], []
+        for block in page.get("preproc_blocks", []):
+            if (
+                block.get("type") in (BlockType.TEXT, BlockType.TITLE)
+                and edge(block, page_h)
+                and norm(block) in repeated
+            ):
+                block["type"] = BlockType.DISCARDED
+                dropped.append(block)
+            else:
+                kept.append(block)
+        if dropped:
+            page["preproc_blocks"] = kept
+            page.setdefault("discarded_blocks", []).extend(dropped)
+
+
+def result_to_middle_json(
+    model_infos: Sequence[dict],
+    page_dims: Sequence[tuple[float, float]],
+    scales: Sequence[float],
+    *,
+    page_imgs: Sequence[Image.Image] | None = None,
+    page_text_dicts: Sequence[dict | None] | None = None,
+    parse_mode: str = "ocr",
+    image_writer=None,
+    page_idx_offset: int = 0,
+    originals_per_page=None,
+    image_config: dict | None = None,
+) -> dict[str, Any]:
+    infos = build_page_infos(
+        model_infos, page_dims, scales,
+        page_imgs=page_imgs, page_text_dicts=page_text_dicts,
+        parse_mode=parse_mode, image_writer=image_writer,
+        page_idx_offset=page_idx_offset,
+        originals_per_page=originals_per_page, image_config=image_config,
+    )
+    return finalize_middle_json(infos, parse_mode)
 
 
 def _block_text(block: dict) -> str:
