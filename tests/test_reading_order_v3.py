@@ -172,3 +172,89 @@ def test_order_edit_metric_on_tiered_page():
     pred = [texts[i] for i in order if blocks[i].get("original_label") is None]
     gt = ["para one", "para two", "para three", "para four"]
     assert order_inversion_rate(pred, gt) == 0.0
+
+
+# ---------------------------------------------- region-model depth (r4)
+
+def test_column_spanning_figure_cross_layout():
+    """A figure spanning BOTH columns mid-page (not full content width)
+    must not destroy the column cut: left column reads fully before the
+    right column, and the figure inserts near its neighbors (reference
+    get_layout_structure cross_layout handling, xycuts.py:271-371)."""
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    left_top = _blk(50, 100, 280, 300)
+    left_bot = _blk(50, 480, 280, 700)
+    right_top = _blk(320, 100, 550, 300)
+    right_bot = _blk(320, 480, 550, 700)
+    # spans x 150..450: bridges both columns, but < 0.86 content width
+    figure = _blk(150, 330, 450, 450, "figure")
+    blocks = [right_bot, figure, left_top, right_top, left_bot]
+    order = sort_blocks_v3(blocks, 600, 800)
+    pos = {id(blocks[i]): k for k, i in enumerate(order)}
+    # columns stay intact despite the bridge
+    assert pos[id(left_top)] < pos[id(left_bot)]
+    assert pos[id(right_top)] < pos[id(right_bot)]
+    assert pos[id(left_top)] < pos[id(right_top)]
+
+
+def test_footer_first_detection_order():
+    """Footers detected FIRST by the model (index 0) still sort last;
+    headers detected last still sort first."""
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    blocks = [
+        _blk(50, 770, 550, 790, "footer"),
+        _blk(50, 120, 550, 300),
+        _blk(50, 320, 550, 500),
+        _blk(50, 15, 550, 35, "header"),
+    ]
+    order = sort_blocks_v3(blocks, 600, 800)
+    assert order[0] == 3 and order[-1] == 0
+    assert order.index(1) < order.index(2)
+
+
+def test_gap_cut_on_column_structure_change():
+    """A moderate vertical gap where the column structure changes (one
+    column above, two below) must become a band cut (reference
+    pre_process moderate-gap comparison, xycuts.py:160-205)."""
+    from rapiddoc_tpu.reading_order.xycut_v3 import (
+        Region,
+        _pre_cut_bands,
+    )
+
+    single = _blk(50, 100, 550, 200)           # full-width paragraph
+    left = _blk(50, 220, 280, 500)             # gap 20 > 1.2 * line_h(10)
+    right = _blk(320, 220, 550, 500)
+    blocks = [single, left, right]
+    region = Region(blocks, 600, 800)
+    bands = _pre_cut_bands(region, [0, 1, 2])
+    assert [sorted(b) for b in bands] == [[0], [1, 2]]
+
+
+def test_cross_reference_inserts_at_tail():
+    """reference-labeled column spanners defer to the tail of the body
+    (reference cross_reference -> reference_insert)."""
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    left = _blk(50, 100, 280, 600)
+    right = _blk(320, 100, 550, 600)
+    ref = _blk(150, 630, 450, 700, "reference")   # spans both columns
+    blocks = [ref, right, left]
+    order = sort_blocks_v3(blocks, 600, 800)
+    assert order == [2, 1, 0]
+
+
+def test_centered_heading_pre_cut():
+    """A horizontally centered solo heading between two column sets
+    separates the bands (reference pre_process centered-block cut)."""
+    from rapiddoc_tpu.reading_order.xycut_v3 import sort_blocks_v3
+
+    top_l, top_r = _blk(50, 80, 280, 300), _blk(320, 80, 550, 300)
+    heading = _blk(200, 330, 400, 360)            # centered, solo
+    bot_l, bot_r = _blk(50, 390, 280, 620), _blk(320, 390, 550, 620)
+    blocks = [bot_r, heading, top_l, bot_l, top_r]
+    order = sort_blocks_v3(blocks, 600, 800)
+    pos = {id(blocks[i]): k for k, i in enumerate(order)}
+    assert pos[id(top_l)] < pos[id(top_r)] < pos[id(heading)]
+    assert pos[id(heading)] < pos[id(bot_l)] < pos[id(bot_r)]
