@@ -26,7 +26,12 @@ def _load_rels(z: zipfile.ZipFile, part: str) -> dict[str, str]:
     out: dict[str, str] = {}
     if rels_path not in z.namelist():
         return out
-    root = ET.fromstring(z.read(rels_path))
+    try:
+        root = ET.fromstring(z.read(rels_path))
+    except ET.ParseError:
+        # a corrupt rels part degrades links/images to plain text; it
+        # must never take the document's own text down with it
+        return out
     for rel in root:
         rid = rel.get("Id")
         target = rel.get("Target") or ""
@@ -60,6 +65,10 @@ def _style_headings(z: zipfile.ZipFile) -> dict[str, int]:
 
 _MC_FALLBACK = (
     "{http://schemas.openxmlformats.org/markup-compatibility/2006}Fallback"
+)
+_MC_ALTERNATE = (
+    "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
+    "AlternateContent"
 )
 
 
@@ -162,6 +171,13 @@ def _para_text(
                         # markdown wrappers cannot span lines
                         flush_buf()
                         parts.append("\n")
+                    elif sub.tag == _MC_ALTERNATE:
+                        # run-level AlternateContent: take the Fallback
+                        # branch only (Choice requires extensions we
+                        # don't implement; walking both doubles text)
+                        fb = sub.find(_MC_FALLBACK)
+                        if fb is not None:
+                            walk_runs(fb)
                 # text boxes ride inside run-level drawings (reference:
                 # docx_converter textbox handling); mc:Fallback mirrors
                 # mc:Choice content and must be skipped to avoid doubles
@@ -197,6 +213,10 @@ def _para_text(
                         parts.append(f"${latex}$")
             elif tag in (q("w:ins"), q("w:smartTag")):
                 walk_runs(child)
+            elif tag == _MC_ALTERNATE:
+                fb = child.find(_MC_FALLBACK)
+                if fb is not None:
+                    walk_runs(fb)
     walk_runs(p)
     flush_buf()
     return "".join(parts)

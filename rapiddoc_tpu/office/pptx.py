@@ -344,7 +344,13 @@ def pptx_to_blocks(data: bytes) -> OfficeResult:
 
         for page_idx, slide_path in enumerate(slides):
             rels = _load_rels(z, slide_path)
-            root = ET.fromstring(z.read(slide_path))
+            try:
+                root = ET.fromstring(z.read(slide_path))
+            except (ET.ParseError, KeyError):
+                # per-slide failure isolation (reference: per-page skip,
+                # cli/common.py:138-144): one corrupt slide must not
+                # take the deck's other slides down
+                continue
             tree = root.find(f"{{{P}}}cSld/{{{P}}}spTree")
             if tree is None:
                 continue

@@ -167,14 +167,19 @@ def _load_styles(
     return kinds, xf_fonts
 
 
-def _excel_date(serial: float) -> str:
-    """Excel 1900-epoch serial -> ISO date (with the Lotus leap bug)."""
+def _excel_date(serial: float, date1904: bool = False) -> str:
+    """Excel serial -> ISO date. 1900 system carries the Lotus leap bug;
+    the 1904 system (workbookPr date1904, classic-Mac files) counts from
+    1904-01-01 with no phantom leap day."""
     import datetime
 
     days = int(serial)
-    if days >= 60:
-        days -= 1  # Excel pretends 1900-02-29 existed
-    base = datetime.date(1899, 12, 31)
+    if date1904:
+        base = datetime.date(1904, 1, 1)
+    else:
+        if days >= 60:
+            days -= 1  # Excel pretends 1900-02-29 existed
+        base = datetime.date(1899, 12, 31)
     try:
         d = base + datetime.timedelta(days=days)
     except OverflowError:
@@ -187,7 +192,8 @@ def _excel_date(serial: float) -> str:
 
 
 def _cell_value(
-    c, shared: list, styles: list[str] | None = None
+    c, shared: list, styles: list[str] | None = None,
+    date1904: bool = False,
 ) -> tuple[str, str | None]:
     """-> (plain_text, styled_html_or_None) of one cell."""
     ctype = c.get("t", "n")
@@ -204,7 +210,7 @@ def _cell_value(
             try:
                 f = float(v.text)
                 if kind == "date" and f > 0:
-                    return _excel_date(f), None
+                    return _excel_date(f, date1904), None
                 if kind == "percent":
                     p = f * 100
                     return (
@@ -282,7 +288,8 @@ def _data_islands(
 
 def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list,
                    styles: list[str] | None = None,
-                   xf_fonts: list[tuple[bool, bool]] | None = None) -> list[str]:
+                   xf_fonts: list[tuple[bool, bool]] | None = None,
+                   date1904: bool = False) -> list[str]:
     """Sheet XML -> one HTML table per compact data island, trimmed to
     its true bounds (reference: xlsx_converter.py _find_data_tables —
     flood-fill islands with gap tolerance instead of emitting the whole
@@ -298,7 +305,7 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list,
         for c in row.findall(f"{{{S}}}c"):
             ref = c.get("r", "A1")
             r, col = _row_of(ref), _col_to_idx(ref)
-            val, html = _cell_value(c, shared, styles)
+            val, html = _cell_value(c, shared, styles, date1904)
             if val != "":
                 if html is None and xf_fonts:
                     try:
@@ -390,9 +397,15 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
         shared = _shared_strings(z)
         styles, xf_fonts = _load_styles(z)
         sheets: list[tuple[str, str]] = []
+        date1904 = False
         if "xl/workbook.xml" in z.namelist():
             wb_rels = _load_rels(z, "xl/workbook.xml")
             root = ET.fromstring(z.read("xl/workbook.xml"))
+            pr = root.find(f"{{{S}}}workbookPr")
+            if pr is not None and pr.get("date1904", "0").lower() in (
+                "1", "true"
+            ):
+                date1904 = True
             for sheet in root.iter(f"{{{S}}}sheet"):
                 name = sheet.get("name", "Sheet")
                 rid = sheet.get(q("r:id"))
@@ -411,7 +424,8 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
             ]
         result.n_pages = max(len(sheets), 1)
         for page_idx, (name, path) in enumerate(sheets):
-            tables = _sheet_to_html(z, path, shared, styles, xf_fonts)
+            tables = _sheet_to_html(z, path, shared, styles, xf_fonts,
+                                    date1904)
             if tables:
                 result.add_title(name, level=2, page=page_idx)
                 for html in tables:
