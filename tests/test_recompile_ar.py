@@ -55,3 +55,36 @@ def test_slanet_decode_recompiles_bucket_bound():
     # at most 4 batch buckets
     assert sla._fn is not None
     assert sla._fn._cache_size() <= 4
+
+
+def test_unitable_decode_recompiles_bucket_bound():
+    """UNITABLE decode path (reference loop_decode,
+    table_structure/unitable/main.py:85-101): varying table counts and
+    crop sizes across calls must reuse cached executables — programs are
+    O(length-buckets x batch-buckets), never O(calls)."""
+    from rapiddoc_tpu.models.table.unitable import (
+        UniTableDims,
+        UniTableStructure,
+    )
+
+    uni = UniTableStructure(
+        dims=UniTableDims(
+            enc_d=64, enc_layers=1, dec_d=64, dec_layers=1, dec_ffn=128
+        )
+    )
+    rng = np.random.default_rng(2)
+    for n in (1, 3, 2, 5, 1, 4):
+        imgs = [
+            rng.integers(
+                0, 255,
+                (int(rng.integers(60, 200)), int(rng.integers(80, 300)), 3),
+                np.uint8,
+            )
+            for _ in range(n)
+        ]
+        uni(imgs, max_len=24)
+    # one jitted fn for the single length bucket; fixed 448 canvas ->
+    # only the batch dim varies; counts {1..5} pad to <= 4 batch buckets
+    assert len(uni._fn) == 1
+    (fn,) = uni._fn.values()
+    assert fn._cache_size() <= 4
