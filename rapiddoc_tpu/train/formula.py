@@ -19,6 +19,7 @@ from __future__ import annotations
 import io
 import random
 import re
+import os
 import sys
 import time
 
@@ -178,7 +179,10 @@ def load_or_make_pool(n: int, vocab: list[str], seed: int = 0):
 
 
 def train(steps: int = 16000, out_path=None, pool_n: int = 9000,
-          batch: int = 16, lr: float = 4e-4, seed: int = 0):
+          batch: int = 16, lr: float = 4e-4, seed: int = 0,
+          variables=None):
+    """variables: warm start from a saved checkpoint tree (params +
+    batch_stats as stored by the registry npz)."""
     vocab = build_vocab()
     cfg = FormulaConfig(
         max_len=DEMO_ARCH["max_len"], vocab_size=len(vocab),
@@ -212,6 +216,20 @@ def train(steps: int = 16000, out_path=None, pool_n: int = 9000,
     trainable = {"encoder": enc_vars["params"], "decoder": dec_vars,
                  "mem_proj": mem_vars}
     batch_stats = enc_vars["batch_stats"]
+    if variables is not None:
+        # warm start: the saved tree is the inference layout
+        # ({encoder: {params, batch_stats}, decoder, mem_proj})
+        import jax as _jax
+
+        trainable = {
+            "encoder": _jax.tree.map(np.asarray,
+                                     variables["encoder"]["params"]),
+            "decoder": _jax.tree.map(np.asarray, variables["decoder"]),
+            "mem_proj": _jax.tree.map(np.asarray, variables["mem_proj"]),
+        }
+        batch_stats = _jax.tree.map(
+            np.asarray, variables["encoder"]["batch_stats"]
+        )
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -373,5 +391,19 @@ if __name__ == "__main__":
     else:
         steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
         out = sys.argv[2] if len(sys.argv) > 2 else None
-        v, vocab = train(steps, out)
+        init = None
+        if out and os.path.isfile(out) and not os.environ.get(
+            "RAPIDDOC_TRAIN_FRESH"
+        ):
+            from pathlib import Path
+
+            from ..models.registry import _load_variables
+
+            init = _load_variables(Path(out))
+            if init is not None:
+                logger.info("warm start from %s", out)
+        seed = int(os.environ.get(
+            "RAPIDDOC_TRAIN_SEED", "23" if init is not None else "0"
+        ))
+        v, vocab = train(steps, out, seed=seed, variables=init)
         logger.info("eval: %s", evaluate(v, vocab))

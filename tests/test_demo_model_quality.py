@@ -36,10 +36,12 @@ def test_layout_demo_quality():
     from rapiddoc_tpu.train.layout import evaluate
 
     m = evaluate(v, n_pages=_n(2, 6))
-    # block-level recall plus label accuracy on matched blocks
-    assert m["recall"] >= 0.7, m
-    assert m["cls_acc"] >= 0.7, m
-    assert m["precision"] >= 0.65, m
+    # AND-gated at achieved-minus-margin (achieved small/full:
+    # recall 0.83/0.82, precision 1.0/0.98, cls_acc 1.0/1.0) — a
+    # 10-point drop in any metric fails the suite
+    assert m["recall"] >= 0.8, m
+    assert m["cls_acc"] >= 0.9, m
+    assert m["precision"] >= 0.9, m
 
 
 def test_table_unet_demo_quality():
@@ -63,9 +65,12 @@ def test_table_slanet_demo_quality():
     from rapiddoc_tpu.train.table import eval_slanet
 
     m = eval_slanet(v, n=_n(4, 12))
-    # exact structure-token sequences are a hard target; cell-box IoU
-    # catches regressions even when a span token flips
-    assert m["seq_acc"] >= 0.4 or m["cell_iou"] >= 0.5, m
+    # AND-gated at achieved-minus-margin (achieved small/full:
+    # seq_acc 0.5/0.75, teds_s 0.95/0.976, cell_iou 0.58/0.79);
+    # teds_s is continuous so it bites even at small N
+    assert m["seq_acc"] >= 0.5, m
+    assert m["teds_s"] >= 0.9, m
+    assert m["cell_iou"] >= 0.5, m
 
 
 def test_table_unitable_demo_quality():
@@ -73,9 +78,14 @@ def test_table_unitable_demo_quality():
     from rapiddoc_tpu.train.unitable import eval_unitable
 
     m = eval_unitable(v, n=_n(3, 8))
-    # published-size AR decoder on a demo-scale synthetic corpus: exact
-    # sequences are hard; bbox IoU catches regressions either way
-    assert m["seq_acc"] >= 0.3 or m["cell_iou"] >= 0.5, m
+    # AND-gated on the continuous metrics (achieved small/full:
+    # teds_s 0.83/0.82, cell_iou 0.41/0.48). Exact-sequence match on a
+    # published-size AR decoder is near-zero at demo training scale and
+    # quantizes to 1/3 at small N, so it cannot carry a stable gate —
+    # TEDS-S is the structure-quality signal that bites (a 10-point
+    # drop fails), cell IoU guards the bbox head.
+    assert m["teds_s"] >= 0.7, m
+    assert m["cell_iou"] >= 0.35, m
 
 
 def test_formula_demo_quality():
@@ -89,7 +99,11 @@ def test_formula_demo_quality():
     from rapiddoc_tpu.train.formula import evaluate
 
     m = evaluate(v, vocab, n=_n(4, 8))
-    assert m["exact"] >= 0.25 or m["cer~"] <= 0.3, m
+    # AND-gated (achieved small/full: exact 0.5/0.25, cer~ 0.03/0.19);
+    # cer~ is continuous, so a real recognition regression moves it
+    # even when the quantized exact rate holds
+    assert m["exact"] >= 0.25, m
+    assert m["cer~"] <= 0.3, m
 
 
 def test_orientation_demo_quality():

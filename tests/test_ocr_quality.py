@@ -88,9 +88,12 @@ def test_synthetic_page_cer():
             total_ed += _edit_distance(got, gt)
             total_len += len(gt)
 
-    assert matched >= 0.7 * len(boxes), (matched, len(boxes))
+    # achieved: recall 1.0 (17/17 lines), cer 0.048 — gated at
+    # achieved-minus-margin so a one-line detection miss out of ten or
+    # a 10-point CER regression fails the suite
+    assert matched >= 0.9 * len(boxes), (matched, len(boxes))
     cer = total_ed / max(total_len, 1)
-    assert cer < 0.35, f"char error rate {cer:.3f}"
+    assert cer < 0.15, f"char error rate {cer:.3f}"
 
 
 @demo_available
