@@ -3,20 +3,23 @@
 Primary metric (BASELINE.md): end-to-end pages/sec through
 `RapidDoc.__call__` in ocr mode — render, DBNet det, SVTR/CTC rec,
 middle-json assembly and markdown emit all included — plus the per-stage
-ms/page breakdown utils/trace.py collects. Weights: the published
-PP-OCRv6 checkpoints when converted, else the in-repo synthetic-trained
-demo checkpoints (real detections + real text either way).
+ms/page breakdown utils/trace.py collects, per-stage FLOPs/MFU from
+engine/flops.py, and a per-doc-type corpus breakdown (english paper /
+CJK scan / table-heavy / formula-dense).
 
-Baseline denominator: the same det/rec networks (the reference's torch
-re-implementations, its architecture spec) running the same crops on CPU
-— the closest runnable stand-in for the onnxruntime-CPU reference in this
-zero-egress environment (BASELINE.md: the reference publishes no speed
-numbers).
+Baseline denominator: torch-eager on THIS host's single CPU core
+(BASELINE_CPU.json) — the closest runnable stand-in for the
+onnxruntime-CPU reference in this zero-egress environment (onnxruntime
+is not installed; the reference publishes no speed numbers). The JSON
+line carries `baseline_kind` and an in-band caveat so the ratio cannot
+be mistaken for the BASELINE.md "vs onnxruntime-CPU on v5e-8" gate.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 Env: RAPIDDOC_BENCH_TINY=1 for a small CPU-friendly run,
 RAPIDDOC_BENCH_PAGES to override the page count,
-RAPIDDOC_BENCH_SKIP_BASELINE=1 to skip the torch-CPU run.
+RAPIDDOC_BENCH_SKIP_BASELINE=1 to skip the torch-CPU denominator,
+RAPIDDOC_BENCH_SKIP_CORPUS=1 to skip the per-doc-type sweep,
+RAPIDDOC_BENCH_FORMULA_FULL=1 to also time the 2560-token bucket.
 """
 from __future__ import annotations
 
@@ -30,9 +33,23 @@ import numpy as np
 TINY = bool(os.environ.get("RAPIDDOC_BENCH_TINY"))
 PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "12"))
 DEMO_PDF = "/root/reference/demo/pdfs/demo1.pdf"
+CJK_PDF = "/root/reference/demo/pdfs/比亚迪财报.pdf"
 # per-document workload counts measured by the e2e run (filled by
 # _bench_e2e; sizes the reference-CPU denominator to the same work)
 WORKLOAD: dict | None = None
+
+# program name (engine/flops.py track) -> tracer stage name
+_PROGRAM_STAGE = {
+    "layout": "layout",
+    "ocr_det": "ocr_det",
+    "ocr_rec": "ocr_rec",
+    "formula": "formula",
+    "table_unitable": "table",
+    "table_slanet": "table",
+    "table_unet": "table",
+    "table_cls": "table",
+    "orientation": "orientation",
+}
 
 
 def _bench_pdf_bytes() -> bytes:
@@ -53,8 +70,65 @@ def _bench_pdf_bytes() -> bytes:
     return pdfio.images_to_pdf(imgs, dpi=144)
 
 
-def _bench_e2e() -> tuple[float, dict, int]:
-    """pages/sec through RapidDoc + per-stage ms/page.
+def _synth_corpus_pdf(kind: str, n_pages: int) -> bytes:
+    """Table-heavy / formula-dense fixture pages (labeled synth pages at
+    960px width — the same generator the demo layout checkpoint was
+    trained on, so layout actually routes regions to table/formula)."""
+    import random
+
+    from PIL import Image
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.train.synth_layout import render_layout_page
+
+    # cumulative cuts: (paragraph, heading, figure, table); rest=formula
+    mix = {
+        "table_heavy": (0.18, 0.24, 0.28, 0.92),
+        "formula_dense": (0.22, 0.28, 0.32, 0.36),
+    }[kind]
+    rng = random.Random(7 if kind == "table_heavy" else 11)
+    imgs = [
+        Image.fromarray(
+            render_layout_page(rng, size=760, height=1000, mix=mix)[0]
+        )
+        for _ in range(n_pages)
+    ]
+    return pdfio.images_to_pdf(imgs, dpi=144)
+
+
+def _transfer_split(stage_wall_ms: dict[str, float]) -> dict:
+    """Join the serialized transfer estimate with measured stage walls.
+
+    The estimate from byte counters x wire constants assumes zero
+    overlap; dispatch/fetch pipelining overlaps transfer under compute,
+    so the estimate can exceed wall. The split therefore CAPS transfer
+    at the measured wall and reports the overlap explicitly —
+    "transfer > wall" is impossible by construction here.
+    """
+    from rapiddoc_tpu.engine.session import transfer_split_report
+
+    out = {}
+    for name, tr in transfer_split_report().items():
+        wall = stage_wall_ms.get(name)
+        est = tr["transfer_ms_est"]
+        if wall is None:
+            out[name] = {**tr, "note": "no stage wall measured"}
+            continue
+        transfer = min(est, wall)
+        out[name] = {
+            "stage_wall_ms": round(wall, 1),
+            "transfer_ms": round(transfer, 1),
+            "compute_ms": round(wall - transfer, 1),
+            "overlapped_ms": round(max(est - wall, 0.0), 1),
+            "bytes_in": tr["bytes_in"],
+            "bytes_out": tr["bytes_out"],
+            "fetches": tr["fetches"],
+        }
+    return out
+
+
+def _bench_e2e() -> tuple[float, dict, int, dict, dict]:
+    """pages/sec through RapidDoc + per-stage ms/page + MFU report.
 
     Default: ALL stages enabled (layout + ocr + formula + table, demo
     checkpoints standing in for the published ones) over a real
@@ -79,11 +153,11 @@ def _bench_e2e() -> tuple[float, dict, int]:
         pages = min(PAGES, len(pdfio.open_pdf(raw)))
         pdf = convert_pdf_bytes_to_bytes_by_pages(raw, 0, pages - 1)
     from rapiddoc_tpu import RapidDoc
-    from rapiddoc_tpu.api import stage_report
+    from rapiddoc_tpu.api import GLOBAL_TRACER, stage_report
+    from rapiddoc_tpu.engine import flops
+    from rapiddoc_tpu.engine.session import session_stats_report
 
     doc = RapidDoc()
-    from rapiddoc_tpu.api import GLOBAL_TRACER
-    from rapiddoc_tpu.engine.session import session_stats_report
 
     # warm until no session compiles a new bucket (a second-pass path —
     # e.g. det merged-blob refinement — can hit a bucket the first pass
@@ -100,6 +174,7 @@ def _bench_e2e() -> tuple[float, dict, int]:
         k: v["items"] for k, v in session_stats_report().items()
     }
     GLOBAL_TRACER.reset()
+    flops.reset()
     tic = time.perf_counter()
     out = doc(pdf, parse_method="ocr")
     dt = time.perf_counter() - tic
@@ -122,44 +197,112 @@ def _bench_e2e() -> tuple[float, dict, int]:
     # stages count regions, ocr counts pages — ms/page is the comparable
     # unit BASELINE.md asks for)
     report = {
-        k: v.get("total_s", 0.0) * 1000.0 / pages
-        for k, v in stage_report().items()
+        k: v.get("total_s", 0.0) * 1000.0 / pages for k, v in rep.items()
     }
-    # transfer accounting (stderr, not the JSON contract line): on a
-    # tunneled chip bytes+roundtrips, not FLOPs, set the ceiling
-    from rapiddoc_tpu.engine.session import session_stats_report
-
     for name, st in session_stats_report().items():
         print(
             f"[session] {name}: calls={st['calls']} "
             f"in={st['bytes_in']/1e6:.1f}MB out={st['bytes_out']/1e6:.1f}MB "
-            f"compiles={st['compiles']}",
+            f"compiles={st['compiles']} pad_overhead={st['pad_overhead']:.3f}",
             file=sys.stderr,
         )
+    # MFU / FLOPs accounting (analytic HLO costs x measured stage walls)
+    # + compute-bound projection independent of the tunnel wire
+    stage_wall_s = {
+        stage: rep.get(stage, {}).get("total_s", 0.0)
+        for stage in set(_PROGRAM_STAGE.values())
+    }
+    mfu = flops.mfu_report(stage_wall_s, _PROGRAM_STAGE)
+    # per-page projection: what each stage costs when the wire is gone
+    for stage, d in mfu["stages"].items():
+        d["compute_bound_ms_per_page"] = round(
+            d["compute_bound_ms"] / pages, 2
+        )
+    print(f"[mfu] {json.dumps(mfu)}", file=sys.stderr)
     # transfer-vs-compute split: measured wire constants x observed byte
-    # counters — separates what a faster link would fix from what the
-    # chip actually spends computing
-    from rapiddoc_tpu.engine.session import (
-        measure_wire_bandwidth,
-        transfer_split_report,
-    )
-
+    # counters, CAPPED at stage wall (overlap reported, not denied)
     try:
+        from rapiddoc_tpu.engine.session import measure_wire_bandwidth
+
         print(f"[wire] {measure_wire_bandwidth()}", file=sys.stderr)
-        split = transfer_split_report()
+        stage_wall_ms = {
+            k: v.get("total_s", 0.0) * 1e3 for k, v in rep.items()
+        }
+        split = _transfer_split(stage_wall_ms)
         for name, tr in split.items():
-            stage_ms = rep.get(name, {}).get("total_s", 0.0) * 1e3
-            print(
-                f"[split] {name}: transfer~{tr['transfer_ms_est']:.0f}ms "
-                f"compute~{max(stage_ms - tr['transfer_ms_est'], 0.0):.0f}ms "
-                f"of {stage_ms:.0f}ms stage wall",
-                file=sys.stderr,
-            )
+            print(f"[split] {name}: {tr}", file=sys.stderr)
     except Exception:
         import traceback
 
         traceback.print_exc()
-    return pages / dt, report, pages
+    # host-path vs device-path: the window pipeline runs render (N+1)
+    # and assembly (N-1) on worker threads under device compute of
+    # window N, so e2e should approach max(host, device), not their sum.
+    # "ocr" wraps det+crop+rec and "assembly" feeds assembly_final —
+    # parents are excluded from the sums.
+    host_stages = ("render", "ocr_crop", "assembly", "assembly_final")
+    dev_stages = (
+        "layout", "ocr_det", "ocr_rec", "formula", "table", "orientation"
+    )
+    host_ms = sum(report.get(s, 0.0) for s in host_stages)
+    dev_ms = sum(report.get(s, 0.0) for s in dev_stages)
+    e2e_ms = dt * 1e3 / pages
+    overlap = {
+        "host_path_ms_per_page": round(host_ms, 1),
+        "device_path_ms_per_page": round(dev_ms, 1),
+        "e2e_ms_per_page": round(e2e_ms, 1),
+        # 1.0 = perfect overlap (e2e == the longer path); values > 1
+        # measure serialization still left in the pipeline
+        "e2e_over_max_path": round(e2e_ms / max(host_ms, dev_ms, 1e-9), 3),
+    }
+    print(f"[overlap] {overlap}", file=sys.stderr)
+    # ocr_rec throughput detail (VERDICT r3: the dominant device stage)
+    rec_stats = session_stats_report().get("ocr_rec", {})
+    rec_wall_s = rep.get("ocr_rec", {}).get("total_s", 0.0)
+    overlap["ocr_rec_detail"] = {
+        "crops": WORKLOAD["rec_crops"],
+        "crops_per_sec": round(WORKLOAD["rec_crops"] / rec_wall_s, 1)
+        if rec_wall_s else None,
+        "ms_per_page": round(report.get("ocr_rec", 0.0), 1),
+        "pad_overhead": round(rec_stats.get("pad_overhead", 0.0), 3),
+        "session_calls": rec_stats.get("calls"),
+    }
+    return pages / dt, report, pages, mfu, overlap
+
+
+def _bench_corpus() -> dict:
+    """Per-doc-type pages/sec: the headline number must not hinge on one
+    12-page English paper (VERDICT r3). Each doc runs in ocr mode with
+    all stages enabled, timed on a second (warm) pass."""
+    from rapiddoc_tpu import RapidDoc, pdfio
+    from rapiddoc_tpu.cli.common import convert_pdf_bytes_to_bytes_by_pages
+
+    os.environ.setdefault("RAPIDDOC_DEMO_LAYOUT", "1")
+    n = 4
+    docs: dict[str, bytes] = {}
+    if os.path.isfile(CJK_PDF):
+        raw = open(CJK_PDF, "rb").read()
+        k = min(n, len(pdfio.open_pdf(raw)))
+        docs["cjk_scan"] = convert_pdf_bytes_to_bytes_by_pages(raw, 0, k - 1)
+    docs["table_heavy"] = _synth_corpus_pdf("table_heavy", n)
+    docs["formula_dense"] = _synth_corpus_pdf("formula_dense", n)
+
+    doc = RapidDoc()
+    out: dict = {}
+    for kind, pdf in docs.items():
+        pages = len(pdfio.open_pdf(pdf))
+        lang = "ch" if kind == "cjk_scan" else "en"
+        doc(pdf, parse_method="ocr", lang=lang)  # warm (new buckets)
+        tic = time.perf_counter()
+        r = doc(pdf, parse_method="ocr", lang=lang)
+        dt = time.perf_counter() - tic
+        assert r.markdown is not None
+        out[kind] = {
+            "pages": pages,
+            "pages_per_sec": round(pages / dt, 3),
+        }
+        print(f"[corpus] {kind}: {out[kind]}", file=sys.stderr)
+    return out
 
 
 def _bench_published_dims() -> dict:
@@ -171,9 +314,13 @@ def _bench_published_dims() -> dict:
     - layout: RT-DETR B4 at 800^2 with the V3 mask branch (reference:
       model_handler/pp_doclayout/main.py:17-29), ms/page warm.
     - formula: PPHGNetV2-B6 encoder + 6x512 MBart decoder, vocab 50000
-      (reference: pp_formulanet_arch_config.yaml:12), length bucket 256.
-      Random init emits no EOS, so the decode runs the FULL bucket —
-      ms/region is the worst case and ms/step is exact (256 steps).
+      (reference: pp_formulanet_arch_config.yaml:12). Random init emits
+      no EOS, so the decode runs the FULL bucket. ms/step is measured by
+      DIFFERENCING two buckets ((t(512)-t(256))/256), which cancels the
+      encoder forward and dispatch overhead (a round-3 finding: dividing
+      the whole batch_predict wall by the bucket length inflated
+      ms/step). RAPIDDOC_BENCH_FORMULA_FULL=1 also times the published
+      2560-token budget end-to-end.
     """
     import cv2
 
@@ -204,7 +351,6 @@ def _bench_published_dims() -> dict:
         FormulaRecognizer,
     )
 
-    LEN_BUCKET = 256
     rec = FormulaRecognizer(config=FormulaConfig())  # B6, 6x512, 50k vocab
     crops = []
     for i in range(4):
@@ -212,14 +358,79 @@ def _bench_published_dims() -> dict:
         cv2.putText(crop, "E=mc2", (10, 40), cv2.FONT_HERSHEY_SIMPLEX,
                     1.0, (0, 0, 0), 2)
         crops.append(crop)
-    rec.batch_predict(crops, length_bucket=LEN_BUCKET)  # warm (compile)
-    tic = time.perf_counter()
-    rec.batch_predict(crops, length_bucket=LEN_BUCKET)
-    dt = time.perf_counter() - tic
-    out["formula_ms_per_region"] = round(dt * 1e3 / len(crops), 1)
-    out["formula_ms_per_step"] = round(dt * 1e3 / LEN_BUCKET, 2)
-    out["formula_len_bucket"] = LEN_BUCKET
+
+    def _timed_bucket(bucket: int) -> float:
+        rec.batch_predict(crops, length_bucket=bucket)  # warm (compile)
+        tic = time.perf_counter()
+        rec.batch_predict(crops, length_bucket=bucket)
+        return time.perf_counter() - tic
+
+    t256 = _timed_bucket(256)
+    t512 = _timed_bucket(512)
+    out["formula_ms_per_region"] = round(t256 * 1e3 / len(crops), 1)
+    # decode-only per step: differencing cancels encoder + dispatch
+    out["formula_decode_ms_per_step"] = round(
+        max(t512 - t256, 0.0) * 1e3 / 256, 3
+    )
+    out["formula_len_bucket"] = 256
+    if os.environ.get("RAPIDDOC_BENCH_FORMULA_FULL"):
+        t2560 = _timed_bucket(2560)
+        out["formula_ms_per_region_2560"] = round(t2560 * 1e3 / len(crops), 1)
+        out["formula_decode_ms_per_step_2560"] = round(
+            max(t2560 - t256, 0.0) * 1e3 / (2560 - 256), 3
+        )
     return out
+
+
+def _bench_ctc_head() -> dict:
+    """Pallas fused CTC head vs plain XLA at the 18710-class dict.
+
+    The fused kernel (ops/ctc_head.py) streams vocab tiles through VMEM
+    so the (B*T, 18710) logits never hit HBM; the XLA path materializes
+    them (dense -> softmax -> argmax). Same shapes the rec engine uses:
+    B=128 crops x T=40 frames x C=120 features (48x320 bucket)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rapiddoc_tpu.ops.ctc_head import fused_ctc_argmax
+
+    B, T, C, V = 128, 40, 120, 18710
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (B * T, C), jnp.bfloat16)
+    kernel = jax.random.normal(key, (C, V), jnp.bfloat16)
+    bias = jnp.zeros((V,), jnp.float32)
+
+    @jax.jit
+    def xla_head(x, w, b):
+        logits = (x.astype(jnp.float32) @ w.astype(jnp.float32)) + b
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.argmax(probs, axis=-1), jnp.max(probs, axis=-1)
+
+    interpret = jax.default_backend() != "tpu"
+
+    def timed(fn, *a):
+        jax.block_until_ready(fn(*a))  # warm/compile
+        reps = 5
+        tic = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(fn(*a))
+        return (time.perf_counter() - tic) * 1e3 / reps
+
+    t_xla = timed(xla_head, feats, kernel, bias)
+    t_pallas = timed(
+        lambda x, w, b: fused_ctc_argmax(x, w, b, interpret=interpret),
+        feats, kernel, bias,
+    )
+    # HBM the XLA path writes+reads for the logits tensor alone
+    logits_mb = B * T * V * 4 / 1e6
+    return {
+        "shape": f"({B * T}, {C}) x ({C}, {V})",
+        "xla_ms": round(t_xla, 2),
+        "pallas_ms": round(t_pallas, 2),
+        "speedup": round(t_xla / max(t_pallas, 1e-9), 2),
+        "logits_hbm_mb_avoided": round(logits_mb, 1),
+        **({"interpret_mode": True} if interpret else {}),
+    }
 
 
 FORMULA_STEPS_PER_SEQ = 96  # conservative; published max_new_tokens 1536
@@ -301,7 +512,47 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         TINY = True
         PAGES = min(PAGES, 2)
-    pps, stages, pages = _bench_e2e()
+    pps, stages, pages, mfu, overlap = _bench_e2e()
+    corpus = None
+    if (
+        not TINY
+        and not tpu_down
+        and not os.environ.get("RAPIDDOC_BENCH_SKIP_CORPUS")
+    ):
+        try:
+            corpus = _bench_corpus()
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+    cold_start = None
+    if os.environ.get("RAPIDDOC_BENCH_COLDSTART") and not tpu_down:
+        # dress rehearsal: fresh-process first-compile budget, with and
+        # without the persistent XLA cache (slow — three subprocesses)
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+            from coldstart import rehearse
+
+            cold_start = rehearse()
+            with open("COLDSTART.json", "w") as f:
+                json.dump(cold_start, f, indent=1)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+    elif os.path.isfile("COLDSTART.json"):
+        # a previously recorded rehearsal stays in the bench record
+        with open("COLDSTART.json") as f:
+            cold_start = json.load(f)
+    ctc_head = None
+    if not TINY and not tpu_down:
+        try:
+            ctc_head = _bench_ctc_head()
+            print(f"[ctc_head] {ctc_head}", file=sys.stderr)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
     published = None
     if (
         not TINY
@@ -336,10 +587,27 @@ def main() -> None:
                 "value": round(pps, 3),
                 "unit": "pages/sec/chip",
                 "vs_baseline": vs,
+                # the denominator is torch-eager on ONE CPU core of this
+                # host (BASELINE_CPU.json meta), NOT the BASELINE.md
+                # "onnxruntime-CPU on v5e-8" gate — onnxruntime is not
+                # installable here (zero egress). Kept in-band so the
+                # ratio cannot be misread as that gate.
+                "baseline_kind": "torch-eager-cpu1",
+                "baseline_caveat": (
+                    "denominator = reference torch nets, eager, on this "
+                    "host's single CPU core; NOT onnxruntime-CPU. The "
+                    "BASELINE.md >=5x-vs-ORT-CPU gate is unmeasurable "
+                    "in this zero-egress environment."
+                ),
                 "stage_ms_per_page": {
                     k: round(v, 1) for k, v in (stages or {}).items()
                 },
                 "pages": pages,
+                "mfu": mfu,
+                "overlap": overlap,
+                **({"corpus": corpus} if corpus else {}),
+                **({"cold_start": cold_start} if cold_start else {}),
+                **({"ctc_head": ctc_head} if ctc_head else {}),
                 **({"published_dims": published} if published else {}),
                 "platform": jax.default_backend(),
                 **(

@@ -300,10 +300,15 @@ def _figure_block(img, draw, rng, x0, y, max_w, size):
 # ------------------------------------------------------------- page
 
 def render_layout_page(
-    rng: random.Random, size: int = 640, height: int | None = None
+    rng: random.Random, size: int = 640, height: int | None = None,
+    mix: tuple[float, float, float, float] = (0.38, 0.52, 0.68, 0.84),
 ) -> tuple[np.ndarray, list[tuple[int, int, int, int, int]]]:
     """A labeled page: (uint8 RGB (height or size) x size,
     [(class_id, x0,y0,x1,y1)]).
+
+    ``mix`` sets the cumulative block-type cut points
+    (paragraph, heading, figure, table; remainder = display formula) —
+    the bench uses this to build table-heavy / formula-dense fixtures.
 
     Block mix follows real document pages: optional page furniture
     (header/footer/page number), optional doc title, 1-2 columns of
@@ -368,12 +373,12 @@ def render_layout_page(
         y = y_start + rng.randint(0, 16)
         while y < h - 70:
             r = rng.random()
-            if r < 0.38:  # body paragraph
+            if r < mix[0]:  # body paragraph
                 box, y = _paragraph(draw, rng, x0_col, y, max_w, h)
                 if box:
                     gt.append((LABEL["text"], *box))
                 y += rng.randint(10, 28)
-            elif r < 0.52:  # section heading
+            elif r < mix[1]:  # section heading
                 box, y_after = _short_line(
                     draw, rng, x0_col, y, max_w, (14, 22), max_words=6
                 )
@@ -382,7 +387,7 @@ def render_layout_page(
                     y = y_after + rng.randint(8, 24)
                 else:
                     y += 20
-            elif r < 0.68:  # figure + caption
+            elif r < mix[2]:  # figure + caption
                 box = _figure_block(img, draw, rng, x0_col, y, max_w, h)
                 gt.append((LABEL["image"], *box))
                 y = box[3] + rng.randint(4, 10)
@@ -395,7 +400,7 @@ def render_layout_page(
                         gt.append((LABEL["figure_title"], *cap))
                         y = y_after
                 y += rng.randint(12, 30)
-            elif r < 0.84:  # table (occasionally 90-degree rotated, as
+            elif r < mix[3]:  # table (occasionally 90-degree rotated, as
                 # wide tables are printed sideways in portrait layouts)
                 if rng.random() < 0.12:
                     from .synth_table import render_table
