@@ -272,14 +272,18 @@ class RapidDoc:
         dpi = get_pdf_render_dpi()
         scale = dpi / 72.0
         window = max(1, self.pdf_pages_batch)
-        if self._window_auto and n_pages > 4:
+        if self._window_auto and n_pages > 16:
             # pipeline depth >= 3 windows lets render(N+1) and
-            # assembly(N-1) hide under device compute of window N;
-            # floor of 4 keeps det/layout batches full (DET_BUCKETS
-            # max batch 4)
+            # assembly(N-1) hide under device compute of window N.
+            # Floor of 16: smaller windows fragment device batches and
+            # multiply per-call dispatch overhead — measured 3.54 ->
+            # 1.70 pages/sec at window=4 on the 12-page bench, which
+            # costs far more than the host overlap wins. Short docs run
+            # as ONE window; the pipeline engages on long documents
+            # where per-window fixed costs amortize.
             import math as _math
 
-            window = min(window, max(4, _math.ceil(n_pages / 3)))
+            window = min(window, max(16, _math.ceil(n_pages / 3)))
 
         all_model_infos: list[dict] = []
         page_dims: list[tuple[float, float]] = []

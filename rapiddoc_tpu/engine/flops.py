@@ -96,14 +96,54 @@ def track_ar_extra(name: str, *, steps: float, batch: int,
         d["bytes"] += dec_param_bytes * extra_steps
 
 
+def _cost_dict(ca: Any) -> dict | None:
+    if isinstance(ca, (list, tuple)):  # older jax: one dict per computation
+        ca = ca[0] if ca else None
+    if not ca:
+        return None
+    return {
+        "flops": float(ca.get("flops", 0.0)),
+        "bytes": float(ca.get("bytes accessed", 0.0)),
+    }
+
+
+def register_compiled(name: str, sig: tuple, compiled: Any) -> None:
+    """Record the cost analysis of an already-AOT-compiled executable.
+
+    Preferred over :func:`track` when the caller compiles via
+    ``lower().compile()`` (JaxSession does): ``Lowered.cost_analysis()``
+    returns None on some backends (axon tunnels), while the COMPILED
+    executable's analysis is always available — and costs nothing extra,
+    the compile was happening anyway."""
+    key = (name, sig)
+    with _LOCK:
+        if key in _COSTS:
+            return
+    try:
+        cost = _cost_dict(compiled.cost_analysis())
+    except Exception:
+        cost = None
+    with _LOCK:
+        _COSTS[key] = cost
+        _PENDING.pop(key, None)
+
+
+def count(name: str, sig: tuple, steps: float = 1.0) -> None:
+    """Count one call against a cost recorded by register_compiled."""
+    with _LOCK:
+        _CALLS[(name, sig)] = _CALLS.get((name, sig), 0.0) + steps
+
+
 def _resolve(key: tuple) -> dict | None:
     jitted, aargs = _PENDING.pop(key)
     try:
-        ca = jitted.lower(*aargs).cost_analysis()
-        return {
-            "flops": float(ca.get("flops", 0.0)),
-            "bytes": float(ca.get("bytes accessed", 0.0)),
-        }
+        lowered = jitted.lower(*aargs)
+        cost = _cost_dict(lowered.cost_analysis())
+        if cost is None and jax.default_backend() == "cpu":
+            # lowered-only analysis unsupported: compile for real —
+            # affordable on CPU, never attempted through a device tunnel
+            cost = _cost_dict(lowered.compile().cost_analysis())
+        return cost
     except Exception:  # analysis is best-effort; never break the bench
         return None
 

@@ -261,8 +261,10 @@ class JaxSession:
 
     # ----------------------------------------------------------------- jit
 
-    def _get_compiled(self, batch: int, h: int, w: int, c: int) -> Callable:
-        key = (batch, h, w, c)
+    def _get_compiled(
+        self, batch: int, h: int, w: int, c: int, dtype
+    ) -> Callable:
+        key = (batch, h, w, c, str(dtype))
         fn = self._compiled.get(key)
         if fn is not None:
             return fn
@@ -302,6 +304,29 @@ class JaxSession:
                 "%s: compiling bucket batch=%d %dx%dx%d (compile #%d)",
                 self.name, batch, h, w, c, self.stats.compiles,
             )
+            # AOT-compile the bucket (shapes are static by construction):
+            # the compile was happening at first call anyway, and the
+            # COMPILED executable's cost_analysis works on every backend
+            # (Lowered.cost_analysis returns None through axon tunnels),
+            # which is what feeds the bench's MFU accounting
+            try:
+                aparams = jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                    self.params,
+                )
+                ax = jax.ShapeDtypeStruct((batch, h, w, c), dtype)
+                compiled = fn.lower(aparams, ax).compile()
+                from .flops import register_compiled
+
+                register_compiled(self.name, key, compiled)
+                fn = compiled
+            except Exception:
+                # tracing-based jit still works; only the accounting is
+                # degraded
+                logger.debug(
+                    "%s: AOT compile unavailable, using traced jit",
+                    self.name, exc_info=True,
+                )
             self._compiled[key] = fn
             return fn
 
@@ -334,13 +359,10 @@ class JaxSession:
         if nb != n:
             pad = np.zeros((nb - n, h, w, c), dtype=batch_nhwc.dtype)
             batch_nhwc = np.concatenate([batch_nhwc, pad], axis=0)
-        fn = self._get_compiled(nb, h, w, c)
-        from .flops import track
+        fn = self._get_compiled(nb, h, w, c, batch_nhwc.dtype)
+        from .flops import count
 
-        track(
-            self.name, fn, (self.params, batch_nhwc),
-            sig=(nb, h, w, c, str(batch_nhwc.dtype)),
-        )
+        count(self.name, (nb, h, w, c, str(batch_nhwc.dtype)))
         out = fn(self.params, jnp.asarray(batch_nhwc))
         self.stats.calls += 1
         self.stats.items += n

@@ -90,6 +90,6 @@ def test_misbucketed_batch_warns_not_silent(batch, caplog):
     with caplog.at_level(logging.WARNING, logger="rapiddoc_tpu.engine"):
         # force the non-divisible compiled bucket directly: dispatch pads
         # 5 -> 6 (bucket), 6 % 4 != 0
-        fn = sess._get_compiled(6, 4, 4, 3)
+        fn = sess._get_compiled(6, 4, 4, 3, "float32")
         assert fn is not None
     assert any("FALLING BACK" in r.message for r in caplog.records)
