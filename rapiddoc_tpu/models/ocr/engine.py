@@ -104,6 +104,12 @@ class TextDetector:
         # achromatic so det geometry is unchanged. RAPIDDOC_RGB_TRANSFER=1
         # restores 3-channel transfers (e.g. for color-sensitive corpora).
         self.gray_transfer = not os.environ.get("RAPIDDOC_RGB_TRANSFER")
+        # 4-bit luma wire (default; see TextRecognizer.nibble_wire).
+        # RAPIDDOC_DET_WIRE_BITS=8 restores full depth for faint scans.
+        self.nibble_wire = (
+            self.gray_transfer
+            and os.environ.get("RAPIDDOC_DET_WIRE_BITS", "4") == "4"
+        )
         thresh = self.post_params.thresh
 
         def det_apply(v, x):
@@ -133,12 +139,16 @@ class TextDetector:
             ).astype(jnp.uint8)
             return {"bits": packed, "prob8": prob_small}
 
+        from .pre_post import det_normalize_device_nibble
+
         self.session = JaxSession(
             det_apply,
             variables,
             bucket_spec,
             name="ocr_det",
-            preproc=det_normalize_device,
+            preproc=det_normalize_device_nibble
+            if self.nibble_wire
+            else det_normalize_device,
         )
 
     @classmethod
@@ -179,6 +189,10 @@ class TextDetector:
         pending = []
         for (bh, bw), idxs in groups.items():
             batch_imgs = [pad_image_to(prepped[i], bh, bw) for i in idxs]
+            if self.nibble_wire:
+                from .pre_post import pack_nibbles
+
+                batch_imgs = [pack_nibbles(b) for b in batch_imgs]
             handles = [
                 self.session.dispatch(np.stack(batch_imgs[j : j + max_b]))
                 for j in range(0, len(batch_imgs), max_b)
@@ -225,6 +239,10 @@ class TextDetector:
         pending = []
         for (bh, bw), idxs in groups.items():
             batch_imgs = [pad_image_to(prepped[i], bh, bw) for i in idxs]
+            if self.nibble_wire:
+                from .pre_post import pack_nibbles
+
+                batch_imgs = [pack_nibbles(b) for b in batch_imgs]
             handles = [
                 self.session.dispatch(np.stack(batch_imgs[j : j + max_b]))
                 for j in range(0, len(batch_imgs), max_b)
@@ -353,6 +371,14 @@ class TextRecognizer:
         self.drop_score = drop_score
         # luminance transfer (see TextDetector.gray_transfer)
         self.gray_transfer = not os.environ.get("RAPIDDOC_RGB_TRANSFER")
+        # 4-bit luma wire (default): two pixels per byte, unpacked and
+        # dequantized on device — rec is transfer-bound on a tunneled
+        # chip and text-line crops are near-binary. RAPIDDOC_REC_WIRE_BITS=8
+        # restores the full-depth wire (e.g. for faint-scan corpora).
+        self.nibble_wire = (
+            self.gray_transfer
+            and os.environ.get("RAPIDDOC_REC_WIRE_BITS", "4") == "4"
+        )
 
         def rec_apply(v, x):
             import os
@@ -372,12 +398,16 @@ class TextRecognizer:
             head = v["params"]["head"]
             return ctc_head_decode(seq, head["kernel"], head["bias"])
 
+        from .pre_post import rec_normalize_device_nibble
+
         self.session = JaxSession(
             rec_apply,
             variables,
             bucket_spec,
             name="ocr_rec",
-            preproc=rec_normalize_device,
+            preproc=rec_normalize_device_nibble
+            if self.nibble_wire
+            else rec_normalize_device,
         )
 
     @classmethod
@@ -417,6 +447,10 @@ class TextRecognizer:
                 batch = [rec_resize(crops[i], wb) for i in idxs]  # uint8
             if self.gray_transfer:
                 batch = [to_luma(b) for b in batch]
+            if self.nibble_wire:
+                from .pre_post import pack_nibbles
+
+                batch = [pack_nibbles(b) for b in batch]
             handles = [
                 self.session.dispatch(np.stack(batch[j : j + max_b]))
                 for j in range(0, len(batch), max_b)

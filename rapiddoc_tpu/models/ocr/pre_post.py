@@ -59,6 +59,20 @@ def det_normalize_device(x):
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
+def det_normalize_device_nibble(x):
+    """Device-side inverse of :func:`pack_nibbles` + det normalize:
+    (N, H, W/2, 1) uint8 -> (N, H, W, 3) ImageNet-normalized. Half the
+    det wire bytes of the luma path (see rec_normalize_device_nibble)."""
+    import jax.numpy as jnp
+
+    hi = x >> 4
+    lo = x & 15
+    n, h, w2, _ = x.shape
+    y = jnp.stack([hi, lo], axis=3).reshape(n, h, w2 * 2, 1) * 17
+    y = jnp.broadcast_to(y, (n, h, w2 * 2, 3)).astype(jnp.float32) / 255.0
+    return (y - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 def rec_normalize_device(x):
     """Device-side rec normalize: uint8 -> [-1, 1]; 1-channel batches
     broadcast to RGB in-graph (see det_normalize_device)."""
@@ -67,6 +81,32 @@ def rec_normalize_device(x):
     if x.shape[-1] == 1:
         x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
     return x.astype(jnp.float32) / 127.5 - 1.0
+
+
+def pack_nibbles(img: np.ndarray) -> np.ndarray:
+    """(H, W, 1) uint8 luma -> (H, W/2, 1) with two 4-bit pixels per
+    byte (even column in the high nibble). Text-line crops are
+    near-binary ink-on-paper; 16 gray levels lose nothing the CTC head
+    can see, and the wire — the rec stage's ceiling on a tunneled chip —
+    carries half the bytes. W is even for every rec bucket."""
+    q = img[..., 0] >> 4  # (H, W) in 0..15
+    if q.shape[1] % 2:
+        q = np.pad(q, ((0, 0), (0, 1)))
+    return ((q[:, 0::2] << 4) | q[:, 1::2])[..., None]
+
+
+def rec_normalize_device_nibble(x):
+    """Device-side inverse of :func:`pack_nibbles` + rec normalize:
+    (N, H, W/2, 1) uint8 -> (N, H, W, 3) in [-1, 1]. Nibble values scale
+    by 17 (15*17 = 255) so the dequantized range matches uint8."""
+    import jax.numpy as jnp
+
+    hi = x >> 4
+    lo = x & 15
+    n, h, w2, _ = x.shape
+    y = jnp.stack([hi, lo], axis=3).reshape(n, h, w2 * 2, 1) * 17
+    y = jnp.broadcast_to(y, (n, h, w2 * 2, 3))
+    return y.astype(jnp.float32) / 127.5 - 1.0
 
 
 def contrast_stretch(
