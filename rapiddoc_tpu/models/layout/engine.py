@@ -167,9 +167,28 @@ class LayoutDetector:
         )
         import jax.numpy as jnp
 
+        # 4-bit luma wire (default): layout geometry is achromatic and
+        # the wire is the layout stage's ceiling on a tunneled chip —
+        # 6x fewer bytes than RGB uint8. RAPIDDOC_LAYOUT_WIRE_BITS=8
+        # restores the RGB wire (e.g. color-dependent corpora).
+        import os as _os
+
+        self.nibble_wire = (
+            _os.environ.get("RAPIDDOC_LAYOUT_WIRE_BITS", "4") == "4"
+        )
+
+        def _preproc(x):
+            if self.nibble_wire:
+                hi = x >> 4
+                lo = x & 15
+                n, h, w2, _ = x.shape
+                y = jnp.stack([hi, lo], axis=3).reshape(n, h, w2 * 2, 1) * 17
+                x = jnp.broadcast_to(y, (n, h, w2 * 2, 3))
+            return x.astype(jnp.float32) / 255.0
+
         self.session = JaxSession(
             lambda v, x: self.model.apply(v, x), variables, spec, name="layout",
-            preproc=lambda x: x.astype(jnp.float32) / 255.0,
+            preproc=_preproc,
         )
 
     @classmethod
@@ -275,12 +294,15 @@ class LayoutDetector:
         if not images:
             return []
         size = self.config.input_size
-        batch = np.stack(
-            [
-                cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
-                for img in images
-            ]
-        )  # uint8; /255 happens on device
+        resized = [
+            cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+            for img in images
+        ]
+        if self.nibble_wire:
+            from ..ocr.pre_post import pack_nibbles, to_luma
+
+            resized = [pack_nibbles(to_luma(r)) for r in resized]
+        batch = np.stack(resized)  # uint8; unpack + /255 happen on device
         outs = self.session(batch)
         results = []
         for i, img in enumerate(images):
