@@ -202,3 +202,98 @@ def test_header_detection_with_rowspan_expansion():
     n = detect_header_rows(prev, pm, cur, cm)
     assert n == 2
     assert expand_header_by_rowspan(cur, 1) == 2
+
+
+# ---- round-4 reference-parity refinements ----------------------------------
+
+def test_rendered_segments_boundary_enables_merge_with_colspan_surgery():
+    # prev's last row is 2 visual segments (colspan 2 + 1) over a 3-col
+    # table; the continuation is a plain 2-col table. Effective (3 vs 2)
+    # and actual (3 vs 2) cols disagree, but rendered segments agree
+    # (2 == 2) -> merge, then colspan surgery widens the continuation
+    # rows to 3 columns by copying the boundary row's span structure.
+    a = table_block(
+        "<table><tbody>" + HEADER
+        + '<tr><td colspan="2">subtotal</td><td>9</td></tr></tbody></table>'
+    )
+    b = table_block(
+        "<table><tbody><tr><td>frob</td><td>10</td></tr>"
+        "<tr><td>knob</td><td>11</td></tr></tbody></table>"
+    )
+    pg = pages(a, b)
+    cross_page_table_merge(pg)
+    merged = html_of(a)
+    assert "frob" in merged and "knob" in merged
+    assert 'colspan="2">frob' in merged
+    assert 'colspan="2">knob' in merged
+    assert pg[1]["para_blocks"] == []
+
+
+def test_cell_merge_hint_partial_transfers_and_keeps_row():
+    a = table_block(T1)
+    b = table_block(
+        "<table><tbody><tr><td>sauce</td><td>3</td><td>4.0</td></tr>"
+        "<tr><td>fig</td><td>5</td><td>6.0</td></tr></tbody></table>"
+    )
+    b["cell_merge"] = [1, 0, 0]
+    pg = pages(a, b)
+    cross_page_table_merge(pg)
+    merged = html_of(a)
+    # continuation cell 0 content appended into prev last-row cell 0
+    assert "applesauce" in merged
+    # the source cell was cleared but its row (3 and 4.0) survives
+    assert merged.count("sauce") == 1
+    assert ">3<" in merged and ">4.0<" in merged
+
+
+def test_cell_merge_hint_full_row_is_dropped():
+    a = table_block(T1)
+    b = table_block(
+        "<table><tbody><tr><td>sauce</td><td>2</td><td>.5</td></tr>"
+        "<tr><td>fig</td><td>5</td><td>6.0</td></tr></tbody></table>"
+    )
+    b["cell_merge"] = [1, 1, 1]
+    pg = pages(a, b)
+    cross_page_table_merge(pg)
+    merged = html_of(a)
+    assert "applesauce" in merged and "12" in merged and "2.0.5" in merged
+    assert "fig" in merged
+    # the fully-absorbed row is gone: header + apple row + fig row only
+    assert merged.count("<tr>") == 3
+
+
+def test_post_table_caption_does_not_block_and_is_restored_as_text():
+    a = table_block(T1)
+    b = table_block(T2, bbox=(50, 100, 550, 300))
+    # a mis-attached caption BELOW the table body, no continuation marker
+    b["blocks"].append({
+        "type": BlockType.TABLE_CAPTION,
+        "bbox": [50, 320, 550, 340],
+        "lines": [{"bbox": [50, 320, 550, 340], "spans": [
+            {"type": ContentType.TEXT, "content": "4.2 Discussion",
+             "bbox": [50, 320, 550, 340]}]}],
+    })
+    pg = pages(a, b)
+    cross_page_table_merge(pg)
+    assert "pear" in html_of(a)  # merge went through
+    restored = pg[1]["para_blocks"]
+    assert len(restored) == 1 and restored[0]["type"] == BlockType.TEXT
+    texts = [
+        s.get("content")
+        for line in restored[0]["lines"] for s in line["spans"]
+    ]
+    assert "4.2 Discussion" in texts
+
+
+def test_inline_markup_in_continuation_cells_survives_merge():
+    a = table_block(T1)
+    b = table_block(
+        "<table><tbody>" + HEADER
+        + "<tr><td><b>pear</b></td><td>4</td>"
+        '<td><img src="chart.png"/></td></tr></tbody></table>'
+    )
+    pg = pages(a, b)
+    cross_page_table_merge(pg)
+    merged = html_of(a)
+    assert "<b>pear</b>" in merged
+    assert '<img src="chart.png"' in merged
