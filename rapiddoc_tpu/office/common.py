@@ -30,11 +30,14 @@ def q(tag: str) -> str:
 @dataclass
 class OfficeBlock:
     type: str  # text | title | table | image | equation | code
+    #           | header | footer | index
     text: str = ""
     html: str = ""
     image_name: str = ""
     level: int = 1
     page_idx: int = 0
+    items: list = field(default_factory=list)  # index (TOC) lines
+    anchor: str = ""  # bookmark id a TOC entry can link to (titles)
 
 
 @dataclass
@@ -47,10 +50,12 @@ class OfficeResult:
         if text and text.strip():
             self.blocks.append(OfficeBlock("text", text=text.strip(), page_idx=page))
 
-    def add_title(self, text: str, level: int = 1, page: int = 0) -> None:
+    def add_title(self, text: str, level: int = 1, page: int = 0,
+                  anchor: str = "") -> None:
         if text and text.strip():
             self.blocks.append(
-                OfficeBlock("title", text=text.strip(), level=level, page_idx=page)
+                OfficeBlock("title", text=text.strip(), level=level,
+                            page_idx=page, anchor=anchor)
             )
 
     def add_table(self, html: str, page: int = 0) -> None:
@@ -70,13 +75,39 @@ class OfficeResult:
         if latex and latex.strip():
             self.blocks.append(OfficeBlock("equation", text=latex.strip(), page_idx=page))
 
+    def add_header(self, text: str, page: int = 0) -> None:
+        """Page header text — discarded from markdown, carried in the
+        content list / middle json as a discarded block (reference:
+        office_magic_model.py:144 routes HEADER/FOOTER to
+        discarded_blocks; output_builders.py:449 keeps them in the
+        content list)."""
+        if text and text.strip():
+            self.blocks.append(OfficeBlock("header", text=text.strip(), page_idx=page))
+
+    def add_footer(self, text: str, page: int = 0) -> None:
+        if text and text.strip():
+            self.blocks.append(OfficeBlock("footer", text=text.strip(), page_idx=page))
+
+    def add_index(self, items: list[str], page: int = 0) -> None:
+        """A table-of-contents block: pre-rendered lines (indentation and
+        anchors applied by the converter). Rendered like the reference's
+        INDEX block (output_builders.py merge_index_to_markdown)."""
+        items = [it for it in items if it and it.strip()]
+        if items:
+            self.blocks.append(OfficeBlock("index", items=list(items), page_idx=page))
+
     # ------------------------------------------------------------- outputs
 
     def to_markdown(self) -> str:
         out = []
         for b in self.blocks:
             if b.type == "title":
-                out.append(f"{'#' * min(b.level, 4)} {b.text}")
+                head = f"{'#' * min(b.level, 4)} {b.text}"
+                # bookmark anchor so intra-document TOC links resolve
+                # (reference: mk_blocks_to_markdown anchor handling)
+                out.append(
+                    f'<a id="{b.anchor}"></a>\n{head}' if b.anchor else head
+                )
             elif b.type == "text":
                 out.append(b.text)
             elif b.type == "table":
@@ -85,6 +116,9 @@ class OfficeResult:
                 out.append(f"![]({b.image_name})")
             elif b.type == "equation":
                 out.append(f"$$\n{b.text}\n$$")
+            elif b.type == "index":
+                out.append("\n".join(b.items))
+            # header/footer: discarded from markdown (reference parity)
         return "\n\n".join(out)
 
     def _classify_captions(self) -> dict[int, str]:
@@ -207,6 +241,12 @@ class OfficeResult:
             elif b.type == "equation":
                 items.append({"type": ContentType.EQUATION, "text": b.text,
                               "text_format": "latex", "page_idx": b.page_idx})
+            elif b.type in ("header", "footer"):
+                items.append({"type": b.type, "text": b.text,
+                              "page_idx": b.page_idx})
+            elif b.type == "index":
+                items.append({"type": "index", "list_items": list(b.items),
+                              "page_idx": b.page_idx})
         return items
 
     def to_middle_json(self) -> dict:
@@ -216,11 +256,46 @@ class OfficeResult:
         pdf_info = []
         for page_idx in sorted(pages) if pages else [0]:
             blocks_json = []
+            discarded = []
             y = 0.0
             for b in pages.get(page_idx, []):
                 bbox = [0.0, y, 600.0, y + 20.0]
                 y += 24.0
-                if b.type in ("text", "title"):
+                if b.type in ("header", "footer"):
+                    discarded.append(
+                        {
+                            "type": BlockType.HEADER if b.type == "header"
+                            else BlockType.FOOTER,
+                            "bbox": bbox,
+                            "lines": [
+                                {
+                                    "bbox": bbox,
+                                    "spans": [
+                                        {"bbox": bbox, "type": ContentType.TEXT,
+                                         "content": b.text}
+                                    ],
+                                }
+                            ],
+                        }
+                    )
+                elif b.type == "index":
+                    blocks_json.append(
+                        {
+                            "type": BlockType.INDEX,
+                            "bbox": bbox,
+                            "lines": [
+                                {
+                                    "bbox": bbox,
+                                    "spans": [
+                                        {"bbox": bbox, "type": ContentType.TEXT,
+                                         "content": it}
+                                    ],
+                                }
+                                for it in b.items
+                            ],
+                        }
+                    )
+                elif b.type in ("text", "title"):
                     blocks_json.append(
                         {
                             "type": BlockType.TITLE if b.type == "title" else BlockType.TEXT,
@@ -306,7 +381,7 @@ class OfficeResult:
                     "para_blocks": blocks_json,
                     "page_idx": page_idx,
                     "page_size": [600.0, max(y, 800.0)],
-                    "discarded_blocks": [],
+                    "discarded_blocks": discarded,
                 }
             )
         return {

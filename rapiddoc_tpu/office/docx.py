@@ -44,22 +44,94 @@ def _load_rels(z: zipfile.ZipFile, part: str) -> dict[str, str]:
     return out
 
 
-def _style_headings(z: zipfile.ZipFile) -> dict[str, int]:
-    """styleId -> heading level from styles.xml."""
-    out: dict[str, int] = {}
+def _styles_root(z: zipfile.ZipFile):
     if "word/styles.xml" not in z.namelist():
-        return out
+        return None
     try:
-        root = ET.fromstring(z.read("word/styles.xml"))
+        return ET.fromstring(z.read("word/styles.xml"))
     except ET.ParseError:
+        return None
+
+
+def _style_headings(z: zipfile.ZipFile) -> dict[str, int]:
+    """styleId -> heading level from styles.xml: "Heading N"-named styles
+    first, then styles whose basedOn chain carries w:outlineLvl 0-8
+    (reference: docx_converter _get_heading_and_level +
+    _get_effective_outline_level — a custom style based on a heading, or
+    any style with an outline level, titles its paragraphs too)."""
+    out: dict[str, int] = {}
+    root = _styles_root(z)
+    if root is None:
         return out
+    by_id: dict[str, ET.Element] = {}
     for style in root.findall(q("w:style")):
         sid = style.get(q("w:styleId"))
+        if sid:
+            by_id[sid] = style
         name_el = style.find(q("w:name"))
         name = name_el.get(q("w:val")) if name_el is not None else ""
         m = _HEADING_RE.search(name or "") or _HEADING_RE.search(sid or "")
         if m and sid:
             out[sid] = int(m.group(1))
+    # outline-level fallback, following the basedOn chain (depth-capped)
+    for sid, style in by_id.items():
+        if sid in out:
+            continue
+        cur, seen = style, set()
+        while cur is not None and len(seen) < 8:
+            ppr = cur.find(q("w:pPr"))
+            lvl = ppr.find(q("w:outlineLvl")) if ppr is not None else None
+            if lvl is not None:
+                try:
+                    v = int(lvl.get(q("w:val"), "9"))
+                except ValueError:
+                    break
+                if 0 <= v <= 8:
+                    out[sid] = v + 1
+                break
+            based = cur.find(q("w:basedOn"))
+            parent = based.get(q("w:val")) if based is not None else None
+            if not parent or parent in seen:
+                break
+            seen.add(parent)
+            cur = by_id.get(parent)
+    return out
+
+
+def _char_styles(z: zipfile.ZipFile) -> dict[str, frozenset]:
+    """styleId -> inline style set for character styles, with basedOn
+    inheritance (reference: docx_converter
+    _resolve_run_bool_with_inheritance — a run styled via w:rStyle
+    "Strong" is bold even with no direct w:b)."""
+    root = _styles_root(z)
+    if root is None:
+        return {}
+    by_id: dict[str, ET.Element] = {}
+    for style in root.findall(q("w:style")):
+        sid = style.get(q("w:styleId"))
+        if sid and style.get(q("w:type")) == "character":
+            by_id[sid] = style
+    out: dict[str, frozenset] = {}
+
+    def resolve(sid: str, seen: frozenset) -> frozenset:
+        if sid in out:
+            return out[sid]
+        style = by_id.get(sid)
+        if style is None or sid in seen:
+            return frozenset()
+        rpr = style.find(q("w:rPr"))
+        s = set(_rpr_style(rpr)) if rpr is not None else set()
+        based = style.find(q("w:basedOn"))
+        if based is not None:
+            parent = based.get(q("w:val"))
+            if parent:
+                # direct flags win; inherit the rest
+                s |= set(resolve(parent, seen | {sid}))
+        out[sid] = frozenset(s)
+        return out[sid]
+
+    for sid in by_id:
+        resolve(sid, frozenset())
     return out
 
 
@@ -89,11 +161,10 @@ def _textbox_contents(el) -> list:
     return out
 
 
-def _run_style(r) -> frozenset:
-    """Inline style set of a run (reference: office_rich_text.py
-    formatting_to_style_str — bold/italic/underline/strikethrough/
-    super/subscript)."""
-    rpr = r.find(q("w:rPr"))
+def _rpr_style(rpr) -> frozenset:
+    """Inline style set from a w:rPr element (reference:
+    office_rich_text.py formatting_to_style_str — bold/italic/underline/
+    strikethrough/super/subscript)."""
     if rpr is None:
         return frozenset()
     s = set()
@@ -123,6 +194,45 @@ def _run_style(r) -> frozenset:
     return frozenset(s)
 
 
+def _run_style(r, char_styles: dict[str, frozenset] | None = None) -> frozenset:
+    """Inline style set of a run: direct w:rPr flags, inheriting from its
+    w:rStyle character style chain when present."""
+    rpr = r.find(q("w:rPr"))
+    direct = _rpr_style(rpr)
+    if char_styles and rpr is not None:
+        rstyle = rpr.find(q("w:rStyle"))
+        if rstyle is not None:
+            inherited = char_styles.get(rstyle.get(q("w:val")) or "")
+            if inherited:
+                # explicit off-toggles (w:b w:val="0") must beat the
+                # style: recompute direct "off" flags
+                off = set()
+                for tag, key in (("w:b", "bold"), ("w:i", "italic"),
+                                 ("w:strike", "strikethrough")):
+                    el = rpr.find(q(tag))
+                    if el is not None and el.get(q("w:val"), "1") in (
+                        "0", "false", "none"
+                    ):
+                        off.add(key)
+                return frozenset((set(inherited) | set(direct)) - off)
+    return direct
+
+
+def _is_hidden_run(r) -> bool:
+    """w:vanish / w:webHidden runs render nowhere (reference:
+    docx_converter._is_hidden_run:377-391)."""
+    rpr = r.find(q("w:rPr"))
+    if rpr is None:
+        return False
+    for tag in ("w:vanish", "w:webHidden"):
+        el = rpr.find(q(tag))
+        if el is not None and el.get(q("w:val"), "1") not in (
+            "0", "false", "none"
+        ):
+            return True
+    return False
+
+
 def _wrap_style(text: str, style: frozenset) -> str:
     """Render one styled segment as markdown (shared helper; reference
     inline_renderer.py wrapper mapping)."""
@@ -132,7 +242,8 @@ def _wrap_style(text: str, style: frozenset) -> str:
 
 
 def _para_text(
-    p, rels: dict[str, str], rich: bool = False, math: bool = True
+    p, rels: dict[str, str], rich: bool = False, math: bool = True,
+    char_styles: dict[str, frozenset] | None = None,
 ) -> str:
     """Concatenate run text, tabs, breaks and hyperlinks of a paragraph.
     With rich=True, adjacent same-style runs merge and render with
@@ -158,7 +269,9 @@ def _para_text(
         for child in el:
             tag = child.tag
             if tag == q("w:r"):
-                style = _run_style(child) if rich else frozenset()
+                if _is_hidden_run(child):
+                    continue
+                style = _run_style(child, char_styles) if rich else frozenset()
                 if style != buf_style[0]:
                     flush_buf()
                     buf_style[0] = style
@@ -183,19 +296,26 @@ def _para_text(
                 # mc:Choice content and must be skipped to avoid doubles
                 for txbx in _textbox_contents(child):
                     for inner_p in txbx.findall(q("w:p")):
-                        inner = _para_text(inner_p, rels, rich=rich)
+                        inner = _para_text(
+                            inner_p, rels, rich=rich, char_styles=char_styles
+                        )
                         if inner.strip():
                             flush_buf()
                             parts.append(inner.strip() + "\n")
             elif tag == q("w:hyperlink"):
                 flush_buf()
                 rid = child.get(q("r:id"))
+                anchor = child.get(q("w:anchor"))
                 text_before = len(parts)
                 walk_runs(child)
                 flush_buf()
                 link_text = "".join(parts[text_before:])
                 del parts[text_before:]
                 href = rels.get(rid, "")
+                if not href and anchor:
+                    # internal bookmark target (a TOC entry points at its
+                    # heading's _Toc anchor)
+                    href = f"#{anchor}"
                 if href and link_text:
                     parts.append(f"[{link_text}]({href})")
                 else:
@@ -549,6 +669,101 @@ def _para_page_break(p, has_content: bool) -> bool:
     return True
 
 
+_TOC_STYLE_RE = re.compile(r"^(?:toc|contents)\s*(\d)", re.I)
+
+
+def _toc_styles(z: zipfile.ZipFile) -> dict[str, int]:
+    """styleId -> 0-based TOC entry level ("TOC1"/"toc 1" -> 0)."""
+    out: dict[str, int] = {}
+    root = _styles_root(z)
+    if root is None:
+        return out
+    for style in root.findall(q("w:style")):
+        sid = style.get(q("w:styleId"))
+        name_el = style.find(q("w:name"))
+        name = name_el.get(q("w:val")) if name_el is not None else ""
+        m = _TOC_STYLE_RE.match(name or "") or _TOC_STYLE_RE.match(sid or "")
+        if m and sid:
+            out[sid] = max(0, int(m.group(1)) - 1)
+    return out
+
+
+def _toc_sdt_para_ids(body) -> set[int]:
+    """ids of paragraphs living inside a Table-of-Contents w:sdt
+    (reference: docx_converter._is_toc_sdt:2890-2942 — the sdtPr
+    docPartGallery/docPartObj marks the gallery)."""
+    ids: set[int] = set()
+    for sdt in body.iter(q("w:sdt")):
+        pr = sdt.find(q("w:sdtPr"))
+        if pr is None:
+            continue
+        obj = pr.find(q("w:docPartObj"))
+        gallery = obj.find(q("w:docPartGallery")) if obj is not None else None
+        val = gallery.get(q("w:val")) if gallery is not None else ""
+        if val and "table of contents" in val.lower():
+            for p in sdt.iter(q("w:p")):
+                ids.add(id(p))
+    return ids
+
+
+def _is_toc_entry(p, style: str | None, toc_styles: dict[str, int],
+                  toc_ids: set[int]) -> int | None:
+    """-> 0-based TOC level when this paragraph is a TOC entry, else None.
+    A TOC-styled paragraph anywhere counts; inside a TOC sdt, an internal
+    anchor hyperlink marks an entry even without the style (reference:
+    _handle_plain_toc_paragraph_as_index + _handle_sdt_as_index)."""
+    if style and style in toc_styles:
+        return toc_styles[style]
+    if id(p) in toc_ids:
+        for link in p.iter(q("w:hyperlink")):
+            if link.get(q("w:anchor")):
+                return 0
+    return None
+
+
+def _para_bookmark(p) -> str:
+    """First _Toc bookmark on the paragraph — the anchor a TOC entry's
+    hyperlink targets (reference: _extract_paragraph_bookmark)."""
+    for bm in p.iter(q("w:bookmarkStart")):
+        name = bm.get(q("w:name")) or ""
+        if name.startswith("_Toc"):
+            return name
+    return ""
+
+
+def _emit_header_footer(
+    z: zipfile.ZipFile, sect, doc_rels: dict[str, str],
+    seen: set, result, page: int,
+) -> None:
+    """Resolve headerReference/footerReference parts of a section and emit
+    deduped header/footer blocks, skipping empty and digit-only (page
+    number) content (reference: docx_converter._add_header_footer)."""
+    for tag, kind in ((q("w:headerReference"), "header"),
+                      (q("w:footerReference"), "footer")):
+        for ref in sect.findall(tag):
+            target = doc_rels.get(ref.get(q("r:id")))
+            if not target or target not in z.namelist():
+                continue
+            try:
+                root = ET.fromstring(z.read(target))
+            except ET.ParseError:
+                continue
+            part_rels = _load_rels(z, target)
+            parts = []
+            for p in root.iter(q("w:p")):
+                t = _para_text(p, part_rels).strip()
+                if t:
+                    parts.append(t)
+            text = " ".join(parts)
+            if not text or text.isdigit() or (kind, text) in seen:
+                continue
+            seen.add((kind, text))
+            if kind == "header":
+                result.add_header(text, page=page)
+            else:
+                result.add_footer(text, page=page)
+
+
 def _iter_body(parent):
     """Body children, transparently descending into w:sdt content
     wrappers (a TOC field lives inside one; skipping the sdt would drop
@@ -569,6 +784,8 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
             raise ValueError("invalid docx: no word/document.xml")
         rels = _load_rels(z, "word/document.xml")
         headings = _style_headings(z)
+        char_styles = _char_styles(z)
+        toc_styles = _toc_styles(z)
         numbering = _NumberingState(_load_numbering(z))
         footnotes = _load_notes(z, "word/footnotes.xml", "w:footnote")
         endnotes = _load_notes(z, "word/endnotes.xml", "w:endnote")
@@ -577,7 +794,10 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
         body = root.find(q("w:body"))
         if body is None:
             return result
+        toc_ids = _toc_sdt_para_ids(body)
+        hf_seen: set = set()
         pending_list: list[str] = []
+        pending_index: list[str] = []
         page = 0
 
         def flush_list():
@@ -585,10 +805,36 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                 result.add_text("\n".join(pending_list), page=page)
                 pending_list.clear()
 
+        def flush_index():
+            if pending_index:
+                result.add_index(list(pending_index), page=page)
+                pending_index.clear()
+
         for el in _iter_body(body):
             if el.tag == q("w:p"):
+                ppr_early = el.find(q("w:pPr"))
+                sect_early = (
+                    ppr_early.find(q("w:sectPr"))
+                    if ppr_early is not None else None
+                )
+                if sect_early is not None:
+                    _emit_header_footer(z, sect_early, rels, hf_seen,
+                                        result, page)
+                style_early = None
+                if ppr_early is not None:
+                    ps_early = ppr_early.find(q("w:pStyle"))
+                    if ps_early is not None:
+                        style_early = ps_early.get(q("w:val"))
+                toc_level = _is_toc_entry(el, style_early, toc_styles, toc_ids)
+                if toc_level is not None:
+                    entry = _para_text(el, rels).replace("\t", " ").strip()
+                    if entry:
+                        flush_list()
+                        pending_index.append(f"{'    ' * toc_level}{entry}")
+                    continue
+                flush_index()  # any non-TOC paragraph closes the index
                 maths = _para_math(el)
-                text = _para_text(el, rels, rich=True)
+                text = _para_text(el, rels, rich=True, char_styles=char_styles)
                 images = _para_images(el, rels, z)
                 # a picture-only paragraph IS content (reference
                 # _is_layout_only_section_break checks picture_xpath_expr)
@@ -634,7 +880,8 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                     flush_list()
                     # titles carry their own # prefix: keep them plain
                     result.add_title(
-                        _para_text(el, rels) + note_suffix, level, page=page
+                        _para_text(el, rels) + note_suffix, level, page=page,
+                        anchor=_para_bookmark(el),
                     )
                 elif _is_list_para(el) and text.strip():
                     npr = _num_pr(el)
@@ -663,10 +910,16 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                     page += 1
             elif el.tag == q("w:tbl"):
                 flush_list()
+                flush_index()
                 result.add_table(
                     _table_to_html(el, rels, z, result.images), page=page
                 )
         flush_list()
+        flush_index()
+        # the body-level sectPr carries the final section's header/footer
+        body_sect = body.find(q("w:sectPr"))
+        if body_sect is not None:
+            _emit_header_footer(z, body_sect, rels, hf_seen, result, page)
         for i, (kind, nid) in enumerate(used_notes, 1):
             notes = footnotes if kind == "footnote" else endnotes
             result.add_text(f"[^{i}]: {notes[nid]}", page=page)
