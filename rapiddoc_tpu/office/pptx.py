@@ -82,11 +82,111 @@ def _wrap_run_style(text: str, rpr) -> str:
     return wrap_inline_style(text, styles)
 
 
+def _sz_pt(rpr) -> float | None:
+    """a:rPr/@sz is in hundredths of a point."""
+    if rpr is None:
+        return None
+    sz = rpr.get("sz")
+    if not sz:
+        return None
+    try:
+        return int(sz) / 100.0
+    except ValueError:
+        return None
+
+
+def _bold_of(rpr) -> bool | None:
+    if rpr is None:
+        return None
+    b = rpr.get("b")
+    if b is None:
+        return None
+    return b in ("1", "true")
+
+
+def _para_font_sources(para, txbody) -> list:
+    """rPr-like elements consulted after the run's own rPr: paragraph
+    defRPr, then the txBody lstStyle level defRPr (reference:
+    pptx_converter.py:1296-1368 _get_font_sources_from_* — the
+    layout/master chain is approximated by the in-shape sources)."""
+    sources = []
+    ppr = para.find(f"{{{A}}}pPr")
+    lvl = int(ppr.get("lvl", "0")) if ppr is not None else 0
+    if ppr is not None:
+        dpr = ppr.find(f"{{{A}}}defRPr")
+        if dpr is not None:
+            sources.append(dpr)
+    lst = txbody.find(f"{{{A}}}lstStyle") if txbody is not None else None
+    if lst is not None:
+        lvl_ppr = lst.find(f"{{{A}}}lvl{lvl + 1}pPr")
+        if lvl_ppr is not None:
+            dpr = lvl_ppr.find(f"{{{A}}}defRPr")
+            if dpr is not None:
+                sources.append(dpr)
+    end = para.find(f"{{{A}}}endParaRPr")
+    if end is not None:
+        sources.append(end)
+    return sources
+
+
+def _shape_style_profile(sp) -> dict:
+    """(max effective font size, all-runs-bold) over the shape's
+    non-whitespace runs (reference: _build_paragraph_style_profile
+    pptx_converter.py:1454-1489), used for bold-size title promotion."""
+    txbody = sp.find(f"{{{P}}}txBody")
+    if txbody is None:
+        txbody = sp.find(f"{{{A}}}txBody")
+    size: float | None = None
+    all_bold = True
+    has_text = False
+    if txbody is not None:
+        for para in txbody.findall(f"{{{A}}}p"):
+            sources = _para_font_sources(para, txbody)
+            for r in para.findall(f"{{{A}}}r"):
+                t = r.find(f"{{{A}}}t")
+                if t is None or not (t.text or "").strip():
+                    continue
+                has_text = True
+                rpr = r.find(f"{{{A}}}rPr")
+                for src in (rpr, *sources):
+                    s = _sz_pt(src)
+                    if s is not None:
+                        size = s if size is None else max(size, s)
+                        break
+                bold = None
+                for src in (rpr, *sources):
+                    bold = _bold_of(src)
+                    if bold is not None:
+                        break
+                if bold is not True:
+                    all_bold = False
+    return {"font_size_pt": size, "all_bold": has_text and all_bold}
+
+
+def _lststyle_bullet(txbody, lvl: int):
+    """Fallback bullet definition from the shape's own lstStyle level
+    (a deck whose bullets live in the text-body list style, not on each
+    paragraph)."""
+    lst = txbody.find(f"{{{A}}}lstStyle") if txbody is not None else None
+    if lst is None:
+        return None, None, None
+    lvl_ppr = lst.find(f"{{{A}}}lvl{lvl + 1}pPr")
+    if lvl_ppr is None:
+        return None, None, None
+    return (
+        lvl_ppr.find(f"{{{A}}}buChar"),
+        lvl_ppr.find(f"{{{A}}}buAutoNum"),
+        lvl_ppr.find(f"{{{A}}}buNone"),
+    )
+
+
 def _shape_text(sp, rels: dict | None = None) -> list[str]:
     """Paragraph texts of a shape: runs joined (hyperlinks become
     markdown links via `rels`), `a:br` as newline, bullet paragraphs
     (`a:buChar`/`a:buAutoNum`, reference pptx_converter.py:1508-1560)
-    prefixed as markdown list items with `a:pPr lvl` indentation."""
+    prefixed as markdown list items with `a:pPr lvl` indentation; when a
+    paragraph has no explicit bullet, the txBody lstStyle level bullet
+    applies (reference: _parse_bullet_from_text_body_list_style:2143)."""
     out = []
     txbody = sp.find(f"{{{P}}}txBody")
     if txbody is None:
@@ -156,6 +256,8 @@ def _shape_text(sp, rels: dict | None = None) -> list[str]:
         bu_char = ppr.find(f"{{{A}}}buChar") if ppr is not None else None
         bu_auto = ppr.find(f"{{{A}}}buAutoNum") if ppr is not None else None
         bu_none = ppr.find(f"{{{A}}}buNone") if ppr is not None else None
+        if bu_char is None and bu_auto is None and bu_none is None:
+            bu_char, bu_auto, bu_none = _lststyle_bullet(txbody, lvl)
         if bu_auto is not None and bu_none is None:
             auto_counters[lvl] = auto_counters.get(lvl, 0) + 1
             for deeper in [k for k in auto_counters if k > lvl]:
@@ -294,19 +396,19 @@ def _collect_shapes(tree, z, rels, tf) -> list[tuple]:
                 continue
             y, x, w, h = _place(el)
             kind = "title" if _is_title(el) else "text"
-            items.append((y, x, w, h, kind, texts))
+            items.append((y, x, w, h, kind, texts, _shape_style_profile(el)))
         elif el.tag == f"{{{P}}}graphicFrame":
             y, x, w, h = _place(el)
             tbl = el.find(f".//{{{A}}}tbl")
             if tbl is not None:
-                items.append((y, x, w, h, "table", _table_to_html(tbl)))
+                items.append((y, x, w, h, "table", _table_to_html(tbl), None))
             else:
                 from .chart import chart_part_to_html, find_chart_refs
 
                 for chart_path in find_chart_refs(el, rels):
                     html = chart_part_to_html(z, chart_path)
                     if html:
-                        items.append((y, x, w, h, "table", html))
+                        items.append((y, x, w, h, "table", html, None))
         elif el.tag == f"{{{P}}}pic":
             y, x, w, h = _place(el)
             blip = el.find(f".//{{{A}}}blip")
@@ -316,19 +418,154 @@ def _collect_shapes(tree, z, rels, tf) -> list[tuple]:
                 if target and target in z.namelist():
                     items.append(
                         (y, x, w, h, "image",
-                         (os.path.basename(target), z.read(target)))
+                         (os.path.basename(target), z.read(target)), None)
                     )
     return items
+
+
+# decorative-picture thresholds (reference: pptx_converter.py:38-40)
+_MIN_PIC_DIM_RATIO = 0.1
+_MIN_PIC_AREA_RATIO = 0.01
+_BG_PIC_TEXT_COVERAGE = 0.1
+
+
+def _filter_pictures(items: list[tuple], sw: int, sh: int) -> list[tuple]:
+    """Drop decorative pictures: tiny ones (below 10% of a slide
+    dimension or 1% of its area) and background pictures whose box is
+    covered >=10% by text shapes drawn ABOVE them in z-order
+    (reference: _should_skip_picture pptx_converter.py:470-546)."""
+    if sw <= 0 or sh <= 0:
+        return items
+    out = []
+    for i, it in enumerate(items):
+        y, x, w, h, kind = it[:5]
+        if kind != "image" or w <= 0 or h <= 0:
+            out.append(it)
+            continue
+        if (
+            w < _MIN_PIC_DIM_RATIO * sw
+            or h < _MIN_PIC_DIM_RATIO * sh
+            or (w * h) / float(sw * sh) < _MIN_PIC_AREA_RATIO
+        ):
+            continue
+        # union area of text-shape overlaps from later (on-top) shapes
+        overlaps = []
+        for jt in items[i + 1 :]:
+            jy, jx, jw, jh, jkind = jt[:5]
+            if jkind not in ("text", "title") or jw <= 0 or jh <= 0:
+                continue
+            ox0, oy0 = max(x, jx), max(y, jy)
+            ox1, oy1 = min(x + w, jx + jw), min(y + h, jy + jh)
+            if ox1 > ox0 and oy1 > oy0:
+                overlaps.append((ox0, oy0, ox1, oy1))
+        if overlaps:
+            covered = _union_area(overlaps)
+            if covered / float(w * h) >= _BG_PIC_TEXT_COVERAGE:
+                continue
+        out.append(it)
+    return out
+
+
+def _union_area(rects: list[tuple]) -> float:
+    """Union area of axis-aligned rectangles by x-sweep with interval
+    merge (reference: _rectangles_union_area pptx_converter.py:406)."""
+    xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+    total = 0.0
+    for x0, x1 in zip(xs, xs[1:]):
+        if x1 <= x0:
+            continue
+        spans = sorted(
+            (r[1], r[3]) for r in rects if r[0] <= x0 and r[2] >= x1
+        )
+        covered = 0.0
+        cur0 = cur1 = None
+        for s0, s1 in spans:
+            if cur1 is None or s0 > cur1:
+                if cur1 is not None:
+                    covered += cur1 - cur0
+                cur0, cur1 = s0, s1
+            else:
+                cur1 = max(cur1, s1)
+        if cur1 is not None:
+            covered += cur1 - cur0
+        total += covered * (x1 - x0)
+    return total
+
+
+def _promote_bold_titles(emitted: list[dict]) -> None:
+    """Bold-size title promotion over one slide's text blocks
+    (reference: _promote_slide_text_blocks_to_titles
+    pptx_converter.py:1706-1824): the unique largest all-bold block at
+    >= body+4pt becomes a level-2 title; then the largest remaining
+    all-bold size >= body+2 and <= level2-2 becomes level-3 titles."""
+    sizes = [
+        b["profile"]["font_size_pt"]
+        for b in emitted
+        if b["kind"] == "text" and b["profile"]
+        and b["profile"]["font_size_pt"] is not None
+        and not b["profile"]["all_bold"]
+    ]
+    body = max(set(sizes), key=sizes.count) if sizes else None
+    bold_blocks = [
+        b for b in emitted
+        if b["kind"] == "text" and b["profile"]
+        and b["profile"]["all_bold"]
+        and b["profile"]["font_size_pt"] is not None
+    ]
+    if not bold_blocks:
+        return
+    level2_size = max(b["profile"]["font_size_pt"] for b in bold_blocks)
+    l2 = [b for b in bold_blocks if b["profile"]["font_size_pt"] == level2_size]
+    if len(l2) != 1:
+        return
+    if body is not None and level2_size < body + 4:
+        return
+
+    def _entitle(b: dict, level: int) -> None:
+        b["kind"] = "title"
+        b["level"] = level
+        # the heading prefix carries the emphasis; bold markers would
+        # render as "## **x**"
+        b["payload"] = [t.replace("**", "") for t in b["payload"]]
+
+    _entitle(l2[0], 2)
+    if body is None:
+        return
+    l3_sizes = sorted(
+        {
+            b["profile"]["font_size_pt"]
+            for b in bold_blocks
+            if b["kind"] == "text"
+            and b["profile"]["font_size_pt"] < level2_size
+        },
+        reverse=True,
+    )
+    if not l3_sizes:
+        return
+    level3_size = l3_sizes[0]
+    if level3_size < body + 2 or level2_size < level3_size + 2:
+        return
+    for b in bold_blocks:
+        if b["kind"] == "text" and b["profile"]["font_size_pt"] == level3_size:
+            _entitle(b, 3)
 
 
 def pptx_to_blocks(data: bytes) -> OfficeResult:
     result = OfficeResult()
     with zipfile.ZipFile(io.BytesIO(data)) as z:
-        # slide order from presentation.xml + its rels
+        # slide order + slide dimensions from presentation.xml + its rels
         slides: list[str] = []
+        slide_w = slide_h = 0
         if "ppt/presentation.xml" in z.namelist():
             pres_rels = _load_rels(z, "ppt/presentation.xml")
             root = ET.fromstring(z.read("ppt/presentation.xml"))
+            sldsz = root.find(f"{{{P}}}sldSz")
+            if sldsz is not None:
+                try:
+                    slide_w = int(sldsz.get("cx", "0"))
+                    slide_h = int(sldsz.get("cy", "0"))
+                except ValueError:
+                    pass
             for sld in root.iter(f"{{{P}}}sldId"):
                 rid = sld.get(q("r:id"))
                 target = pres_rels.get(rid)
@@ -355,13 +592,28 @@ def pptx_to_blocks(data: bytes) -> OfficeResult:
             if tree is None:
                 continue
             items = _collect_shapes(tree, z, rels, _IDENTITY)
+            items = _filter_pictures(items, slide_w, slide_h)
             items = _sort_shapes(items)
             notes = _slide_notes(z, slide_path, rels)
-            for _, _, _, _, kind, payload in items:
+            emitted = [
+                {"kind": it[4], "payload": it[5], "profile": it[6],
+                 "level": 1}
+                for it in items
+            ]
+            _promote_bold_titles(emitted)
+            for b in emitted:
+                kind, payload = b["kind"], b["payload"]
                 if kind == "title":
-                    result.add_title(payload[0], level=1, page=page_idx)
-                    for extra in payload[1:]:
-                        result.add_text(extra, page=page_idx)
+                    if isinstance(payload, list):
+                        result.add_title(
+                            payload[0], level=b["level"], page=page_idx
+                        )
+                        for extra in payload[1:]:
+                            result.add_text(extra, page=page_idx)
+                    else:
+                        result.add_title(
+                            payload, level=b["level"], page=page_idx
+                        )
                 elif kind == "text":
                     result.add_text("\n".join(payload), page=page_idx)
                 elif kind == "table":
