@@ -8,6 +8,7 @@ sheet name as a title.
 from __future__ import annotations
 
 import io
+import os
 import re
 import zipfile
 from xml.etree import ElementTree as ET
@@ -256,6 +257,111 @@ def _cell_value(
         return text, None
 
 
+# auto gap-tolerance selection (reference: xlsx_converter.py:33-35 +
+# _select_best_gap_candidate:931-977)
+_GAP_CANDIDATES = (0, 1, 2)
+_GAP_PREFERENCE = {1: 0, 0: 1, 2: 2}
+_GAP_PREFERENCE_MARGIN = 0.15
+
+
+def _candidate_summary(
+    islands: list[tuple[int, int, int, int]], occupied: set[tuple[int, int]]
+) -> dict:
+    """Segmentation-quality features of one gap-tolerance candidate
+    (reference: _summarize_candidate_tables:875-929)."""
+    import collections
+
+    n = len(islands)
+    singletons = severe = sparse_large = 0
+    total_area = 0
+    blank_num = 0.0
+    blank_lines = possible_lines = 0
+    row_cover: collections.Counter = collections.Counter()
+    for r0, c0, r1, c1 in islands:
+        nrows, ncols = r1 - r0 + 1, c1 - c0 + 1
+        area = nrows * ncols
+        content = sum(
+            1 for (r, c) in occupied if r0 <= r <= r1 and c0 <= c <= c1
+        )
+        blank_ratio = 1.0 - content / max(area, 1)
+        int_rows = [
+            not any((r, c) in occupied for c in range(c0, c1 + 1))
+            for r in range(r0 + 1, r1)
+        ] if nrows > 2 else []
+        int_cols = [
+            not any((r, c) in occupied for r in range(r0, r1 + 1))
+            for c in range(c0 + 1, c1)
+        ] if ncols > 2 else []
+
+        def _max_run(flags):
+            best = cur = 0
+            for f in flags:
+                cur = cur + 1 if f else 0
+                best = max(best, cur)
+            return best
+
+        total_area += area
+        blank_num += area * blank_ratio
+        blank_lines += sum(int_rows) + sum(int_cols)
+        possible_lines += max(nrows - 2, 0) + max(ncols - 2, 0)
+        for r in range(r0, r1 + 1):
+            row_cover[r] += 1
+        if nrows == 1 and ncols == 1:
+            singletons += 1
+        if area >= 6 and blank_ratio > 0.35:
+            sparse_large += 1
+        if max(_max_run(int_rows), _max_run(int_cols)) >= 2:
+            severe += 1
+    overlap_excess = sum(
+        max(0, cnt - 1) for cnt in row_cover.values()
+    ) / max(len(row_cover), 1)
+    return {
+        "singleton_ratio": singletons / max(n, 1),
+        "weighted_blank_ratio": blank_num / max(total_area, 1),
+        "interior_blank_line_ratio": blank_lines / max(possible_lines, 1),
+        "sparse_large_ratio": sparse_large / max(n, 1),
+        "severe_separator_count": severe,
+        "row_overlap_excess_ratio": overlap_excess,
+    }
+
+
+def _select_islands(
+    occupied: set[tuple[int, int]]
+) -> list[tuple[int, int, int, int]]:
+    """Try gap tolerances 0/1/2 and keep the segmentation with the
+    lowest penalty, preferring gap 1 among near-ties (reference:
+    _select_best_gap_candidate:931-977 with the same weights)."""
+    candidates = []
+    for gap in _GAP_CANDIDATES:
+        islands = _data_islands(occupied, gap)
+        s = _candidate_summary(islands, occupied)
+        penalty = (
+            6.0 * s["severe_separator_count"]
+            + 2.5 * s["interior_blank_line_ratio"]
+            + 1.5 * s["sparse_large_ratio"]
+            + 1.0 * s["singleton_ratio"]
+            + 0.5 * s["weighted_blank_ratio"]
+            + 1.0 * s["row_overlap_excess_ratio"]
+        )
+        candidates.append({"gap": gap, "penalty": penalty,
+                           "islands": islands, **s})
+    min_pen = min(c["penalty"] for c in candidates)
+    near = [
+        c for c in candidates
+        if c["penalty"] <= min_pen + _GAP_PREFERENCE_MARGIN
+    ]
+    best = min(
+        near,
+        key=lambda c: (
+            c["severe_separator_count"],
+            _GAP_PREFERENCE[c["gap"]],
+            c["interior_blank_line_ratio"],
+            c["penalty"],
+        ),
+    )
+    return best["islands"]
+
+
 def _data_islands(
     occupied: set[tuple[int, int]], gap: int = 1
 ) -> list[tuple[int, int, int, int]]:
@@ -290,12 +396,13 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list,
                    styles: list[str] | None = None,
                    xf_fonts: list[tuple[bool, bool]] | None = None,
                    date1904: bool = False) -> list[str]:
-    """Sheet XML -> one HTML table per compact data island, trimmed to
-    its true bounds (reference: xlsx_converter.py _find_data_tables —
-    flood-fill islands with gap tolerance instead of emitting the whole
-    used range with its empty margin rows/columns). Cells keep inline
-    rich-text styling, cell-level bold/italic fonts and hyperlinks as
-    HTML (reference: _cell_value_to_html/_apply_inline_font_tags)."""
+    """Sheet XML -> ("table"|"text", payload) blocks: one HTML table per
+    compact data island, trimmed to its true bounds, with the gap
+    tolerance auto-selected per sheet and lone unmerged cells demoted to
+    prose (reference: xlsx_converter.py _find_data_tables /
+    _select_best_gap_candidate / _can_render_singleton_as_text). Cells
+    keep inline rich-text styling, cell-level bold/italic fonts and
+    hyperlinks as HTML (reference: _cell_value_to_html)."""
     root = ET.fromstring(z.read(path))
     data = root.find(f"{{{S}}}sheetData")
     if data is None:
@@ -361,8 +468,19 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list,
                         # a valued merge range is one solid blob for
                         # island connectivity
                         occupied.add((rr, cc))
-    tables = []
-    for ir0, ic0, ir1, ic1 in _data_islands(occupied):
+    blocks: list[tuple[str, str]] = []  # ("table"|"text", payload)
+    for ir0, ic0, ir1, ic1 in _select_islands(occupied):
+        # a lone 1x1 unmerged cell is prose, not a table (reference:
+        # _can_render_singleton_as_text:743-754)
+        if (
+            ir0 == ir1 and ic0 == ic1
+            and (ir0, ic0) not in merges
+            and (ir0, ic0) in grid
+        ):
+            val, html = grid[(ir0, ic0)]
+            if html is None and (ir0, ic0) not in links:
+                blocks.append(("text", val))
+                continue
         rows_html = []
         for r in range(ir0, ir1 + 1):
             cells = []
@@ -385,8 +503,8 @@ def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list,
                     content = f'<a href="{esc(href)}">{content}</a>'
                 cells.append(f"<td{attrs}>{content}</td>")
             rows_html.append("<tr>" + "".join(cells) + "</tr>")
-        tables.append("<table>" + "".join(rows_html) + "</table>")
-    return tables
+        blocks.append(("table", "<table>" + "".join(rows_html) + "</table>"))
+    return blocks
 
 
 def xlsx_to_blocks(data: bytes) -> OfficeResult:
@@ -406,8 +524,18 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
                 "1", "true"
             ):
                 date1904 = True
+            include_hidden = os.environ.get(
+                "RAPIDDOC_XLSX_INCLUDE_HIDDEN",
+                os.environ.get("MINERU_XLSX_INCLUDE_HIDDEN", ""),
+            ).lower() in ("1", "true", "yes")
             for sheet in root.iter(f"{{{S}}}sheet"):
                 name = sheet.get("name", "Sheet")
+                # hidden / veryHidden sheets are skipped (reference:
+                # _iter_sheets_to_convert:275-287)
+                if not include_hidden and sheet.get(
+                    "state", "visible"
+                ) != "visible":
+                    continue
                 rid = sheet.get(q("r:id"))
                 target = wb_rels.get(rid)
                 if target and target in z.namelist():
@@ -423,16 +551,32 @@ def xlsx_to_blocks(data: bytes) -> OfficeResult:
                 )
             ]
         result.n_pages = max(len(sheets), 1)
+        per_sheet = []
         for page_idx, (name, path) in enumerate(sheets):
-            tables = _sheet_to_html(z, path, shared, styles, xf_fonts,
-                                    date1904)
-            if tables:
+            per_sheet.append((
+                name, page_idx,
+                _sheet_to_html(z, path, shared, styles, xf_fonts, date1904),
+                _sheet_charts(z, path),
+                _sheet_pictures(z, path),
+            ))
+        # sheet titles only when more than one sheet has content
+        # (reference: _should_emit_sheet_titles:297-299 — a single-table
+        # workbook gets no title noise)
+        nonempty = sum(
+            1 for _, _, blocks, charts, pics in per_sheet
+            if blocks or charts or pics
+        )
+        for name, page_idx, blocks, charts, pics in per_sheet:
+            if blocks and nonempty > 1:
                 result.add_title(name, level=2, page=page_idx)
-                for html in tables:
-                    result.add_table(html, page=page_idx)
-            for chart_html in _sheet_charts(z, path):
+            for kind, payload in blocks:
+                if kind == "text":
+                    result.add_text(payload, page=page_idx)
+                else:
+                    result.add_table(payload, page=page_idx)
+            for chart_html in charts:
                 result.add_table(chart_html, page=page_idx)
-            for img_name, blob in _sheet_pictures(z, path):
+            for img_name, blob in pics:
                 result.add_image(f"s{page_idx}_{img_name}", blob,
                                  page=page_idx)
     return result
