@@ -41,6 +41,7 @@ def do_parse(
     table_enable: bool = True,
     f_draw_layout_bbox: bool = False,
     f_draw_span_bbox: bool = False,
+    f_draw_line_sort_bbox: bool = False,
     f_dump_md: bool = True,
     f_dump_middle_json: bool = True,
     f_dump_model_output: bool = False,
@@ -109,7 +110,8 @@ def do_parse(
                            default=str),
                 encoding="utf-8",
             )
-        if (f_draw_layout_bbox or f_draw_span_bbox) and data[:5].lstrip()[
+        if (f_draw_layout_bbox or f_draw_span_bbox or
+                f_draw_line_sort_bbox) and data[:5].lstrip()[
             :4
         ] == b"%PDF":
             from ..utils.draw import debug_pdfs_from_output
@@ -117,6 +119,7 @@ def do_parse(
             overlays = debug_pdfs_from_output(
                 data, out.middle_json,
                 layout=f_draw_layout_bbox, spans=f_draw_span_bbox,
+                line_sort=f_draw_line_sort_bbox,
             )
             if "layout" in overlays:
                 (doc_dir / f"{name}_layout.pdf").write_bytes(
@@ -124,6 +127,10 @@ def do_parse(
                 )
             if "span" in overlays:
                 (doc_dir / f"{name}_span.pdf").write_bytes(overlays["span"])
+            if "line_sort" in overlays:
+                (doc_dir / f"{name}_line_sort.pdf").write_bytes(
+                    overlays["line_sort"]
+                )
         if f_dump_model_output and out.model_json is not None:
             (doc_dir / f"{name}_model.json").write_text(
                 json.dumps(out.model_json, ensure_ascii=False, default=str),

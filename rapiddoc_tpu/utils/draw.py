@@ -57,22 +57,91 @@ def draw_layout_on_page(
     return img
 
 
+# span colors keyed by span type (reference: draw_span_bbox
+# draw_bbox_without_number color table, draw_bbox.py:510-520)
+_SPAN_COLORS = {
+    "text": (255, 0, 0),
+    "inline_equation": (0, 200, 0),
+    "interline_equation": (0, 0, 255),
+    "checkbox": (0, 200, 0),
+    "image": (255, 204, 0),
+    "table": (204, 0, 255),
+}
+_DROPPED_COLOR = (158, 158, 158)
+
+
+def _draw_box_or_polygon(draw, span: dict, scale: float, color, width=1):
+    """Rotated content carries polygon_points alongside bbox (reference:
+    cal_canvas_polygon/draw_polygon, draw_bbox.py:64-131)."""
+    poly = span.get("polygon_points")
+    if poly and len(poly) >= 3:
+        pts = [(px * scale, py * scale) for px, py in poly]
+        draw.polygon(pts, outline=color)
+        return
+    x0, y0, x1, y1 = (v * scale for v in span["bbox"])
+    draw.rectangle([x0, y0, x1, y1], outline=color, width=width)
+
+
 def draw_spans_on_page(
     page_img: Image.Image, page_info: dict, scale: float
 ) -> Image.Image:
     img = page_img.convert("RGB").copy()
     draw = ImageDraw.Draw(img)
 
-    def walk(blocks):
+    def walk(blocks, dropped=False):
         for block in blocks:
             if "blocks" in block:
-                walk(block["blocks"])
+                walk(block["blocks"], dropped)
             for line in block.get("lines", []):
                 for span in line.get("spans", []):
-                    x0, y0, x1, y1 = (v * scale for v in span["bbox"])
-                    draw.rectangle([x0, y0, x1, y1], outline=(255, 80, 80), width=1)
+                    color = (
+                        _DROPPED_COLOR
+                        if dropped
+                        else _SPAN_COLORS.get(
+                            span.get("type", "text"), (255, 80, 80)
+                        )
+                    )
+                    _draw_box_or_polygon(draw, span, scale, color)
 
     walk(page_info.get("para_blocks") or page_info.get("preproc_blocks") or [])
+    walk(page_info.get("discarded_blocks") or [], dropped=True)
+    return img
+
+
+def draw_line_sort_on_page(
+    page_img: Image.Image, page_info: dict, scale: float
+) -> Image.Image:
+    """Line-level reading order overlay: every text line gets its global
+    order index (reference: draw_line_sort_bbox, draw_bbox.py:552)."""
+    img = page_img.convert("RGB").copy()
+    draw = ImageDraw.Draw(img)
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf", 12
+        )
+    except OSError:
+        font = ImageFont.load_default()
+    order = 0
+    blocks = page_info.get("preproc_blocks") or page_info.get(
+        "para_blocks"
+    ) or []
+
+    def lines_of(block):
+        if "blocks" in block and block["blocks"]:
+            for sub in block["blocks"]:
+                yield from sub.get("lines", [])
+        else:
+            yield from block.get("lines", [])
+
+    for block in blocks:
+        for line in lines_of(block):
+            bbox = line.get("bbox")
+            if not bbox:
+                continue
+            x0, y0, x1, y1 = (v * scale for v in bbox)
+            draw.rectangle([x0, y0, x1, y1], outline=(255, 0, 0), width=1)
+            draw.text((x0 + 1, y0), str(order), fill=(255, 0, 0), font=font)
+            order += 1
     return img
 
 
@@ -82,15 +151,17 @@ def debug_pdfs_from_output(
     *,
     layout: bool = True,
     spans: bool = False,
+    line_sort: bool = False,
     dpi: int = 96,
 ) -> dict[str, bytes]:
     """Re-render the source pages and emit annotated debug PDFs
-    (reference: cli/common.py:188-194 — *_layout.pdf / *_span.pdf visual
-    QA artifacts). Returns {"layout": bytes?, "span": bytes?}."""
+    (reference: cli/common.py:188-194 — *_layout.pdf / *_span.pdf /
+    *_line_sort.pdf visual QA artifacts). Returns a dict with any of
+    "layout" / "span" / "line_sort" keys."""
     from .. import pdfio
 
     pdf_info = (middle_json or {}).get("pdf_info") or []
-    if not pdf_info or not (layout or spans):
+    if not pdf_info or not (layout or spans or line_sort):
         return {}
     doc = pdfio.open_pdf(pdf_bytes)
     n = min(len(doc), len(pdf_info))
@@ -102,6 +173,10 @@ def debug_pdfs_from_output(
     if spans:
         out["span"] = render_debug_pdf(
             [im.copy() for im in imgs], pdf_info[:n], scale, "span"
+        )
+    if line_sort:
+        out["line_sort"] = render_debug_pdf(
+            [im.copy() for im in imgs], pdf_info[:n], scale, "line_sort"
         )
     return out
 
@@ -115,7 +190,11 @@ def render_debug_pdf(
     """Annotated pages -> a PDF for visual QA."""
     from ..pdfio.writer import images_to_pdf
 
-    fn = draw_layout_on_page if mode == "layout" else draw_spans_on_page
+    fn = {
+        "layout": draw_layout_on_page,
+        "span": draw_spans_on_page,
+        "line_sort": draw_line_sort_on_page,
+    }[mode]
     annotated = [
         fn(img, info, scale) for img, info in zip(page_imgs, pdf_info)
     ]

@@ -438,3 +438,57 @@ def test_model_stack_env_fingerprint(monkeypatch):
     assert fp_disabled != fp_enabled
     monkeypatch.setenv("RAPIDDOC_MODELS_DIR", "/tmp/elsewhere")
     assert ModelStack._env_fingerprint() != fp_enabled
+
+
+def test_debug_line_sort_overlay():
+    """Line-sort debug artifact: line-level reading-order numbering
+    (reference: draw_bbox.py draw_line_sort_bbox:552)."""
+    from PIL import Image
+
+    from rapiddoc_tpu.utils.draw import draw_line_sort_on_page
+
+    page = {
+        "preproc_blocks": [
+            {"type": "text", "bbox": [0, 0, 100, 20], "lines": [
+                {"bbox": [0, 0, 100, 10], "spans": []},
+                {"bbox": [0, 10, 100, 20], "spans": []},
+            ]},
+        ]
+    }
+    img = draw_line_sort_on_page(Image.new("RGB", (200, 100), "white"),
+                                 page, 1.0)
+    assert img.size == (200, 100)
+    # red line boxes drawn
+    assert any(p == (255, 0, 0) for p in img.getdata())
+
+
+def test_span_overlay_colors_by_type_and_polygon():
+    from PIL import Image
+
+    from rapiddoc_tpu.utils.draw import draw_spans_on_page
+
+    page = {
+        "preproc_blocks": [
+            {"type": "text", "bbox": [0, 0, 100, 30], "lines": [
+                {"bbox": [0, 0, 100, 10], "spans": [
+                    {"type": "text", "bbox": [0, 0, 50, 10]},
+                    {"type": "table", "bbox": [0, 12, 50, 22]},
+                    {"type": "image", "bbox": [0, 24, 50, 34],
+                     "polygon_points": [[60, 0], [90, 5], [60, 10]]},
+                ]},
+            ]},
+        ],
+        "discarded_blocks": [
+            {"type": "discarded", "bbox": [0, 50, 80, 60], "lines": [
+                {"bbox": [0, 50, 80, 60], "spans": [
+                    {"type": "text", "bbox": [0, 50, 80, 60]},
+                ]},
+            ]},
+        ],
+    }
+    img = draw_spans_on_page(Image.new("RGB", (200, 100), "white"),
+                             page, 1.0)
+    data = set(img.getdata())
+    assert (255, 0, 0) in data      # text span
+    assert (204, 0, 255) in data    # table span
+    assert (158, 158, 158) in data  # dropped span
