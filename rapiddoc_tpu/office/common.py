@@ -96,6 +96,15 @@ class OfficeResult:
         if items:
             self.blocks.append(OfficeBlock("index", items=list(items), page_idx=page))
 
+    def add_list(self, items: list[str], page: int = 0) -> None:
+        """A list block: pre-rendered markdown lines ("- x" / "1. y").
+        Kept as a typed block so the content list carries list_items
+        (reference: output_builders.py make_blocks_to_content_list
+        BlockType.LIST -> {'type': 'list', 'list_items': ...})."""
+        items = [it for it in items if it and it.strip()]
+        if items:
+            self.blocks.append(OfficeBlock("list", items=list(items), page_idx=page))
+
     # ------------------------------------------------------------- outputs
 
     def to_markdown(self) -> str:
@@ -116,7 +125,7 @@ class OfficeResult:
                 out.append(f"![]({b.image_name})")
             elif b.type == "equation":
                 out.append(f"$$\n{b.text}\n$$")
-            elif b.type == "index":
+            elif b.type in ("index", "list"):
                 out.append("\n".join(b.items))
             # header/footer: discarded from markdown (reference parity)
         return "\n\n".join(out)
@@ -244,8 +253,8 @@ class OfficeResult:
             elif b.type in ("header", "footer"):
                 items.append({"type": b.type, "text": b.text,
                               "page_idx": b.page_idx})
-            elif b.type == "index":
-                items.append({"type": "index", "list_items": list(b.items),
+            elif b.type in ("index", "list"):
+                items.append({"type": b.type, "list_items": list(b.items),
                               "page_idx": b.page_idx})
         return items
 
@@ -278,10 +287,11 @@ class OfficeResult:
                             ],
                         }
                     )
-                elif b.type == "index":
+                elif b.type in ("index", "list"):
                     blocks_json.append(
                         {
-                            "type": BlockType.INDEX,
+                            "type": BlockType.INDEX if b.type == "index"
+                            else BlockType.LIST,
                             "bbox": bbox,
                             "lines": [
                                 {

@@ -802,7 +802,7 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
 
         def flush_list():
             if pending_list:
-                result.add_text("\n".join(pending_list), page=page)
+                result.add_list(list(pending_list), page=page)
                 pending_list.clear()
 
         def flush_index():

@@ -56,7 +56,10 @@ def make_docx(body_xml: str, extra_parts: dict | None = None) -> bytes:
 
 def _texts(result) -> str:
     return "\n".join(
-        x for b in result.blocks for x in (b.text, b.html) if x
+        x
+        for b in result.blocks
+        for x in (b.text, b.html, "\n".join(b.items))
+        if x
     )
 
 

@@ -205,3 +205,32 @@ def test_repeated_section_headers_dedupe():
     }))
     headers = [b for b in res.blocks if b.type == "header"]
     assert len(headers) == 1
+
+
+NUMBERING = f"""<?xml version="1.0"?>
+<w:numbering {W}>
+  <w:abstractNum w:abstractNumId="0">
+    <w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/><w:lvlText w:val=""/></w:lvl>
+  </w:abstractNum>
+  <w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>
+</w:numbering>"""
+
+
+def test_lists_are_typed_blocks_with_items():
+    """Office lists surface as list blocks with list_items in the content
+    list (reference: output_builders.py make_blocks_to_content_list
+    BlockType.LIST branch)."""
+    body = "".join(
+        f'<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/>'
+        f"</w:numPr></w:pPr><w:r><w:t>{t}</w:t></w:r></w:p>"
+        for t in ("alpha", "beta")
+    )
+    res = docx_to_blocks(
+        make_docx(body, {"word/numbering.xml": NUMBERING})
+    )
+    lists = [b for b in res.blocks if b.type == "list"]
+    assert len(lists) == 1 and lists[0].items == ["- alpha", "- beta"]
+    cl = res.to_content_list()
+    li = [c for c in cl if c["type"] == "list"]
+    assert li and li[0]["list_items"] == ["- alpha", "- beta"]
+    assert "- alpha" in res.to_markdown()
