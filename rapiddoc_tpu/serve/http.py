@@ -22,12 +22,42 @@ logger = get_logger("rapiddoc_tpu.serve")
 _executor = ThreadPoolExecutor(max_workers=2)
 
 
-def _parse_bytes(data: bytes, filename: str, options: dict) -> dict:
+def _engine_lang(options: dict) -> str:
+    # reference accepts lang_list (one per file, docker/app.py:153);
+    # single-engine builds use the first entry
+    lang_list = options.get("lang_list")
+    if isinstance(lang_list, list) and lang_list:
+        return str(lang_list[0])
+    if isinstance(lang_list, str) and lang_list:
+        return lang_list
+    return options.get("lang", "ch")
+
+
+def _page_slice(data: bytes, options: dict) -> bytes:
+    """Honor start_page_id/end_page_id for PDF inputs (reference:
+    docker/app.py:170-171)."""
+    try:
+        start = int(options.get("start_page_id", 0))
+        end = int(options.get("end_page_id", 99999))
+    except (TypeError, ValueError):
+        return data
+    if (start <= 0 and end >= 99999) or not data.lstrip()[:4] == b"%PDF":
+        return data
+    from .. import pdfio
+
+    try:
+        n = len(pdfio.open_pdf(data))
+        return pdfio.select_pages(data, range(start, min(end, n - 1) + 1))
+    except Exception:
+        return data
+
+
+def _build_engine(options: dict):
     from ..api import RapidDoc
 
-    engine = RapidDoc(
+    return RapidDoc(
         parse_method=options.get("parse_method", "auto"),
-        lang=options.get("lang", "ch"),
+        lang=_engine_lang(options),
         formula_enable=options.get("formula_enable", True),
         table_enable=options.get("table_enable", True),
         layout_config=options.get("layout_config") or {},
@@ -35,15 +65,31 @@ def _parse_bytes(data: bytes, filename: str, options: dict) -> dict:
         formula_config=options.get("formula_config") or {},
         table_config=options.get("table_config") or {},
     )
-    suffix = "." + filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
-    out = engine(data if suffix == "" else _named_bytes(data, filename))
-    return {
-        "markdown": out.markdown,
-        "middle_json": out.middle_json,
-        "content_list": out.content_list_json,
-        "images": out.images,
-        "filename": filename,
-    }
+
+
+def _result_dict(out, filename: str, options: dict) -> dict:
+    """Shape one document's response by the return_* flags (reference:
+    docker/app.py:164-168 defaults: md+images on, the rest off)."""
+    result: dict = {"filename": filename}
+    if options.get("return_md", True):
+        result["markdown"] = out.markdown
+    if options.get("return_middle_json", False):
+        result["middle_json"] = out.middle_json
+    if options.get("return_model_output", False):
+        result["model_output"] = out.model_json
+    if options.get("return_content_list", False):
+        result["content_list"] = out.content_list_json
+    if options.get("return_images", True):
+        result["images"] = out.images
+    else:
+        result["images"] = {}
+    return result
+
+
+def _parse_bytes(data: bytes, filename: str, options: dict) -> dict:
+    engine = _build_engine(options)
+    out = engine(_page_slice(data, options))
+    return _result_dict(out, filename, options)
 
 
 def _named_bytes(data: bytes, filename: str):
@@ -54,27 +100,12 @@ def _named_bytes(data: bytes, filename: str):
 def _parse_batch_bytes(files: list[tuple[str, bytes]], options: dict) -> list[dict]:
     """Multi-file request: pages super-batched across documents
     (RapidDoc.parse_batch)."""
-    from ..api import RapidDoc
-
-    engine = RapidDoc(
-        parse_method=options.get("parse_method", "auto"),
-        lang=options.get("lang", "ch"),
-        formula_enable=options.get("formula_enable", True),
-        table_enable=options.get("table_enable", True),
-        layout_config=options.get("layout_config") or {},
-        ocr_config=options.get("ocr_config") or {},
-        formula_config=options.get("formula_config") or {},
-        table_config=options.get("table_config") or {},
+    engine = _build_engine(options)
+    outs = engine.parse_batch(
+        [_page_slice(data, options) for _, data in files]
     )
-    outs = engine.parse_batch([data for _, data in files])
     return [
-        {
-            "markdown": out.markdown,
-            "middle_json": out.middle_json,
-            "content_list": out.content_list_json,
-            "images": out.images,
-            "filename": name,
-        }
+        _result_dict(out, name, options)
         for (name, _), out in zip(files, outs)
     ]
 
@@ -88,18 +119,20 @@ def _zip_response(results: list[dict]):
         for result in results:
             name = result["filename"].rsplit(".", 1)[0]
             prefix = f"{name}/" if len(results) > 1 else ""
-            z.writestr(f"{prefix}{name}.md", result["markdown"])
-            z.writestr(
-                f"{prefix}{name}_middle.json",
-                json.dumps(result["middle_json"], ensure_ascii=False,
-                           default=str),
-            )
-            z.writestr(
-                f"{prefix}{name}_content_list.json",
-                json.dumps(result["content_list"], ensure_ascii=False,
-                           default=str),
-            )
-            for rel, blob in result["images"].items():
+            if "markdown" in result:
+                z.writestr(f"{prefix}{name}.md", result["markdown"])
+            for key, suffix in (
+                ("middle_json", "_middle.json"),
+                ("content_list", "_content_list.json"),
+                ("model_output", "_model.json"),
+            ):
+                if key in result:
+                    z.writestr(
+                        f"{prefix}{name}{suffix}",
+                        json.dumps(result[key], ensure_ascii=False,
+                                   default=str),
+                    )
+            for rel, blob in result.get("images", {}).items():
                 z.writestr(prefix + rel, blob)
     archive = results[0]["filename"].rsplit(".", 1)[0] if len(results) == 1 \
         else "results"
@@ -174,6 +207,9 @@ def make_app():
                 )
             elif part.name == "return_format":
                 return_zip = (await part.text()) == "zip"
+            elif part.name == "response_format_zip":
+                # reference flag name (docker/app.py:169)
+                return_zip = (await part.text()).lower() in ("1", "true")
             else:
                 text = await part.text()
                 try:

@@ -151,7 +151,23 @@ def test_http_server():
             resp = await client.post("/file_parse", data=form)
             assert resp.status == 200, await resp.text()
             data = await resp.json()
-            assert "markdown" in data and "content_list" in data
+            # reference defaults: md + images on, the rest off
+            # (docker/app.py:164-168)
+            assert "markdown" in data and "images" in data
+            assert "content_list" not in data and "middle_json" not in data
+
+            form = aiohttp.FormData()
+            form.add_field("file", pdf, filename="t.pdf",
+                           content_type="application/pdf")
+            form.add_field("parse_method", '"txt"')
+            form.add_field("return_content_list", "true")
+            form.add_field("return_middle_json", "true")
+            form.add_field("return_images", "false")
+            resp = await client.post("/file_parse", data=form)
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            assert "content_list" in data and "middle_json" in data
+            assert data["images"] == {}
 
             # probe: no file -> 400
             form = aiohttp.FormData()
@@ -248,6 +264,8 @@ def test_http_zip_response():
                            content_type="application/pdf")
             form.add_field("parse_method", '"txt"')
             form.add_field("return_format", "zip")
+            form.add_field("return_middle_json", "true")
+            form.add_field("return_content_list", "true")
             resp = await client.post("/file_parse", data=form)
             assert resp.status == 200
             blob = await resp.read()
@@ -492,3 +510,41 @@ def test_span_overlay_colors_by_type_and_polygon():
     assert (255, 0, 0) in data      # text span
     assert (204, 0, 255) in data    # table span
     assert (158, 158, 158) in data  # dropped span
+
+
+def test_http_page_slice_and_lang_list():
+    """start_page_id/end_page_id slice PDFs server-side; lang_list is
+    accepted like the reference form field (docker/app.py:153,170)."""
+    import asyncio
+
+    aiohttp = pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image, ImageDraw
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.serve.http import make_app
+
+    imgs = []
+    for marker in ("alpha", "beta", "gamma"):
+        img = Image.new("RGB", (300, 200), "white")
+        ImageDraw.Draw(img).text((30, 80), marker, fill="black")
+        imgs.append(img)
+    pdf = pdfio.images_to_pdf(imgs)
+
+    async def scenario():
+        app = make_app()
+        async with TestClient(TestServer(app)) as client:
+            form = aiohttp.FormData()
+            form.add_field("file", pdf, filename="p.pdf",
+                           content_type="application/pdf")
+            form.add_field("parse_method", '"txt"')
+            form.add_field("lang_list", '["en"]')
+            form.add_field("start_page_id", "1")
+            form.add_field("end_page_id", "1")
+            form.add_field("return_middle_json", "true")
+            resp = await client.post("/file_parse", data=form)
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            assert len(data["middle_json"]["pdf_info"]) == 1
+
+    asyncio.run(scenario())
