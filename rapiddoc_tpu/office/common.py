@@ -75,6 +75,14 @@ class OfficeResult:
         if latex and latex.strip():
             self.blocks.append(OfficeBlock("equation", text=latex.strip(), page_idx=page))
 
+    def add_caption(self, text: str, page: int = 0) -> None:
+        """A caption-flagged paragraph (docx SEQ field, reference:
+        docx_converter._is_caption:3446 -> BlockType.CAPTION). It ties to
+        the adjacent image/table even without a Figure/Table text prefix;
+        unconsumed captions degrade to plain text."""
+        if text and text.strip():
+            self.blocks.append(OfficeBlock("caption", text=text.strip(), page_idx=page))
+
     def add_header(self, text: str, page: int = 0) -> None:
         """Page header text — discarded from markdown, carried in the
         content list / middle json as a discarded block (reference:
@@ -117,7 +125,7 @@ class OfficeResult:
                 out.append(
                     f'<a id="{b.anchor}"></a>\n{head}' if b.anchor else head
                 )
-            elif b.type == "text":
+            elif b.type in ("text", "caption"):
                 out.append(b.text)
             elif b.type == "table":
                 out.append(b.html)
@@ -143,14 +151,16 @@ class OfficeResult:
         for i, b in enumerate(blocks):
             if b.type in ("image", "table") and i + 1 < n:
                 nxt = blocks[i + 1]
-                if nxt.type == "text" and nxt.page_idx == b.page_idx:
+                if nxt.type in ("text", "caption") and nxt.page_idx == b.page_idx:
                     content = nxt.text.strip().lower()
                     prefixes = (
                         ("表", "table")
                         if b.type == "table"
                         else ("图", "圖", "fig", "chart", "diagram")
                     )
-                    if any(content.startswith(p) for p in prefixes):
+                    if nxt.type == "caption" or any(
+                        content.startswith(p) for p in prefixes
+                    ):
                         kinds[i + 1] = (
                             "table_caption"
                             if b.type == "table"
@@ -163,8 +173,10 @@ class OfficeResult:
                 t = blocks[j]
                 if t.type in ("image", "table"):
                     return t.type
-                if t.type == "text" and (
-                    j in kinds or _CAPTION_RE.match(t.text.strip())
+                if t.type in ("text", "caption") and (
+                    j in kinds
+                    or t.type == "caption"
+                    or _CAPTION_RE.match(t.text.strip())
                 ):
                     j += step  # caption runs between body and caption
                     continue
@@ -172,9 +184,10 @@ class OfficeResult:
             return None
 
         for i, b in enumerate(blocks):
-            if i in kinds or b.type != "text":
+            if i in kinds or b.type not in ("text", "caption"):
                 continue
-            if not _CAPTION_RE.match(b.text.strip()):
+            # SEQ-flagged captions qualify without a Figure/Table prefix
+            if b.type != "caption" and not _CAPTION_RE.match(b.text.strip()):
                 continue
             btype = neighbor_body(i, -1) or neighbor_body(i, +1)
             if btype:
@@ -232,7 +245,7 @@ class OfficeResult:
                     {"type": ContentType.TEXT, "text": b.text, "text_level": b.level,
                      "page_idx": b.page_idx}
                 )
-            elif b.type == "text":
+            elif b.type in ("text", "caption"):
                 items.append({"type": ContentType.TEXT, "text": b.text,
                               "page_idx": b.page_idx})
             elif b.type == "table":
@@ -305,7 +318,7 @@ class OfficeResult:
                             ],
                         }
                     )
-                elif b.type in ("text", "title"):
+                elif b.type in ("text", "title", "caption"):
                     blocks_json.append(
                         {
                             "type": BlockType.TITLE if b.type == "title" else BlockType.TEXT,

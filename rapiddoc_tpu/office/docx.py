@@ -721,6 +721,19 @@ def _is_toc_entry(p, style: str | None, toc_styles: dict[str, int],
     return None
 
 
+def _has_seq_field(p) -> bool:
+    """True when the paragraph carries a SEQ numbering field — Word's
+    insert-caption machinery (reference: docx_converter._is_caption
+    :3446-3463)."""
+    for instr in p.iter(q("w:instrText")):
+        if instr.text and "SEQ" in instr.text:
+            return True
+    for fld in p.iter(q("w:fldSimple")):
+        if "SEQ" in (fld.get(q("w:instr")) or ""):
+            return True
+    return False
+
+
 def _para_bookmark(p) -> str:
     """First _Toc bookmark on the paragraph — the anchor a TOC entry's
     hyperlink targets (reference: _extract_paragraph_bookmark)."""
@@ -891,6 +904,10 @@ def docx_to_blocks(data: bytes) -> OfficeResult:
                     else:
                         marker, indent = "-", ""
                     pending_list.append(f"{indent}{marker} {text.strip()}")
+                elif _has_seq_field(el) and text.strip():
+                    # SEQ field = Word-inserted caption (ref: _is_caption)
+                    flush_list()
+                    result.add_caption(text, page=page)
                 else:
                     flush_list()
                     if text.strip():

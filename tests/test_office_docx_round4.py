@@ -234,3 +234,40 @@ def test_lists_are_typed_blocks_with_items():
     li = [c for c in cl if c["type"] == "list"]
     assert li and li[0]["list_items"] == ["- alpha", "- beta"]
     assert "- alpha" in res.to_markdown()
+
+
+def test_seq_field_paragraph_ties_as_caption_without_prefix():
+    """A SEQ-field paragraph is a caption even without a Figure/Table
+    text prefix (reference: docx_converter._is_caption:3446)."""
+    png = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c4"
+        "890000000d4944415478da63fcffff3f030005fe02fea72d1fa2000000004945"
+        "4e44ae426082"
+    )
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+  <Relationship Id="rIdP" Type="i" Target="media/image1.png"/>
+</Relationships>"""
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    body = (
+        f'<w:p><w:r><w:drawing><a:blip xmlns:a="{a}" '
+        f'r:embed="rIdP"/></w:drawing></w:r></w:p>'
+        '<w:p><w:fldSimple w:instr=" SEQ pic \\* ARABIC "/>'
+        "<w:r><w:t>Our system overview</w:t></w:r></w:p>"
+    )
+    res = docx_to_blocks(make_docx(body, {
+        "word/_rels/document.xml.rels": rels,
+        "word/media/image1.png": png,
+    }))
+    caps = [b for b in res.blocks if b.type == "caption"]
+    assert len(caps) == 1 and caps[0].text == "Our system overview"
+    cl = res.to_content_list()
+    img_items = [c for c in cl if c.get("type") == "image"]
+    assert img_items and img_items[0].get("img_caption") == [
+        "Our system overview"
+    ]
+    # consumed caption does not also appear as standalone text
+    assert not any(
+        c.get("type") == "text" and c.get("text") == "Our system overview"
+        for c in cl
+    )
