@@ -156,11 +156,32 @@ def blocks_to_markdown(
     return page_md
 
 
-def _block_content_item(block: dict, page_idx: int, img_prefix: str) -> dict | None:
+def _norm_bbox(bbox, page_size) -> list | None:
+    """bbox -> per-mille page coordinates (reference:
+    pipeline_middle_json_mkcontent.py:304-313)."""
+    if not bbox or not page_size or not page_size[0] or not page_size[1]:
+        return list(bbox) if bbox else None
+    w, h = page_size
+    x0, y0, x1, y1 = bbox
+    return [
+        int(x0 * 1000 / w), int(y0 * 1000 / h),
+        int(x1 * 1000 / w), int(y1 * 1000 / h),
+    ]
+
+
+def _block_content_item(block: dict, page_idx: int, img_prefix: str,
+                        page_size=None) -> dict | None:
     btype = block["type"]
-    item: dict[str, Any] = {"page_idx": page_idx, "bbox": block.get("bbox")}
+    item: dict[str, Any] = {
+        "page_idx": page_idx,
+        "bbox": _norm_bbox(block.get("bbox"), page_size),
+    }
     if btype in (BlockType.TEXT, BlockType.LIST, BlockType.INDEX):
         item.update({"type": ContentType.TEXT, "text": merge_para_with_text(block)})
+    elif btype in (BlockType.DISCARDED, BlockType.HEADER, BlockType.FOOTER):
+        # discarded page furniture rides along typed (reference:
+        # make_blocks_to_content_list BlockType.DISCARDED branch :248)
+        item.update({"type": btype, "text": merge_para_with_text(block)})
     elif btype == BlockType.TITLE:
         item.update(
             {
@@ -227,9 +248,14 @@ def union_make(
         items: list[dict] = []
         for page_info in pdf_info:
             page_idx = page_info.get("page_idx", 0)
+            page_size = page_info.get("page_size")
             blocks = page_info.get("para_blocks") or page_info.get("preproc_blocks") or []
+            # discarded blocks ride along after the layout blocks
+            # (reference: union_make :338 paras_of_layout + paras_of_discarded)
+            blocks = list(blocks) + list(page_info.get("discarded_blocks") or [])
             for block in blocks:
-                item = _block_content_item(block, page_idx, img_prefix)
+                item = _block_content_item(block, page_idx, img_prefix,
+                                           page_size)
                 if item is not None:
                     items.append(item)
         return items

@@ -548,3 +548,34 @@ def test_http_page_slice_and_lang_list():
             assert len(data["middle_json"]["pdf_info"]) == 1
 
     asyncio.run(scenario())
+
+
+def test_content_list_includes_discarded_and_permille_bboxes():
+    """Content list carries discarded page furniture (typed) and
+    normalizes bboxes to per-mille page coordinates (reference:
+    pipeline_middle_json_mkcontent.py:248,304-316,338)."""
+    from rapiddoc_tpu.pipeline.mkcontent import union_make
+    from rapiddoc_tpu.types import BlockType, ContentType, MakeMode
+
+    def tb(text, bbox, btype=BlockType.TEXT):
+        return {
+            "type": btype, "bbox": list(bbox),
+            "lines": [{"bbox": list(bbox), "spans": [
+                {"type": ContentType.TEXT, "content": text,
+                 "bbox": list(bbox)}]}],
+        }
+
+    pdf_info = [{
+        "page_idx": 0,
+        "page_size": [500, 1000],
+        "para_blocks": [tb("body", (50, 100, 450, 150))],
+        "discarded_blocks": [
+            tb("Journal header", (50, 10, 450, 30), BlockType.DISCARDED)
+        ],
+    }]
+    items = union_make(pdf_info, MakeMode.CONTENT_LIST)
+    assert len(items) == 2
+    body, disc = items
+    assert body["bbox"] == [100, 100, 900, 150]  # per-mille of 500x1000
+    assert disc["type"] == BlockType.DISCARDED
+    assert disc["text"] == "Journal header"
