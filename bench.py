@@ -30,6 +30,15 @@ import time
 
 import numpy as np
 
+# hang diagnosis: dump all thread stacks to stderr if a phase exceeds
+# the watchdog budget (tunnel RPCs can wedge; a stack dump beats a
+# silent stall). Repeats every interval until the run completes.
+_WATCHDOG_S = int(os.environ.get("RAPIDDOC_BENCH_WATCHDOG", "600") or 0)
+if _WATCHDOG_S > 0:
+    import faulthandler
+
+    faulthandler.dump_traceback_later(_WATCHDOG_S, repeat=True, exit=False)
+
 TINY = bool(os.environ.get("RAPIDDOC_BENCH_TINY"))
 PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "12"))
 DEMO_PDF = "/root/reference/demo/pdfs/demo1.pdf"
