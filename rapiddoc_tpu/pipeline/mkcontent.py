@@ -245,6 +245,11 @@ def union_make(
             output.extend(blocks_to_markdown(blocks, make_mode, img_prefix))
         return "\n\n".join(output)
     if make_mode in (MakeMode.CONTENT_LIST, MakeMode.CONTENT_LIST_V2):
+        builder = (
+            _block_content_item_v2
+            if make_mode == MakeMode.CONTENT_LIST_V2
+            else _block_content_item
+        )
         items: list[dict] = []
         for page_info in pdf_info:
             page_idx = page_info.get("page_idx", 0)
@@ -254,9 +259,101 @@ def union_make(
             # (reference: union_make :338 paras_of_layout + paras_of_discarded)
             blocks = list(blocks) + list(page_info.get("discarded_blocks") or [])
             for block in blocks:
-                item = _block_content_item(block, page_idx, img_prefix,
-                                           page_size)
+                item = builder(block, page_idx, img_prefix, page_size)
                 if item is not None:
                     items.append(item)
         return items
     raise ValueError(f"unknown make mode {make_mode!r}")
+
+
+def _block_content_item_v2(block: dict, page_idx: int, img_prefix: str,
+                           page_size=None) -> dict | None:
+    """Structured content-list-v2 item (reference:
+    output_builders.py make_blocks_to_content_list_v2:541-679): every
+    item is {"type", "content": {...typed payload...}}."""
+    from ..types import ContentTypeV2 as V2
+
+    btype = block["type"]
+    text = merge_para_with_text(block)
+    spans = [{"type": V2.SPAN_TEXT, "content": text}] if text else []
+    item: dict[str, Any] | None = None
+    if btype == BlockType.TITLE:
+        item = {
+            "type": V2.TITLE,
+            "content": {"title_content": spans,
+                        "level": get_title_level(block)},
+        }
+    elif btype in (BlockType.TEXT,):
+        item = {"type": V2.PARAGRAPH, "content": {"paragraph_content": spans}}
+    elif btype in (BlockType.HEADER, BlockType.FOOTER, BlockType.DISCARDED):
+        kind = (
+            V2.PAGE_FOOTER if btype == BlockType.FOOTER else V2.PAGE_HEADER
+        )
+        item = {"type": kind, "content": {f"{kind}_content": spans}}
+    elif btype == BlockType.INTERLINE_EQUATION:
+        item = {
+            "type": V2.EQUATION_INTERLINE,
+            "content": {"math_content": text, "math_type": "latex"},
+        }
+    elif btype in (BlockType.LIST, BlockType.INDEX):
+        lines = [
+            span.get("content", "")
+            for line in block.get("lines", [])
+            for span in line.get("spans", [])
+            if span.get("content")
+        ] or ([text] if text else [])
+        item = {
+            "type": V2.INDEX if btype == BlockType.INDEX else V2.LIST,
+            "content": {
+                "list_type": V2.LIST_TEXT,
+                "attribute": block.get("attribute", "unordered"),
+                "list_items": lines,
+            },
+        }
+    elif btype == BlockType.IMAGE:
+        path, captions = "", []
+        for sub in block.get("blocks", []):
+            if sub["type"] == BlockType.IMAGE_BODY:
+                for line in sub.get("lines", []):
+                    for span in line.get("spans", []):
+                        if span.get("image_path"):
+                            path = f"{img_prefix}/{span['image_path']}"
+            elif sub["type"] == BlockType.IMAGE_CAPTION:
+                captions.append(merge_para_with_text(sub))
+        item = {
+            "type": V2.IMAGE,
+            "content": {"image_source": {"path": path},
+                        "image_caption": captions},
+        }
+    elif btype == BlockType.TABLE:
+        html, captions = "", []
+        for sub in block.get("blocks", []):
+            if sub["type"] == BlockType.TABLE_BODY:
+                for line in sub.get("lines", []):
+                    for span in line.get("spans", []):
+                        if span.get("html"):
+                            html = span["html"]
+            elif sub["type"] == BlockType.TABLE_CAPTION:
+                captions.append(merge_para_with_text(sub))
+        nest = 2 if html.count("<table") > 1 else 1
+        complex_ = "colspan" in html or "rowspan" in html or nest > 1
+        item = {
+            "type": V2.TABLE,
+            "content": {
+                "table_caption": captions,
+                "html": html,
+                "table_type": V2.TABLE_COMPLEX if complex_
+                else V2.TABLE_SIMPLE,
+                "table_nest_level": nest,
+            },
+        }
+    if item is None:
+        return None
+    anchor = block.get("anchor")
+    if isinstance(anchor, str) and anchor.strip():
+        item["anchor"] = anchor.strip()
+    item["page_idx"] = page_idx
+    bbox = _norm_bbox(block.get("bbox"), page_size)
+    if bbox:
+        item["bbox"] = bbox
+    return item

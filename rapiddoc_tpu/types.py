@@ -69,6 +69,28 @@ class ContentType:
     SEAL = "seal"
 
 
+class ContentTypeV2:
+    """Structured content-list-v2 item/span types (reference:
+    utils/enum_class.py ContentTypeV2)."""
+
+    EQUATION_INTERLINE = "equation_interline"
+    IMAGE = "image"
+    TABLE = "table"
+    CHART = "chart"
+    TABLE_SIMPLE = "simple_table"
+    TABLE_COMPLEX = "complex_table"
+    LIST = "list"
+    LIST_TEXT = "text_list"
+    INDEX = "index"
+    TITLE = "title"
+    PARAGRAPH = "paragraph"
+    SPAN_TEXT = "text"
+    SPAN_EQUATION_INLINE = "equation_inline"
+    PAGE_HEADER = "page_header"
+    PAGE_FOOTER = "page_footer"
+    PAGE_FOOTNOTE = "page_footnote"
+
+
 class CategoryId:
     """Unified detection-category ids used throughout the pipeline."""
 

@@ -579,3 +579,48 @@ def test_content_list_includes_discarded_and_permille_bboxes():
     assert body["bbox"] == [100, 100, 900, 150]  # per-mille of 500x1000
     assert disc["type"] == BlockType.DISCARDED
     assert disc["text"] == "Journal header"
+
+
+def test_content_list_v2_structured_items():
+    """CONTENT_LIST_V2 emits typed {"type", "content": {...}} items
+    (reference: output_builders.py make_blocks_to_content_list_v2)."""
+    from rapiddoc_tpu.pipeline.mkcontent import union_make
+    from rapiddoc_tpu.types import BlockType, ContentType, MakeMode
+
+    def tb(text, btype=BlockType.TEXT, **extra):
+        return {
+            "type": btype, "bbox": [0, 0, 100, 20],
+            "lines": [{"bbox": [0, 0, 100, 20], "spans": [
+                {"type": ContentType.TEXT, "content": text,
+                 "bbox": [0, 0, 100, 20]}]}],
+            **extra,
+        }
+
+    table = {
+        "type": BlockType.TABLE, "bbox": [0, 0, 100, 50],
+        "blocks": [{
+            "type": BlockType.TABLE_BODY, "bbox": [0, 0, 100, 50],
+            "lines": [{"bbox": [0, 0, 100, 50], "spans": [
+                {"type": ContentType.TABLE, "bbox": [0, 0, 100, 50],
+                 "html": '<table><tr><td colspan="2">x</td></tr></table>'}
+            ]}],
+        }],
+    }
+    pdf_info = [{
+        "page_idx": 0, "page_size": [100, 100],
+        "para_blocks": [
+            tb("Heading", BlockType.TITLE, level=2),
+            tb("Body paragraph"),
+            table,
+        ],
+        "discarded_blocks": [tb("header text", BlockType.DISCARDED)],
+    }]
+    items = union_make(pdf_info, MakeMode.CONTENT_LIST_V2)
+    types = [it["type"] for it in items]
+    assert types == ["title", "paragraph", "table", "page_header"]
+    assert items[0]["content"]["level"] == 2
+    assert items[0]["content"]["title_content"][0]["content"] == "Heading"
+    assert items[2]["content"]["table_type"] == "complex_table"
+    assert items[3]["content"]["page_header_content"][0]["content"] == (
+        "header text"
+    )
