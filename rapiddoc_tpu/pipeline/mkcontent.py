@@ -202,6 +202,19 @@ def _block_content_item(block: dict, page_idx: int, img_prefix: str,
                     for span in line.get("spans", []):
                         if span.get("image_path"):
                             item["img_path"] = f"{img_prefix}/{span['image_path']}"
+                        # recognized seal text rides on the image item
+                        # (reference: _get_seal_text :363-369, :277-278)
+                        if span.get("original_label") == "seal" and span.get(
+                            "content"
+                        ):
+                            content = span["content"]
+                            item["text"] = (
+                                " ".join(
+                                    str(x) for x in content if str(x).strip()
+                                )
+                                if isinstance(content, list)
+                                else str(content).strip()
+                            )
             elif sub["type"] == BlockType.IMAGE_CAPTION:
                 captions.append(merge_para_with_text(sub))
             elif sub["type"] == BlockType.IMAGE_FOOTNOTE:
