@@ -376,12 +376,14 @@ class JaxSession:
         # NOTE: stats.fetches counts host materializations and is
         # incremented in fetch(), not here — _merge_handles collapses
         # many dispatch chunks into ONE roundtrip
-        return out, n, self
+        # the (already padded) host input rides on the handle so fetch()
+        # can re-dispatch after a transient tunnel/backend error
+        return out, n, self, batch_nhwc
 
     @staticmethod
     def _merge_handles(
-        handles: Sequence[tuple[Any, int, "JaxSession"]]
-    ) -> tuple[Any, int, "JaxSession"]:
+        handles: Sequence[tuple]
+    ) -> tuple:
         """Concatenate several dispatch() handles into one, slicing each
         chunk to its true n ON DEVICE — the host<->device roundtrip is
         paid once for the merged result, not per chunk. Falls back to
@@ -402,30 +404,93 @@ class JaxSession:
             )
             for k in range(len(leaves_per[0]))
         ]
-        return jax.tree.unflatten(treedef, merged), sum(ns), handles[0][2]
+        # retry source: the chunk handles themselves (each carries its
+        # own host input), so a failed fetch can rebuild the merge
+        return (
+            jax.tree.unflatten(treedef, merged),
+            sum(ns),
+            handles[0][2],
+            list(handles),
+        )
 
     @staticmethod
-    def fetch(handle: tuple[Any, int, "JaxSession"]) -> Any:
+    def _is_transient(exc: BaseException) -> bool:
+        """Tunnel/backend errors worth a re-dispatch: the computation is
+        pure, so re-running the batch is always safe."""
+        if type(exc).__name__ not in (
+            "JaxRuntimeError", "XlaRuntimeError", "RuntimeError"
+        ):
+            return False
+        msg = str(exc).upper()
+        return any(
+            k in msg
+            for k in ("INTERNAL", "UNAVAILABLE", "DEADLINE", "CANCELLED",
+                      "ABORTED", "CONNECTION")
+        )
+
+    @staticmethod
+    def _redispatch(handle: tuple):
+        """Re-enqueue a handle's work from its retained host input(s);
+        None when the handle carries no retry source."""
+        _, _, sess, src = handle
+        if src is None:
+            return None
+        if isinstance(src, list):
+            chunks = []
+            for ch in src:
+                nh = JaxSession._redispatch(ch)
+                if nh is None:
+                    return None
+                chunks.append(nh)
+            return JaxSession._merge_handles(chunks)
+        if sess is None:
+            return None
+        return sess.dispatch(src)
+
+    @staticmethod
+    def fetch(handle: tuple) -> Any:
         """Materialize a dispatch() result on the host (sliced to true n).
 
         This is where stats.fetches is counted: one increment per actual
         host materialization, so roundtrip accounting matches reality
-        even when _merge_handles collapsed many dispatch chunks."""
+        even when _merge_handles collapsed many dispatch chunks.
+
+        A transient backend/tunnel failure (INTERNAL/UNAVAILABLE/...)
+        re-dispatches the batch from the host input retained on the
+        handle — the forward pass is pure, so a retry is always safe
+        (RAPIDDOC_FETCH_RETRIES, default 2)."""
         import os
         import time
 
-        out, n, sess = handle
+        out, n, sess, _src = handle
         if sess is not None:
             sess.stats.fetches += 1
-        if os.environ.get("RAPIDDOC_DEBUG_TIMING"):
-            tic = time.perf_counter()
-            res = jax.tree.map(lambda a: np.asarray(a[:n]), out)
-            logger.info(
-                "fetch n=%d took %.1f ms", n,
-                (time.perf_counter() - tic) * 1000.0,
-            )
-            return res
-        return jax.tree.map(lambda a: np.asarray(a[:n]), out)
+        timing = bool(os.environ.get("RAPIDDOC_DEBUG_TIMING"))
+        retries = int(os.environ.get("RAPIDDOC_FETCH_RETRIES", "2") or 0)
+        while True:
+            try:
+                tic = time.perf_counter() if timing else 0.0
+                res = jax.tree.map(lambda a: np.asarray(a[:n]), out)
+                if timing:
+                    logger.info(
+                        "fetch n=%d took %.1f ms", n,
+                        (time.perf_counter() - tic) * 1000.0,
+                    )
+                return res
+            except Exception as exc:
+                if retries <= 0 or not JaxSession._is_transient(exc):
+                    raise
+                retries -= 1
+                logger.warning(
+                    "%s: device fetch failed (%s: %.120s); re-dispatching "
+                    "batch (%d retries left)",
+                    getattr(sess, "name", "?"), type(exc).__name__, exc,
+                    retries,
+                )
+                renewed = JaxSession._redispatch(handle)
+                if renewed is None:
+                    raise
+                out, n = renewed[0], renewed[1]
 
     @classmethod
     def fetch_rows(

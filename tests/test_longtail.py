@@ -624,3 +624,53 @@ def test_content_list_v2_structured_items():
     assert items[3]["content"]["page_header_content"][0]["content"] == (
         "header text"
     )
+
+
+def test_fetch_retries_transient_backend_errors():
+    """A transient tunnel/backend error at fetch re-dispatches the batch
+    from the host input retained on the handle (engine/session.py
+    fetch + _redispatch)."""
+    import numpy as np
+
+    from rapiddoc_tpu.engine.session import JaxSession
+
+    class XlaRuntimeError(RuntimeError):
+        pass
+
+    class _Stats:
+        fetches = 0
+
+    class StubSess:
+        name = "stub"
+        stats = _Stats()
+        dispatches = 0
+
+        def dispatch(self, batch):
+            StubSess.dispatches += 1
+            return np.asarray(batch) * 2, len(batch), self, batch
+
+    class FlakyArr:
+        def __getitem__(self, sl):
+            return self
+
+        def __array__(self, *a, **k):
+            raise XlaRuntimeError("INTERNAL: TPU backend error (Internal).")
+
+    sess = StubSess()
+    src = np.ones((2, 1, 1, 1), dtype=np.uint8)
+    out = JaxSession.fetch((FlakyArr(), 2, sess, src))
+    assert StubSess.dispatches == 1
+    assert (out == 2).all()
+
+    # a non-transient error propagates untouched
+    class Broken:
+        def __getitem__(self, sl):
+            return self
+
+        def __array__(self, *a, **k):
+            raise ValueError("genuine bug")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        JaxSession.fetch((Broken(), 2, sess, src))

@@ -55,7 +55,7 @@ def test_partitioning_scales_with_mesh(batch):
     curve = {}
     for n in (1, 2, 4, 8):
         sess = _make_session(n)
-        out, count, _ = sess.dispatch(batch)
+        out, count, *_ = sess.dispatch(batch)
         assert count == 8
         leaf = jax.tree.leaves(out)[0]
         devs = leaf.sharding.device_set
