@@ -45,6 +45,20 @@ office_suffixes = (".docx", ".pptx", ".xlsx")
 old_office_suffixes = (".doc", ".ppt", ".xls")
 
 
+class NamedBytes(bytes):
+    """In-memory document bytes carrying a filename, so suffix-based
+    routing (legacy .doc/.ppt/.xls, office, images) works for uploads
+    that never touch disk (reference: docker/app.py passes
+    UploadFile.filename through to do_parse)."""
+
+    name: str
+
+    def __new__(cls, data: bytes, name: str = "document"):
+        obj = super().__new__(cls, data)
+        obj.name = name
+        return obj
+
+
 @dataclass
 class RapidDocOutput:
     markdown: str = ""
@@ -674,7 +688,9 @@ class RapidDoc:
                 name = Path(s).name
         else:
             data = bytes(item)
-            name = "document"
+            # NamedBytes (or any bytes-like with a .name) keeps suffix
+            # routing working for in-memory uploads (HTTP path)
+            name = str(getattr(item, "name", "") or "document")
         stem, suffix = os.path.splitext(name)
         suffix = suffix.lower()
         stem = stem or "document"

@@ -356,6 +356,10 @@ class JaxSession:
             nb = max(nb, self.n_shards)
             if nb % self.n_shards:
                 nb = ((nb + self.n_shards - 1) // self.n_shards) * self.n_shards
+        # retain the PRE-padding host input as the retry source so a
+        # re-dispatch recomputes the same true n (a padded source would
+        # inflate n and return/merge zero-pad rows)
+        retry_src = batch_nhwc
         if nb != n:
             pad = np.zeros((nb - n, h, w, c), dtype=batch_nhwc.dtype)
             batch_nhwc = np.concatenate([batch_nhwc, pad], axis=0)
@@ -376,9 +380,9 @@ class JaxSession:
         # NOTE: stats.fetches counts host materializations and is
         # incremented in fetch(), not here — _merge_handles collapses
         # many dispatch chunks into ONE roundtrip
-        # the (already padded) host input rides on the handle so fetch()
-        # can re-dispatch after a transient tunnel/backend error
-        return out, n, self, batch_nhwc
+        # the unpadded host input rides on the handle so fetch() can
+        # re-dispatch after a transient tunnel/backend error
+        return out, n, self, retry_src
 
     @staticmethod
     def _merge_handles(
@@ -534,7 +538,7 @@ class JaxSession:
         # device, so the host<->device roundtrip latency is paid once,
         # not once per chunk
         if len(handles) > 1:
-            trees = [out for out, _ in handles]
+            trees = [h[0] for h in handles]
             treedef = jax.tree.structure(trees[0])
             if all(jax.tree.structure(t) == treedef for t in trees[1:]):
                 handles = [self._merge_handles(handles)]

@@ -395,7 +395,7 @@ def _data_islands(
 def _sheet_to_html(z: zipfile.ZipFile, path: str, shared: list,
                    styles: list[str] | None = None,
                    xf_fonts: list[tuple[bool, bool]] | None = None,
-                   date1904: bool = False) -> list[str]:
+                   date1904: bool = False) -> list[tuple[str, str]]:
     """Sheet XML -> ("table"|"text", payload) blocks: one HTML table per
     compact data island, trimmed to its true bounds, with the gap
     tolerance auto-selected per sheet and lone unmerged cells demoted to

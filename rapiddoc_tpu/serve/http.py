@@ -87,22 +87,21 @@ def _result_dict(out, filename: str, options: dict) -> dict:
 
 
 def _parse_bytes(data: bytes, filename: str, options: dict) -> dict:
+    from ..api import NamedBytes
+
     engine = _build_engine(options)
-    out = engine(_page_slice(data, options))
+    out = engine(NamedBytes(_page_slice(data, options), filename))
     return _result_dict(out, filename, options)
-
-
-def _named_bytes(data: bytes, filename: str):
-    # RapidDoc sniffs content; the name only matters for office suffixes
-    return data
 
 
 def _parse_batch_bytes(files: list[tuple[str, bytes]], options: dict) -> list[dict]:
     """Multi-file request: pages super-batched across documents
     (RapidDoc.parse_batch)."""
+    from ..api import NamedBytes
+
     engine = _build_engine(options)
     outs = engine.parse_batch(
-        [_page_slice(data, options) for _, data in files]
+        [NamedBytes(_page_slice(data, options), name) for name, data in files]
     )
     return [
         _result_dict(out, name, options)

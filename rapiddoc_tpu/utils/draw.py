@@ -121,7 +121,6 @@ def draw_line_sort_on_page(
         )
     except OSError:
         font = ImageFont.load_default()
-    order = 0
     blocks = page_info.get("preproc_blocks") or page_info.get(
         "para_blocks"
     ) or []
@@ -133,14 +132,24 @@ def draw_line_sort_on_page(
         else:
             yield from block.get("lines", [])
 
-    for block in blocks:
-        for line in lines_of(block):
+    # walk blocks in computed reading order (block['index'] from the sort
+    # stage); lines carry their own 'index' when the pipeline stored one,
+    # else they are numbered sequentially along that order (reference
+    # draw_line_sort_bbox renders line['index'], draw_bbox.py:552)
+    order = 0
+    for block in sorted(
+        range(len(blocks)), key=lambda i: blocks[i].get("index", i)
+    ):
+        for line in lines_of(blocks[block]):
             bbox = line.get("bbox")
             if not bbox:
                 continue
+            idx = line.get("index")
+            if idx is None:
+                idx = order
             x0, y0, x1, y1 = (v * scale for v in bbox)
             draw.rectangle([x0, y0, x1, y1], outline=(255, 0, 0), width=1)
-            draw.text((x0 + 1, y0), str(order), fill=(255, 0, 0), font=font)
+            draw.text((x0 + 1, y0), str(idx), fill=(255, 0, 0), font=font)
             order += 1
     return img
 

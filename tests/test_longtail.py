@@ -674,3 +674,101 @@ def test_fetch_retries_transient_backend_errors():
 
     with _pytest.raises(ValueError):
         JaxSession.fetch((Broken(), 2, sess, src))
+
+
+def test_fetch_retry_preserves_true_n_after_padding():
+    """Regression (round-4 advisor, high): the retry source retained on a
+    dispatch handle must be the PRE-padding host input — a padded source
+    would recompute n as the padded length and the retried fetch would
+    return zero-pad rows (or, for merged chunk handles, shift real rows
+    out of position)."""
+    import numpy as np
+
+    from rapiddoc_tpu.engine.buckets import BucketSpec
+    from rapiddoc_tpu.engine.session import JaxSession
+
+    sess = JaxSession(
+        lambda params, x: x.astype("float32") + params["b"],
+        {"b": np.float32(1.0)},
+        BucketSpec(heights=(4,), widths=(4,), batch_sizes=(2, 4)),
+        name="retry-pad-test",
+        multi_device=False,
+    )
+    # n=3 pads to the 4-bucket; the retained retry source must stay n=3
+    batch = np.arange(3 * 4 * 4 * 1, dtype=np.uint8).reshape(3, 4, 4, 1)
+    handle = sess.dispatch(batch)
+    assert handle[1] == 3
+    assert handle[3].shape[0] == 3, "retry source must be pre-padding input"
+    renewed = JaxSession._redispatch(handle)
+    assert renewed[1] == 3, "re-dispatch must reproduce the true n"
+    np.testing.assert_allclose(
+        JaxSession.fetch(renewed), batch.astype(np.float32) + 1.0
+    )
+
+    # merged handles: 5 rows over max_batch 4 -> two chunks (4 + 1-padded-
+    # to-2); a rebuild from retry sources must keep rows positionally exact
+    big = np.arange(5 * 4 * 4 * 1, dtype=np.uint8).reshape(5, 4, 4, 1)
+    merged = sess.dispatch(big)
+    assert merged[1] == 5
+    rebuilt = JaxSession._redispatch(merged)
+    assert rebuilt[1] == 5
+    np.testing.assert_allclose(
+        JaxSession.fetch(rebuilt), big.astype(np.float32) + 1.0
+    )
+
+
+def test_run_batched_handles_dispatch_arity():
+    """Regression (round-4 advisor, low): run_batched must unpack the
+    4-tuple dispatch handles (was written for the old 3-tuple arity)."""
+    import numpy as np
+
+    from rapiddoc_tpu.engine.buckets import BucketSpec
+    from rapiddoc_tpu.engine.session import JaxSession
+
+    sess = JaxSession(
+        lambda params, x: x.astype("float32") * 2.0,
+        {},
+        BucketSpec(heights=(4,), widths=(4,), batch_sizes=(1, 2)),
+        name="run-batched-test",
+        multi_device=False,
+    )
+    imgs = [
+        np.full((4, 4, 1), i, dtype=np.uint8) for i in range(5)
+    ]  # 5 images > max_batch 2 -> multiple chunks + merge
+    rows = sess.run_batched(imgs)
+    assert len(rows) == 5
+    for i, row in enumerate(rows):
+        np.testing.assert_allclose(row, np.full((4, 4, 1), i * 2.0))
+
+
+def test_named_bytes_routes_by_filename():
+    """HTTP uploads keep their filename: NamedBytes carries it into
+    _normalize_input so suffix routing (office/legacy/image) and the
+    output doc name survive the in-memory path (reference:
+    docker/app.py passes UploadFile.filename to do_parse)."""
+    import io
+    import zipfile
+
+    from rapiddoc_tpu.api import NamedBytes, RapidDoc
+
+    # minimal docx-shaped zip: sniffed AND named
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            "<Types xmlns='http://schemas.openxmlformats.org/package/2006/content-types'/>",
+        )
+        z.writestr("word/document.xml", "<w:document/>")
+    data = buf.getvalue()
+
+    rd = RapidDoc.__new__(RapidDoc)  # no model stack needed for routing
+    out_bytes, name, kind = rd._normalize_input(
+        NamedBytes(data, "report final.docx")
+    )
+    assert kind == "office"
+    assert name == "report final"
+    assert out_bytes == data
+
+    # plain bytes still fall back to the generic name
+    _, anon, _ = rd._normalize_input(data)
+    assert anon == "document"
