@@ -22,9 +22,44 @@ from .fonts import Font
 from .images import xobject_to_pil
 from .text import page_base_ctm
 
-_FALLBACK_FONTS = [
-    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
-]
+def _discover_fallback_fonts() -> list[str]:
+    """Candidate system fonts for glyphs the embedded programs can't map.
+
+    Scans the usual font roots (Linux/mac/Windows) instead of pinning one
+    DejaVu path — hosts without DejaVu would otherwise silently degrade
+    to PIL's 8-px bitmap default. Override/extend with
+    RAPIDDOC_FALLBACK_FONT=<path>."""
+    import glob as _glob
+    import os as _os
+
+    cands: list[str] = []
+    env = _os.environ.get("RAPIDDOC_FALLBACK_FONT")
+    if env:
+        cands.append(env)
+    cands.append("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    patterns = [
+        "/usr/share/fonts/**/DejaVuSans.ttf",
+        "/usr/share/fonts/**/LiberationSans-Regular.ttf",
+        "/usr/share/fonts/**/NotoSans-Regular.ttf",
+        "/usr/share/fonts/**/FreeSans.ttf",
+        "/System/Library/Fonts/Helvetica.ttc",
+        "C:/Windows/Fonts/arial.ttf",
+    ]
+    for pat in patterns:
+        if "*" in pat:
+            cands.extend(sorted(_glob.glob(pat, recursive=True))[:1])
+        elif _os.path.exists(pat):
+            cands.append(pat)
+    # last resort: ANY ttf on the host beats the bitmap default
+    if not any(_os.path.exists(c) for c in cands):
+        anyttf = sorted(
+            _glob.glob("/usr/share/fonts/**/*.ttf", recursive=True)
+        )[:1]
+        cands.extend(anyttf)
+    return cands
+
+
+_FALLBACK_FONTS = _discover_fallback_fonts()
 
 
 class _FontBank:
@@ -59,6 +94,16 @@ class _FontBank:
                     break
                 except Exception:
                     continue
+            if face is None and not getattr(_FontBank, "_warned", False):
+                _FontBank._warned = True
+                import logging
+
+                logging.getLogger("rapiddoc_tpu.pdfio").warning(
+                    "no scalable system fallback font found (checked %d "
+                    "paths) — unmapped glyphs will render with PIL's "
+                    "bitmap default; set RAPIDDOC_FALLBACK_FONT=<ttf>",
+                    len(_FALLBACK_FONTS),
+                )
             self._fallback_cache[px] = face or ImageFont.load_default()
         return self._fallback_cache[px]
 
