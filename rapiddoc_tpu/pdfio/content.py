@@ -51,6 +51,12 @@ class GraphicsState:
     fill_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
     line_width: float = 1.0
     clip_bbox: tuple[float, float, float, float] | None = None  # device space
+    # non-rectangular clip stack: tuple of (subpaths, even_odd) entries,
+    # device space; empty when every active clip is axis-aligned rect
+    clip_paths: tuple = ()
+    # shading/tiling pattern fill: (kind, payload) set by scn with a
+    # pattern name; None for plain color fills
+    fill_pattern: Any = None
     stroke_alpha: float = 1.0
     fill_alpha: float = 1.0
     # text state (persists across BT/ET per spec)
@@ -252,6 +258,9 @@ class ContentInterpreter:
                 rgb = ((1 - c) * (1 - k), (1 - m) * (1 - k), (1 - y) * (1 - k))
                 self._set_color(op.islower(), rgb)
         elif op in ("sc", "scn", "SC", "SCN"):
+            if ops and isinstance(ops[-1], str):
+                self._op_set_pattern(op.islower(), ops[-1], res)
+                return
             nums = [float(v) for v in ops if isinstance(v, (int, float))]
             if len(nums) == 1:
                 self._set_color(op.islower(), (nums[0],) * 3)
@@ -421,13 +430,69 @@ class ContentInterpreter:
                 min(bbox[2], old[2]), min(bbox[3], old[3]),
             )
         self.gs.clip_bbox = bbox
+        if not self._path_is_rect(path):
+            # keep the actual polygon so the rasterizer can clip through
+            # a mask instead of degrading to the bbox (reference fidelity
+            # comes from pdfium; see render.py _clip_mask)
+            frozen = tuple(tuple(sub) for sub in path if len(sub) >= 3)
+            if frozen:
+                self.gs.clip_paths = self.gs.clip_paths + (
+                    (frozen, self._pending_clip == "W*"),
+                )
+
+    @staticmethod
+    def _path_is_rect(path: list[list[tuple[float, float]]]) -> bool:
+        """One axis-aligned rectangle (possibly closed) — the common case
+        the bbox intersection already represents exactly."""
+        if len(path) != 1:
+            return False
+        pts = path[0]
+        if pts and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if len(pts) != 4:
+            return False
+        xs = {round(p[0], 4) for p in pts}
+        ys = {round(p[1], 4) for p in pts}
+        return len(xs) == 2 and len(ys) == 2
 
     def _set_color(self, is_fill: bool, rgb: tuple) -> None:
         rgb = tuple(min(1.0, max(0.0, float(v))) for v in rgb)
         if is_fill:
             self.gs.fill_color = rgb
+            self.gs.fill_pattern = None
         else:
             self.gs.stroke_color = rgb
+
+    def _op_set_pattern(self, is_fill: bool, name: str, res: dict) -> None:
+        """scn/SCN with a pattern name: shading patterns (PatternType 2)
+        carry their shading dict + matrix for the rasterizer; tiling
+        patterns (PatternType 1) degrade to a mid-gray fill here and are
+        painted properly by the rasterizer subclass when it overrides
+        on_paint_path."""
+        pats = self.doc.resolve(res.get("Pattern"))
+        pat = self.doc.resolve(pats.get(name)) if isinstance(pats, dict) else None
+        pd = pat.dict if hasattr(pat, "dict") else pat
+        if not isinstance(pd, dict):
+            return
+        ptype = int(self.doc.resolve(pd.get("PatternType", 0)) or 0)
+        mtx = self.doc.resolve(pd.get("Matrix"))
+        matrix = (
+            tuple(float(self.doc.resolve(v)) for v in mtx)
+            if isinstance(mtx, list) and len(mtx) == 6
+            else IDENTITY
+        )
+        entry = None
+        if ptype == 2:
+            entry = ("shading", self.doc.resolve(pd.get("Shading")), matrix)
+        elif ptype == 1:
+            entry = ("tiling", pat, matrix)
+        if entry is None:
+            return
+        if is_fill:
+            self.gs.fill_pattern = entry
+            self.gs.fill_color = (0.5, 0.5, 0.5)  # non-raster consumers
+        else:
+            self.gs.stroke_color = (0.5, 0.5, 0.5)
 
     def _op_set_font(self, ops: list, res: dict) -> None:
         if len(ops) < 2 or not isinstance(ops[0], str):

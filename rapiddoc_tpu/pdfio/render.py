@@ -167,7 +167,10 @@ class PageRasterizer(ContentInterpreter):
     # ---------------------------------------------------------------- public
 
     def render(self) -> Image.Image:
-        self.run(page_base_ctm(self.page, self.scale))
+        # base ctm kept for pattern-space mapping (pattern matrices map
+        # pattern space to the page's default space, not the current ctm)
+        self._base_ctm = page_base_ctm(self.page, self.scale)
+        self.run(self._base_ctm)
         return self.canvas
 
     # ----------------------------------------------------------------- hooks
@@ -178,12 +181,13 @@ class PageRasterizer(ContentInterpreter):
     ) -> None:
         gs = self.gs
         if fill:
-            color = tuple(int(c * 255) for c in gs.fill_color) + (
-                int(255 * gs.fill_alpha),
-            )
-            for sub in path:
-                if len(sub) >= 3:
-                    self.draw.polygon(sub, fill=color)
+            if gs.fill_pattern is not None:
+                self._fill_with_pattern(path, even_odd)
+            else:
+                color = tuple(int(c * 255) for c in gs.fill_color) + (
+                    int(255 * gs.fill_alpha),
+                )
+                self._paint_polys(path, color, even_odd)
         if stroke:
             color = tuple(int(c * 255) for c in gs.stroke_color) + (
                 int(255 * gs.stroke_alpha),
@@ -191,9 +195,309 @@ class PageRasterizer(ContentInterpreter):
             from .content import mat_scale_of
 
             lw = max(1, int(round(gs.line_width * mat_scale_of(gs.ctm))))
+            mask = self._clip_mask()
+            if mask is None:
+                for sub in path:
+                    if len(sub) >= 2:
+                        self.draw.line(sub, fill=color, width=lw)
+            else:
+                layer = Image.new("L", (self.width, self.height), 0)
+                d = ImageDraw.Draw(layer)
+                for sub in path:
+                    if len(sub) >= 2:
+                        d.line(sub, fill=color[3], width=lw)
+                from PIL import ImageChops
+
+                layer = ImageChops.multiply(layer, mask)
+                solid = Image.new("RGB", (self.width, self.height), color[:3])
+                self.canvas.paste(solid, (0, 0), layer)
+
+    # ------------------------------------------------------- clip machinery
+
+    def _clip_mask(self) -> Image.Image | None:
+        """Intersection mask of the non-rect clip stack (None when every
+        active clip is rectangular — the fast common case). Cached by the
+        immutable clip_paths tuple, so repeated paints under one clip pay
+        the rasterization once."""
+        cp = self.gs.clip_paths
+        if not cp:
+            return None
+        cache = getattr(self, "_clipmask_cache", None)
+        if cache is None:
+            cache = {}
+            self._clipmask_cache = cache
+        m = cache.get(cp)
+        if m is None:
+            acc: np.ndarray | None = None
+            for polys, even_odd in cp:
+                if even_odd:
+                    layer_np = np.zeros((self.height, self.width), bool)
+                    for sub in polys:
+                        one = Image.new("1", (self.width, self.height), 0)
+                        ImageDraw.Draw(one).polygon(list(sub), fill=1)
+                        layer_np ^= np.asarray(one, bool)
+                else:
+                    lay = Image.new("1", (self.width, self.height), 0)
+                    d = ImageDraw.Draw(lay)
+                    for sub in polys:
+                        d.polygon(list(sub), fill=1)
+                    layer_np = np.asarray(lay, bool)
+                acc = layer_np if acc is None else (acc & layer_np)
+            m = Image.fromarray(
+                (acc.astype(np.uint8) * 255) if acc is not None else
+                np.full((self.height, self.width), 255, np.uint8)
+            )
+            if len(cache) > 64:
+                cache.clear()
+            cache[cp] = m
+        return m
+
+    def _paint_polys(
+        self, path: list[list[tuple[float, float]]], rgba: tuple, even_odd: bool
+    ) -> None:
+        """Polygon fill honoring the clip bbox + non-rect clip mask."""
+        gs = self.gs
+        mask = self._clip_mask()
+        cb = gs.clip_bbox
+        needs_bbox = False
+        if cb is not None:
             for sub in path:
-                if len(sub) >= 2:
-                    self.draw.line(sub, fill=color, width=lw)
+                for x, y in sub:
+                    if (x < cb[0] - 0.5 or y < cb[1] - 0.5
+                            or x > cb[2] + 0.5 or y > cb[3] + 0.5):
+                        needs_bbox = True
+                        break
+                if needs_bbox:
+                    break
+        if mask is None and not needs_bbox:
+            for sub in path:
+                if len(sub) >= 3:
+                    self.draw.polygon(sub, fill=rgba)
+            return
+        layer = Image.new("L", (self.width, self.height), 0)
+        d = ImageDraw.Draw(layer)
+        for sub in path:
+            if len(sub) >= 3:
+                d.polygon(list(sub), fill=255)
+        arr = np.asarray(layer, np.uint8).copy()
+        if needs_bbox:
+            x0 = max(int(math.floor(cb[0])), 0)
+            y0 = max(int(math.floor(cb[1])), 0)
+            x1 = min(int(math.ceil(cb[2])), self.width)
+            y1 = min(int(math.ceil(cb[3])), self.height)
+            keep = np.zeros_like(arr)
+            if x1 > x0 and y1 > y0:
+                keep[y0:y1, x0:x1] = 1
+            arr *= keep
+        if mask is not None:
+            arr = (arr.astype(np.uint16) * np.asarray(mask, np.uint8) // 255).astype(
+                np.uint8
+            )
+        if rgba[3] < 255:
+            arr = (arr.astype(np.uint16) * rgba[3] // 255).astype(np.uint8)
+        solid = Image.new("RGB", (self.width, self.height), rgba[:3])
+        self.canvas.paste(solid, (0, 0), Image.fromarray(arr))
+
+    # ------------------------------------------------------------- shadings
+
+    def on_shading(self, ops: list, res: dict) -> None:
+        """`sh` paints the shading across the current clip region
+        (reference fidelity via pdfium, pdf_image_tools.py:26-48)."""
+        if not ops or not isinstance(ops[0], str):
+            return
+        shs = self.doc.resolve(res.get("Shading"))
+        sh = self.doc.resolve(shs.get(ops[0])) if isinstance(shs, dict) else None
+        if sh is None:
+            return
+        self._paint_shading(sh, self.gs.ctm, None, None)
+
+    def _paint_shading(
+        self,
+        sh,
+        ctm,
+        region: tuple[int, int, int, int] | None,
+        extra_mask: np.ndarray | None,
+    ) -> None:
+        from .shading import mat_invert, render_shading  # noqa: F401
+
+        gs = self.gs
+        x0, y0, x1, y1 = 0, 0, self.width, self.height
+        if gs.clip_bbox is not None:
+            cb = gs.clip_bbox
+            x0 = max(x0, int(math.floor(cb[0])))
+            y0 = max(y0, int(math.floor(cb[1])))
+            x1 = min(x1, int(math.ceil(cb[2])))
+            y1 = min(y1, int(math.ceil(cb[3])))
+        if region is not None:
+            x0, y0 = max(x0, region[0]), max(y0, region[1])
+            x1, y1 = min(x1, region[2]), min(y1, region[3])
+        # shading's own (shading-space) BBox further restricts the paint
+        sh_dict = sh.dict if hasattr(sh, "dict") else sh
+        if isinstance(sh_dict, dict):
+            bb = self.doc.resolve(sh_dict.get("BBox"))
+            if isinstance(bb, list) and len(bb) == 4:
+                pts = [
+                    mat_apply(ctm, float(self.doc.resolve(bb[0])), float(self.doc.resolve(bb[1]))),
+                    mat_apply(ctm, float(self.doc.resolve(bb[2])), float(self.doc.resolve(bb[1]))),
+                    mat_apply(ctm, float(self.doc.resolve(bb[2])), float(self.doc.resolve(bb[3]))),
+                    mat_apply(ctm, float(self.doc.resolve(bb[0])), float(self.doc.resolve(bb[3]))),
+                ]
+                x0 = max(x0, int(math.floor(min(p[0] for p in pts))))
+                y0 = max(y0, int(math.floor(min(p[1] for p in pts))))
+                x1 = min(x1, int(math.ceil(max(p[0] for p in pts))))
+                y1 = min(y1, int(math.ceil(max(p[1] for p in pts))))
+        if x1 <= x0 or y1 <= y0:
+            return
+        out = render_shading(self.doc, sh, ctm, (x0, y0, x1, y1))
+        if out is None:
+            return
+        rgb, alpha = out
+        a = alpha * gs.fill_alpha
+        mask = self._clip_mask()
+        if mask is not None:
+            a = a * (
+                np.asarray(mask, np.uint8)[y0:y1, x0:x1].astype(np.float64) / 255.0
+            )
+        if extra_mask is not None:
+            a = a * extra_mask
+        am = Image.fromarray((np.clip(a, 0.0, 1.0) * 255).astype(np.uint8), "L")
+        self.canvas.paste(Image.fromarray(rgb, "RGB"), (x0, y0), am)
+
+    def _fill_with_pattern(
+        self, path: list[list[tuple[float, float]]], even_odd: bool
+    ) -> None:
+        """Fill polygons with the active shading/tiling pattern."""
+        kind, payload, matrix = self.gs.fill_pattern
+        xs = [p[0] for sub in path for p in sub]
+        ys = [p[1] for sub in path for p in sub]
+        if not xs:
+            return
+        rx0 = max(int(math.floor(min(xs))), 0)
+        ry0 = max(int(math.floor(min(ys))), 0)
+        rx1 = min(int(math.ceil(max(xs))), self.width)
+        ry1 = min(int(math.ceil(max(ys))), self.height)
+        if rx1 <= rx0 or ry1 <= ry0:
+            return
+        poly = Image.new("L", (self.width, self.height), 0)
+        d = ImageDraw.Draw(poly)
+        for sub in path:
+            if len(sub) >= 3:
+                d.polygon(list(sub), fill=255)
+        poly_np = (
+            np.asarray(poly, np.uint8)[ry0:ry1, rx0:rx1].astype(np.float64) / 255.0
+        )
+        base = getattr(self, "_base_ctm", self.gs.ctm)
+        pat_ctm = mat_mul(matrix, base)
+        if kind == "shading":
+            self._paint_shading(payload, pat_ctm, (rx0, ry0, rx1, ry1), poly_np)
+            return
+        tile = self._tiling_tile(payload, pat_ctm)
+        if tile is None:
+            # unsupported tiling geometry: flat mid-gray through the mask
+            solid = Image.new("RGB", (rx1 - rx0, ry1 - ry0), (128, 128, 128))
+            am = Image.fromarray((poly_np * 255).astype(np.uint8), "L")
+            self.canvas.paste(solid, (rx0, ry0), am)
+            return
+        tile_img, tx0, ty0, stepx, stepy = tile
+        tw, th = tile_img.size
+        if stepx <= 0 or stepy <= 0:
+            return
+        # tile anchored at the pattern-space origin: first index covering
+        # the region
+        i0 = int(math.floor((rx0 - tx0) / stepx))
+        j0 = int(math.floor((ry0 - ty0) / stepy))
+        i1 = int(math.ceil((rx1 - tx0) / stepx))
+        j1 = int(math.ceil((ry1 - ty0) / stepy))
+        if (i1 - i0) * (j1 - j0) > 4096:
+            return  # degenerate step: avoid pathological loops
+        mask = self._clip_mask()
+        comb = poly_np
+        if mask is not None:
+            comb = comb * (
+                np.asarray(mask, np.uint8)[ry0:ry1, rx0:rx1].astype(np.float64)
+                / 255.0
+            )
+        region_mask = Image.fromarray((comb * 255).astype(np.uint8), "L")
+        # compose the pattern layer for the region then paste once
+        layer = Image.new("RGBA", (rx1 - rx0, ry1 - ry0), (0, 0, 0, 0))
+        for j in range(j0, j1 + 1):
+            for i in range(i0, i1 + 1):
+                px = int(round(tx0 + i * stepx)) - rx0
+                py = int(round(ty0 + j * stepy)) - ry0
+                if px > layer.width or py > layer.height:
+                    continue
+                if px + tw < 0 or py + th < 0:
+                    continue
+                layer.paste(tile_img, (px, py), tile_img)
+        lnp = np.asarray(layer)
+        la = (lnp[..., 3].astype(np.float64) / 255.0) * comb
+        am = Image.fromarray((np.clip(la, 0, 1) * 255).astype(np.uint8), "L")
+        self.canvas.paste(
+            Image.fromarray(lnp[..., :3], "RGB"), (rx0, ry0), am
+        )
+        _ = region_mask  # (kept for clarity; comb already folded in)
+
+    def _tiling_tile(self, pat_stream, pat_ctm):
+        """Rasterize one tiling-pattern cell to an RGBA tile.
+
+        Returns (tile_img, origin_x, origin_y, step_dx, step_dy) in device
+        pixels, or None when the pattern's step vectors are not axis-
+        aligned (falls back to flat fill)."""
+        doc = self.doc
+        pd = pat_stream.dict if hasattr(pat_stream, "dict") else None
+        if not isinstance(pd, dict):
+            return None
+        cache = getattr(self, "_tile_cache", None)
+        if cache is None:
+            cache = {}
+            self._tile_cache = cache
+        key = (id(pat_stream), tuple(round(v, 3) for v in pat_ctm))
+        if key in cache:
+            return cache[key]
+        try:
+            bb = [float(doc.resolve(v)) for v in doc.resolve(pd.get("BBox"))]
+            xstep = float(doc.resolve(pd.get("XStep", bb[2] - bb[0])) or (bb[2] - bb[0]))
+            ystep = float(doc.resolve(pd.get("YStep", bb[3] - bb[1])) or (bb[3] - bb[1]))
+        except (TypeError, ValueError, IndexError):
+            cache[key] = None
+            return None
+        a, b, c, d_, e, f = pat_ctm
+        # axis-aligned requirement: step vectors map to axis-aligned
+        # device vectors
+        sx_dev = (xstep * a, xstep * b)
+        sy_dev = (ystep * c, ystep * d_)
+        if abs(sx_dev[1]) > 0.01 * abs(sx_dev[0] or 1) or abs(
+            sy_dev[0]
+        ) > 0.01 * abs(sy_dev[1] or 1):
+            cache[key] = None
+            return None
+        corners = [
+            mat_apply(pat_ctm, bb[0], bb[1]), mat_apply(pat_ctm, bb[2], bb[1]),
+            mat_apply(pat_ctm, bb[2], bb[3]), mat_apply(pat_ctm, bb[0], bb[3]),
+        ]
+        tx0 = min(p[0] for p in corners)
+        ty0 = min(p[1] for p in corners)
+        tw = max(1, int(math.ceil(max(p[0] for p in corners) - tx0)))
+        th = max(1, int(math.ceil(max(p[1] for p in corners) - ty0)))
+        if tw > 2048 or th > 2048:
+            cache[key] = None
+            return None
+        # nested rasterizer onto a transparent RGBA cell
+        sub = PageRasterizer(self.page, scale=self.scale)
+        sub.canvas = Image.new("RGBA", (tw, th), (0, 0, 0, 0))
+        sub.draw = ImageDraw.Draw(sub.canvas, "RGBA")
+        sub.width, sub.height = tw, th
+        sub.gs.ctm = mat_mul(pat_ctm, (1, 0, 0, 1, -tx0, -ty0))
+        try:
+            pres = doc.resolve(pd.get("Resources")) or {}
+            sub.execute(doc.stream_bytes(pat_stream), pres)
+            tile = sub.canvas
+        except Exception:
+            cache[key] = None
+            return None
+        out = (tile, tx0, ty0, abs(sx_dev[0]), abs(sy_dev[1]))
+        cache[key] = out
+        return out
 
     def on_show_char(
         self, code: int, text: str, trm: Matrix, advance: float, font: Font
@@ -350,6 +654,7 @@ class PageRasterizer(ContentInterpreter):
         if img.mode == "LA":  # stencil mask: paint fill color through mask
             color = tuple(int(v * 255) for v in self.gs.fill_color)
             mask = img.getchannel("L").resize((dst_w, dst_h))
+            mask = self._with_clip_mask((int(x0), int(y0)), mask)
             solid = Image.new("RGB", (dst_w, dst_h), color)
             self.canvas.paste(solid, (int(x0), int(y0)), mask)
             return
@@ -384,11 +689,38 @@ class PageRasterizer(ContentInterpreter):
             else:
                 img = img.resize((dst_w, dst_h), Image.BILINEAR)
         if img.mode == "RGBA":
-            self.canvas.paste(img, (int(x0), int(y0)), img)
+            pmask = self._with_clip_mask(
+                (int(x0), int(y0)), img.getchannel("A")
+            )
+            self.canvas.paste(img, (int(x0), int(y0)), pmask)
         else:
             if img.mode != "RGB":
                 img = img.convert("RGB")
-            self.canvas.paste(img, (int(x0), int(y0)))
+            pmask = self._with_clip_mask((int(x0), int(y0)), None, img.size)
+            self.canvas.paste(img, (int(x0), int(y0)), pmask)
+
+    def _with_clip_mask(
+        self,
+        origin: tuple[int, int],
+        alpha: Image.Image | None,
+        size: tuple[int, int] | None = None,
+    ) -> Image.Image | None:
+        """Combine a paste alpha with the non-rect clip mask at `origin`;
+        None = unmasked paste (no non-rect clip and no alpha)."""
+        mask = self._clip_mask()
+        if mask is None:
+            return alpha
+        w, h = alpha.size if alpha is not None else (size or (0, 0))
+        if w <= 0 or h <= 0:
+            return alpha
+        ox, oy = origin
+        crop = mask.crop((ox, oy, ox + w, oy + h))
+        if alpha is None:
+            return crop
+        arr = (
+            np.asarray(alpha, np.uint16) * np.asarray(crop, np.uint16) // 255
+        ).astype(np.uint8)
+        return Image.fromarray(arr, "L")
 
 
 def render_page(page: PdfPage, dpi: int = 200) -> Image.Image:
