@@ -397,10 +397,28 @@ class RapidDoc:
                     image_config=self.image_config,
                 )
 
+        # doc-wide AR packing: formula/table decode regions accumulate
+        # across windows and run in FULL length x batch buckets instead
+        # of per-window dribbles (a 16-slot decode bucket at 2 regions
+        # wastes 7/8 of every step). Checkpointed runs keep per-window
+        # decoding so saved windows stay self-contained.
+        from .pipeline.scheduler import DeferredAR
+
+        deferred = (
+            DeferredAR() if (ckpt is None and len(starts) > 1) else None
+        )
         asm_futures = []
+        pending_asm: list[tuple] = []  # windows awaiting an AR flush
+
         with ThreadPoolExecutor(max_workers=1) as pool, ThreadPoolExecutor(
             max_workers=1
         ) as asm_pool:
+
+            def submit_pending():
+                for args in pending_asm:
+                    asm_futures.append(asm_pool.submit(assemble_window, *args))
+                pending_asm.clear()
+
             future = pool.submit(render_window, starts[0]) if starts else None
             for wi, start in enumerate(starts):
                 w_imgs, w_text, w_boxes, dims = future.result()
@@ -416,7 +434,8 @@ class RapidDoc:
                     ]
                     w_modes = [parse_method] * len(w_imgs)
                     infos = stack.analyzer.analyze_pages(
-                        arrays, w_modes, w_text, w_boxes, [scale] * len(w_imgs)
+                        arrays, w_modes, w_text, w_boxes,
+                        [scale] * len(w_imgs), deferred=deferred,
                     )
                     if ckpt is not None:
                         ckpt.save(start, infos)
@@ -432,18 +451,28 @@ class RapidDoc:
                 )
                 # reference image_config: image spans matching an embedded
                 # image keep the ORIGINAL pixels (docs/analyze_param.md)
-                asm_futures.append(
-                    asm_pool.submit(
-                        assemble_window, start, infos, dims, w_imgs,
-                        w_text, originals,
+                args = (start, infos, dims, w_imgs, w_text, originals)
+                if deferred is not None and deferred.window_added() > 0:
+                    pending_asm.append(args)
+                    if deferred.should_flush():
+                        stack.analyzer.flush_deferred(deferred)
+                        submit_pending()
+                elif pending_asm:
+                    # keep window order: ride behind the pending flush
+                    pending_asm.append(args)
+                else:
+                    asm_futures.append(
+                        asm_pool.submit(assemble_window, *args)
                     )
-                )
                 all_model_infos.extend(infos)
                 page_imgs.extend(w_imgs)
                 text_dicts.extend(w_text)
                 parse_modes.extend(w_modes)
                 page_dims.extend(dims)
                 scales.extend([scale] * len(w_imgs))
+            if deferred is not None:
+                stack.analyzer.flush_deferred(deferred)
+            submit_pending()
             page_infos = [p for f in asm_futures for p in f.result()]
 
         with stage_timer("assembly_final", n_pages):
@@ -548,6 +577,11 @@ class RapidDoc:
             for page_i in range(len(doc))
         ]
         per_doc: dict[int, dict[int, tuple]] = {k: {} for k in range(len(opened))}
+        # AR regions pack across super-batch chunks too (assembly here
+        # happens after all chunks, so no per-window gating is needed)
+        from .pipeline.scheduler import DeferredAR
+
+        batch_deferred = DeferredAR() if len(tasks) > super_batch else None
         for c0 in range(0, len(tasks), super_batch):
             chunk = tasks[c0 : c0 + super_batch]
             imgs, modes, tdicts, boxes_l, keys = [], [], [], [], []
@@ -574,12 +608,17 @@ class RapidDoc:
                 keys.append((k, page_i, dims))
             arrays = [np.asarray(im.convert("RGB")) for im in imgs]
             infos = stack.analyzer.analyze_pages(
-                arrays, modes, tdicts, boxes_l, [scale] * len(arrays)
+                arrays, modes, tdicts, boxes_l, [scale] * len(arrays),
+                deferred=batch_deferred,
             )
+            if batch_deferred is not None and batch_deferred.should_flush():
+                stack.analyzer.flush_deferred(batch_deferred)
             for (k, page_i, dims), info, img, tdict in zip(
                 keys, infos, imgs, tdicts
             ):
                 per_doc[k][page_i] = (info, dims, img, tdict)
+        if batch_deferred is not None:
+            stack.analyzer.flush_deferred(batch_deferred)
 
         for k, (slot, doc, _, mode) in enumerate(opened):
             pages = [per_doc[k][i] for i in sorted(per_doc[k])]

@@ -280,6 +280,44 @@ def _rotate_dets_back(dets: list[dict], angle: int, rot_w: int, rot_h: int) -> N
         det["poly"] = _quad_poly(min(xs), min(ys), max(xs), max(ys))
 
 
+class DeferredAR:
+    """Doc-scope accumulator for autoregressive work (formula LaTeX,
+    table structure) collected across page windows.
+
+    AR decode throughput is set by batch occupancy: a 16-slot decode
+    bucket running 2 regions wastes 7/8 of every MXU step. Windows
+    usually contribute 0-4 regions each, so regions are pooled here and
+    decoded when full buckets accumulate (or at end of document)."""
+
+    # full decode bucket sizes (models/formula/engine.py batch_chunks
+    # sizes=(4,16); table engines bucket similarly)
+    FORMULA_FLUSH = 16
+    TABLE_FLUSH = 8
+
+    def __init__(self) -> None:
+        # (crop, owner_det)
+        self.formula: list[tuple[np.ndarray, dict]] = []
+        # (crop, owner_det, [(coords, formula_det)], [(coords, uuid)])
+        self.table: list[tuple] = []
+        self._seen_windows = 0
+        self._mark = (0, 0)
+
+    def window_added(self) -> int:
+        """Items contributed since the previous call (lets the caller
+        fast-path windows with no AR work)."""
+        added = (len(self.formula) - self._mark[0]) + (
+            len(self.table) - self._mark[1]
+        )
+        self._mark = (len(self.formula), len(self.table))
+        return added
+
+    def should_flush(self) -> bool:
+        return (
+            len(self.formula) >= self.FORMULA_FLUSH
+            or len(self.table) >= self.TABLE_FLUSH
+        )
+
+
 class DocumentAnalyzer:
     """Runs the model stack over rendered page images."""
 
@@ -312,11 +350,20 @@ class DocumentAnalyzer:
         text_dicts: Sequence[dict | None],
         image_boxes_per_page: Sequence[list[list[float]] | None] | None = None,
         scales: Sequence[float] | None = None,
+        deferred: DeferredAR | None = None,
     ) -> list[dict]:
         """Returns one model_info = {"layout_dets": [...]} per page.
 
         page_images are rendered RGB arrays; det polys are in image pixels.
         scales[i] = pixels per page unit (used to map native text to pixels).
+
+        With `deferred`, the autoregressive stages (formula LaTeX decode,
+        table structure) only COLLECT their regions — the caller packs
+        regions doc-wide across page windows and runs flush_deferred()
+        when full length x batch buckets accumulate (reference runs its
+        super-batch per 384-page chunk, analyze_utils.py:157-190; AR
+        decode efficiency here scales with batch occupancy, so per-window
+        dribbles of 1-4 regions waste the decode bucket).
         """
         n = len(page_images)
         scales = scales or [1.0] * n
@@ -407,11 +454,11 @@ class DocumentAnalyzer:
 
         # ③ formulas
         if self.formula_enable and self.formula_model is not None:
-            self._run_formulas(page_images, model_infos)
+            self._run_formulas(page_images, model_infos, deferred)
 
         # ④ tables
         if self.table_enable and self.table_model is not None:
-            self._run_tables(page_images, model_infos)
+            self._run_tables(page_images, model_infos, deferred)
 
         # ⑤ leftover text recovery: layout Text regions the page-level
         # det missed entirely get a focused rec pass (reference:
@@ -683,7 +730,9 @@ class DocumentAnalyzer:
 
     # --------------------------------------------------- formula/table
 
-    def _run_formulas(self, page_images, model_infos) -> None:
+    def _run_formulas(
+        self, page_images, model_infos, deferred: DeferredAR | None = None
+    ) -> None:
         regions = []
         owners = []
         for page_i, info in enumerate(model_infos):
@@ -702,12 +751,56 @@ class DocumentAnalyzer:
                         owners.append(det)
         if not regions:
             return
+        if deferred is not None:
+            # copy the crops: region views would pin whole page arrays
+            # in memory until the flush
+            deferred.formula.extend(
+                (np.ascontiguousarray(r), o) for r, o in zip(regions, owners)
+            )
+            return
         with stage_timer("formula", len(regions)):
             latexes = self.formula_model.batch_predict(regions)
         for det, latex in zip(owners, latexes):
             det["latex"] = latex
 
-    def _run_tables(self, page_images, model_infos) -> None:
+    def flush_deferred(self, deferred: DeferredAR) -> None:
+        """Decode every accumulated AR region in packed buckets.
+
+        Formulas first (tables inject recognized in-table formulas via
+        mfd items), then tables."""
+        if deferred.formula:
+            regions = [r for r, _ in deferred.formula]
+            owners = [o for _, o in deferred.formula]
+            with stage_timer("formula", len(regions)):
+                latexes = self.formula_model.batch_predict(regions)
+            for det, latex in zip(owners, latexes):
+                det["latex"] = latex
+            deferred.formula.clear()
+        if deferred.table:
+            regions = [t[0] for t in deferred.table]
+            owners = [t[1] for t in deferred.table]
+            mfd_items = [
+                [(coords, f_det["latex"])
+                 for coords, f_det in t[2] if f_det.get("latex")]
+                for t in deferred.table
+            ]
+            fill_items = [t[3] for t in deferred.table]
+            with stage_timer("table", len(regions)):
+                try:
+                    htmls = self.table_model.batch_predict(
+                        regions, mfd_items=mfd_items, fill_items=fill_items
+                    )
+                except TypeError:
+                    htmls = self.table_model.batch_predict(regions)
+            for det, html in zip(owners, htmls):
+                if html:
+                    det["html"] = html
+            deferred.table.clear()
+        deferred.window_added()  # reset the mark
+
+    def _run_tables(
+        self, page_images, model_infos, deferred: DeferredAR | None = None
+    ) -> None:
         formula_cats = (
             CategoryId.InterlineEquation_Layout,
             CategoryId.InterlineEquation_YOLO,
@@ -715,12 +808,16 @@ class DocumentAnalyzer:
         )
         regions = []
         owners = []
-        mfd_items: list[list[tuple[list[float], str]]] = []
+        # (coords, formula_det) pairs per table — resolved to (coords,
+        # latex) at predict time, so deferred formulas (decoded later,
+        # flush_deferred) still inject correctly
+        mfd_refs: list[list[tuple[list[float], dict]]] = []
         fill_items: list[list[tuple[list[float], str]]] = []
         for page_i, info in enumerate(model_infos):
             formulas = [
                 d for d in info["layout_dets"]
-                if d["category_id"] in formula_cats and d.get("latex")
+                if d["category_id"] in formula_cats
+                and (d.get("latex") or deferred is not None)
             ]
             images = [
                 d for d in info["layout_dets"]
@@ -747,10 +844,9 @@ class DocumentAnalyzer:
                         fy1 = max(f["poly"][1::2])
                         if fx0 >= x0 and fy0 >= y0 and fx1 <= x1 and fy1 <= y1:
                             inside.append(
-                                ([fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0],
-                                 f["latex"])
+                                ([fx0 - x0, fy0 - y0, fx1 - x0, fy1 - y0], f)
                             )
-                    mfd_items.append(inside)
+                    mfd_refs.append(inside)
                     # in-table images become uuid placeholders resolved to
                     # <img> at save time (reference: rapid_table.py
                     # fill_image_res + pdf_image_tools.save_table_fill_image)
@@ -778,6 +874,16 @@ class DocumentAnalyzer:
                         det["fill_images"] = det_fills
         if not regions:
             return
+        if deferred is not None:
+            deferred.table.extend(
+                (np.ascontiguousarray(r), o, m, fl)
+                for r, o, m, fl in zip(regions, owners, mfd_refs, fill_items)
+            )
+            return
+        mfd_items = [
+            [(coords, f["latex"]) for coords, f in refs if f.get("latex")]
+            for refs in mfd_refs
+        ]
         with stage_timer("table", len(regions)):
             try:
                 htmls = self.table_model.batch_predict(

@@ -328,3 +328,79 @@ def test_fallback_layout_merges_strips_and_drops_scan_substrate():
     _drop_scan_substrate_images(info, (1000, 1000))
     assert len(bodies(info)) == 1
     assert bodies(info)[0]["poly"][:2] == [100, 100]
+
+
+def test_deferred_ar_packs_across_windows():
+    """DeferredAR: formula/table decode regions accumulate across
+    analyze_pages calls and resolve in ONE packed batch at flush —
+    including formula latex injection into in-table mfd items that were
+    collected BEFORE the formulas were decoded."""
+    import numpy as np
+
+    from rapiddoc_tpu.pipeline.scheduler import DeferredAR, DocumentAnalyzer
+    from rapiddoc_tpu.types import CategoryId
+
+    calls = {"formula": [], "table": []}
+
+    class StubLayout:
+        def batch_predict(self, imgs):
+            out = []
+            for _ in imgs:
+                out.append([
+                    {"category_id": CategoryId.InterlineEquation_Layout,
+                     "poly": [10, 10, 60, 10, 60, 30, 10, 30], "score": 0.9},
+                    {"category_id": CategoryId.TableBody,
+                     "poly": [5, 5, 90, 5, 90, 90, 5, 90], "score": 0.9},
+                ])
+            return out
+
+    class StubFormula:
+        def batch_predict(self, crops, **kw):
+            calls["formula"].append(len(crops))
+            return [f"x_{i}" for i in range(len(crops))]
+
+    class StubTable:
+        def batch_predict(self, crops, mfd_items=None, fill_items=None):
+            calls["table"].append((len(crops), mfd_items))
+            return ["<table><tr><td>t</td></tr></table>"] * len(crops)
+
+    an = DocumentAnalyzer(
+        layout_model=StubLayout(), formula_model=StubFormula(),
+        table_model=StubTable(),
+    )
+    img = np.full((100, 100, 3), 255, np.uint8)
+    deferred = DeferredAR()
+    infos_a = an.analyze_pages([img], ["txt"], [None], deferred=deferred)
+    infos_b = an.analyze_pages([img], ["txt"], [None], deferred=deferred)
+    # nothing decoded yet
+    assert calls["formula"] == [] and calls["table"] == []
+    for infos in (infos_a, infos_b):
+        dets = infos[0]["layout_dets"]
+        assert not any(d.get("latex") for d in dets)
+        assert not any(d.get("html") for d in dets)
+
+    an.flush_deferred(deferred)
+    # one packed call per family covering BOTH windows
+    assert calls["formula"] == [2]
+    assert len(calls["table"]) == 1 and calls["table"][0][0] == 2
+    # mfd items resolved with the (later-decoded) latex
+    mfd = calls["table"][0][1]
+    assert all(len(items) == 1 and items[0][1].startswith("x_") for items in mfd)
+    for infos in (infos_a, infos_b):
+        dets = infos[0]["layout_dets"]
+        assert any(d.get("latex") for d in dets)
+        assert any(d.get("html") for d in dets)
+    assert not deferred.formula and not deferred.table
+
+
+def test_deferred_ar_window_added_and_flush_threshold():
+    from rapiddoc_tpu.pipeline.scheduler import DeferredAR
+
+    d = DeferredAR()
+    assert d.window_added() == 0
+    d.formula.extend([(None, {})] * 3)
+    assert d.window_added() == 3
+    assert d.window_added() == 0
+    assert not d.should_flush()
+    d.formula.extend([(None, {})] * DeferredAR.FORMULA_FLUSH)
+    assert d.should_flush()
