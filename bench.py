@@ -40,7 +40,7 @@ if _WATCHDOG_S > 0:
     faulthandler.dump_traceback_later(_WATCHDOG_S, repeat=True, exit=False)
 
 TINY = bool(os.environ.get("RAPIDDOC_BENCH_TINY"))
-PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "12"))
+PAGES = int(os.environ.get("RAPIDDOC_BENCH_PAGES", "2" if TINY else "56"))
 DEMO_PDF = "/root/reference/demo/pdfs/demo1.pdf"
 CJK_PDF = "/root/reference/demo/pdfs/比亚迪财报.pdf"
 # per-document workload counts measured by the e2e run (filled by
@@ -105,6 +105,58 @@ def _synth_corpus_pdf(kind: str, n_pages: int) -> bytes:
     return pdfio.images_to_pdf(imgs, dpi=144)
 
 
+def _composite_corpus_pdf(total_pages: int) -> tuple[bytes, dict]:
+    """ONE mixed document for the headline e2e (VERDICT r4: 12 pages /
+    4 formula regions is too small-N for formula/table conclusions):
+    real english-paper pages + CJK report pages (both rasterized — the
+    headline runs ocr mode) + table-heavy + formula-dense + plain synth
+    text pages, proportionally scaled to `total_pages` (default 56)."""
+    import random
+
+    from PIL import Image
+
+    from rapiddoc_tpu import pdfio
+    from rapiddoc_tpu.pdfio.render import render_pdf_page
+    from rapiddoc_tpu.train.synth import render_page
+    from rapiddoc_tpu.train.synth_layout import render_layout_page
+
+    plan = [  # (kind, share of total)
+        ("demo1", 12 / 56), ("cjk", 8 / 56), ("table_heavy", 12 / 56),
+        ("formula_dense", 12 / 56), ("synth_text", 12 / 56),
+    ]
+    mix = {
+        "table_heavy": (0.18, 0.24, 0.28, 0.92),
+        "formula_dense": (0.22, 0.28, 0.32, 0.36),
+    }
+    imgs: list[Image.Image] = []
+    counts: dict[str, int] = {}
+    for kind, share in plan:
+        n = max(1, round(total_pages * share))
+        if kind in ("demo1", "cjk"):
+            path = DEMO_PDF if kind == "demo1" else CJK_PDF
+            if not os.path.isfile(path):
+                counts[kind] = 0
+                continue
+            raw = open(path, "rb").read()
+            avail = len(__import__("rapiddoc_tpu").pdfio.open_pdf(raw))
+            n = min(n, avail)
+            for i in range(n):
+                imgs.append(render_pdf_page(raw, i, dpi=144).convert("RGB"))
+        elif kind == "synth_text":
+            rng = random.Random(0)
+            for _ in range(n):
+                imgs.append(Image.fromarray(render_page(rng, 960)[0]))
+        else:
+            rng = random.Random(7 if kind == "table_heavy" else 11)
+            for _ in range(n):
+                imgs.append(Image.fromarray(
+                    render_layout_page(rng, size=760, height=1000,
+                                       mix=mix[kind])[0]
+                ))
+        counts[kind] = n
+    return pdfio.images_to_pdf(imgs, dpi=144), counts
+
+
 def _transfer_split(stage_wall_ms: dict[str, float]) -> dict:
     """Join the serialized transfer estimate with measured stage walls.
 
@@ -147,6 +199,7 @@ def _bench_e2e() -> tuple[float, dict, int, dict, dict]:
     comparison; it is also the fallback when the demo PDF is absent).
     """
     ocr_only = bool(os.environ.get("RAPIDDOC_BENCH_OCR_ONLY")) or TINY
+    corpus_counts: dict = {}
     if ocr_only or not os.path.isfile(DEMO_PDF):
         os.environ.setdefault("RAPIDDOC_DISABLE_LAYOUT", "1")
         os.environ.setdefault("RAPIDDOC_DISABLE_FORMULA", "1")
@@ -156,11 +209,10 @@ def _bench_e2e() -> tuple[float, dict, int, dict, dict]:
     else:
         os.environ.setdefault("RAPIDDOC_DEMO_LAYOUT", "1")
         from rapiddoc_tpu import pdfio
-        from rapiddoc_tpu.cli.common import convert_pdf_bytes_to_bytes_by_pages
 
-        raw = open(DEMO_PDF, "rb").read()
-        pages = min(PAGES, len(pdfio.open_pdf(raw)))
-        pdf = convert_pdf_bytes_to_bytes_by_pages(raw, 0, pages - 1)
+        pdf, corpus_counts = _composite_corpus_pdf(PAGES)
+        pages = len(pdfio.open_pdf(pdf))
+        print(f"[e2e corpus] {pages} pages: {corpus_counts}", file=sys.stderr)
     from rapiddoc_tpu import RapidDoc
     from rapiddoc_tpu.api import GLOBAL_TRACER, stage_report
     from rapiddoc_tpu.engine import flops
@@ -179,15 +231,21 @@ def _bench_e2e() -> tuple[float, dict, int, dict, dict]:
             break
         compiles = now
 
-    before_rec = {
-        k: v["items"] for k, v in session_stats_report().items()
-    }
-    GLOBAL_TRACER.reset()
-    flops.reset()
-    tic = time.perf_counter()
-    out = doc(pdf, parse_method="ocr")
-    dt = time.perf_counter() - tic
-    assert out.markdown  # produced real output
+    # timed: TWO warm passes — run-to-run tunnel variance is ±20%
+    # (ROADMAP), so the headline is the mean and the spread is reported
+    runs: list[float] = []
+    n_runs = 1 if TINY else 2
+    for _ in range(n_runs):
+        before_rec = {
+            k: v["items"] for k, v in session_stats_report().items()
+        }
+        GLOBAL_TRACER.reset()
+        flops.reset()
+        tic = time.perf_counter()
+        out = doc(pdf, parse_method="ocr")
+        dt = time.perf_counter() - tic
+        assert out.markdown  # produced real output
+        runs.append(dt)
     rep = stage_report()
     for k, v in rep.items():
         print(f"[stage] {k}: {v}", file=sys.stderr)
@@ -276,7 +334,50 @@ def _bench_e2e() -> tuple[float, dict, int, dict, dict]:
         "pad_overhead": round(rec_stats.get("pad_overhead", 0.0), 3),
         "session_calls": rec_stats.get("calls"),
     }
-    return pages / dt, report, pages, mfu, overlap
+    # variance across the warm timed runs (tunnel jitter is the main
+    # source; small-N stage conclusions need the spread on record)
+    pps_runs = [round(pages / r, 3) for r in runs]
+    mean_dt = sum(runs) / len(runs)
+    overlap["variance"] = {
+        "pages_per_sec_runs": pps_runs,
+        "spread_pct": round(
+            (max(pps_runs) - min(pps_runs)) / max(sum(pps_runs) /
+                                                  len(pps_runs), 1e-9) * 100,
+            1,
+        ),
+        "corpus": corpus_counts,
+    }
+    print(f"[variance] {overlap['variance']}", file=sys.stderr)
+    # trajectory metric: the r1-r4 benches timed 12 demo1.pdf pages; keep
+    # that number alongside so cross-round comparisons stay apples-to-
+    # apples after the corpus grew to 56 mixed pages (VERDICT r4 next #8)
+    if not ocr_only and os.path.isfile(DEMO_PDF):
+        try:
+            from rapiddoc_tpu.cli.common import (
+                convert_pdf_bytes_to_bytes_by_pages,
+            )
+
+            raw = open(DEMO_PDF, "rb").read()
+            import rapiddoc_tpu.pdfio as _pdfio
+
+            n12 = min(12, len(_pdfio.open_pdf(raw)))
+            pdf12 = convert_pdf_bytes_to_bytes_by_pages(raw, 0, n12 - 1)
+            doc(pdf12, parse_method="ocr")  # warm any new buckets
+            tic = time.perf_counter()
+            doc(pdf12, parse_method="ocr")
+            overlap["trajectory_demo1_12p_pages_per_sec"] = round(
+                n12 / (time.perf_counter() - tic), 3
+            )
+            print(
+                f"[trajectory] demo1 12p: "
+                f"{overlap['trajectory_demo1_12p_pages_per_sec']} p/s",
+                file=sys.stderr,
+            )
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+    return pages / mean_dt, report, pages, mfu, overlap
 
 
 def _bench_corpus() -> dict:
@@ -507,6 +608,44 @@ def _bench_torch_reference() -> float | None:
     return pages / total
 
 
+def _bench_xla_cpu_reference() -> float | None:
+    """ORT-CPU-proxy pages/sec over the same measured workload: the
+    reference graphs compiled by XLA-CPU (fp32), per-unit costs persisted
+    in BASELINE_CPU_XLA.json by tools/measure_baseline_xla_cpu (a fusing
+    graph compiler, the honest stand-in for onnxruntime-CPU which cannot
+    be installed here). Read-only at bench time — measurement is a
+    separate ~30-min offline step."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU_XLA.json"
+    )
+    if not os.path.isfile(path):
+        return None
+    costs = json.load(open(path))["unit_costs_ms"]
+    wl = WORKLOAD or {}
+    pages = PAGES
+    crops = int(wl.get("rec_crops") or pages * 24)
+    n_formula = int(wl.get("formula_regions") or 0)
+    n_table = int(wl.get("table_regions") or 0)
+    total = (
+        pages * costs.get("det_ms_per_page", 0.0)
+        + crops * costs.get("rec_ms_per_crop", 0.0)
+        + pages * costs.get("layout_ms_per_page", 0.0)
+        + n_formula * (
+            costs.get("formula_enc_ms_per_region", 0.0)
+            + FORMULA_STEPS_PER_SEQ * costs.get("formula_step_ms", 0.0)
+        )
+        + n_table * costs.get("table_unet_ms_per_region", 0.0)
+    ) / 1e3
+    if total <= 0:
+        return None
+    print(
+        f"[baseline-xla-cpu] total={total:.1f}s for {pages}p/{crops}c/"
+        f"{n_formula}f/{n_table}t (unit costs from BASELINE_CPU_XLA.json)",
+        file=sys.stderr,
+    )
+    return pages / total
+
+
 def _device_available(timeout_s: float = 180.0) -> bool:
     """Probe TPU availability in a subprocess — a dead axon tunnel makes
     jax.devices() hang forever, which must not take the bench with it."""
@@ -601,6 +740,14 @@ def main() -> None:
             traceback.print_exc()
             base_pps = None
     vs = round(pps / base_pps, 3) if base_pps else None
+    xla_base_pps = None
+    try:
+        xla_base_pps = _bench_xla_cpu_reference()
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+    vs_xla = round(pps / xla_base_pps, 3) if xla_base_pps else None
     import jax
 
     print(
@@ -618,9 +765,25 @@ def main() -> None:
                 "baseline_kind": "torch-eager-cpu1",
                 "baseline_caveat": (
                     "denominator = reference torch nets, eager, on this "
-                    "host's single CPU core; NOT onnxruntime-CPU. The "
-                    "BASELINE.md >=5x-vs-ORT-CPU gate is unmeasurable "
-                    "in this zero-egress environment."
+                    "host's single CPU core; NOT onnxruntime-CPU (not "
+                    "installable here). Methodology: BOTH local CPU "
+                    "denominators were measured — torch-eager (oneDNN) "
+                    "and XLA-CPU-jit (BASELINE_CPU_XLA.json); torch-"
+                    "eager is the FASTER of the two on every stage, so "
+                    "it is the conservative primary. ORT-CPU shares the "
+                    "oneDNN/MLAS kernel class with torch-eager and is "
+                    "expected within ~2x of it."
+                ),
+                # second denominator: the same graphs through XLA-CPU
+                # (fusing graph compiler, fp32) — the honest ORT-CPU
+                # proxy this environment allows
+                **(
+                    {
+                        "vs_baseline_xla_cpu": vs_xla,
+                        "baseline_xla_cpu_kind": "xla-cpu-jit-fp32-cpu1",
+                    }
+                    if vs_xla
+                    else {}
                 ),
                 "stage_ms_per_page": {
                     k: round(v, 1) for k, v in (stages or {}).items()

