@@ -80,9 +80,21 @@ def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
     # checkpoints when converted (reference: per-lang rapidocr models)
     rec_vars = None
     rec_charset = None
+    rec_lang_demo = False
     if lang not in ("ch", "en", "", None):
         rec_vars = _load_variables(models_dir / f"ocr_rec_{lang}.npz")
         lang_dict = models_dir / f"ocr_rec_{lang}_dict.txt"
+        if rec_vars is None:
+            # in-repo per-lang demo checkpoint (train/rec.py --lang=<l>)
+            rec_vars = _load_variables(
+                DEMO_ASSETS_DIR / f"ocr_rec_{lang}_demo.npz"
+            )
+            lang_dict = DEMO_ASSETS_DIR / f"ocr_rec_{lang}_dict.txt"
+            if rec_vars is not None:
+                rec_lang_demo = True
+                logger.info(
+                    "OCR rec: per-lang demo checkpoint (%s)", lang
+                )
         if rec_vars is not None and lang_dict.is_file():
             rec_charset = [
                 ln.rstrip("\n\r")
@@ -92,6 +104,8 @@ def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
     if rec_vars is None:
         rec_vars = _load_variables(models_dir / "ocr_rec_v6_small.npz")
     det_demo = rec_demo = False
+    rec_demo = rec_lang_demo  # demo-trained per-lang weights want the
+    # same contrast-stretch preprocessing as the main demo checkpoint
     if det_vars is None:
         # in-repo demo checkpoint trained on synthetic documents
         # (rapiddoc_tpu/train) — real text output without network egress

@@ -20,7 +20,13 @@ from ..models.ocr.pre_post import rec_normalize_device
 from ..models.ocr.rec import SVTRRec, ctc_greedy_decode
 from .bn import apply_mutable, bn_training, join_vars, split_vars
 from ..utils.logging import get_logger
-from .synth import DEMO_CHARSET, encode_text, rec_sample
+from .synth import (
+    DEMO_CHARSET,
+    LANG_CHARSETS,
+    encode_text,
+    rec_sample,
+    rec_sample_lang,
+)
 
 logger = get_logger("rapiddoc_tpu.train.rec")
 
@@ -30,14 +36,18 @@ MAX_LABEL = 32
 NUM_CLASSES = len(DEMO_CHARSET) + 2  # blank + charset + space
 
 
-def make_pool(n: int, seed: int = 0):
+def make_pool(n: int, seed: int = 0, lang: str | None = None):
+    charset = LANG_CHARSETS.get(lang or "", DEMO_CHARSET)
     rng = random.Random(seed)
     imgs = np.zeros((n, HEIGHT, WIDTH, 3), np.uint8)
     labels = np.zeros((n, MAX_LABEL), np.int32)
     label_pad = np.ones((n, MAX_LABEL), np.float32)
     for i in range(n):
-        img, text = rec_sample(rng, WIDTH, HEIGHT)
-        ids = encode_text(text, DEMO_CHARSET)[:MAX_LABEL]
+        if lang:
+            img, text = rec_sample_lang(rng, lang, WIDTH, HEIGHT)
+        else:
+            img, text = rec_sample(rng, WIDTH, HEIGHT)
+        ids = encode_text(text, charset)[:MAX_LABEL]
         imgs[i] = img
         labels[i, : len(ids)] = ids
         label_pad[i, : len(ids)] = 0.0
@@ -55,8 +65,9 @@ def loss_fn(params, bstats, model, x_u8, labels, label_pad):
 
 def train(steps: int = 3000, out_path=None, pool_size: int = 4096,
           batch: int = 64, lr: float = 1e-3, seed: int = 0,
-          init_from: str | None = None):
-    model = SVTRRec(num_classes=NUM_CLASSES)
+          init_from: str | None = None, lang: str | None = None):
+    charset = LANG_CHARSETS.get(lang or "", DEMO_CHARSET)
+    model = SVTRRec(num_classes=len(charset) + 2)
     variables = model.init(
         jax.random.PRNGKey(seed), np.zeros((1, HEIGHT, WIDTH, 3), np.float32)
     )
@@ -84,8 +95,9 @@ def train(steps: int = 3000, out_path=None, pool_size: int = 4096,
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
-    logger.info("rendering %d synthetic lines", pool_size)
-    imgs, labels, label_pad = make_pool(pool_size, seed)
+    logger.info("rendering %d synthetic lines (lang=%s)", pool_size,
+                lang or "en")
+    imgs, labels, label_pad = make_pool(pool_size, seed, lang=lang)
     nrng = np.random.default_rng(seed)
     tic = time.perf_counter()
     with bn_training():
@@ -114,17 +126,22 @@ def train(steps: int = 3000, out_path=None, pool_size: int = 4096,
     return variables
 
 
-def evaluate(variables, n: int = 128, seed: int = 4242) -> float:
+def evaluate(variables, n: int = 128, seed: int = 4242,
+             lang: str | None = None) -> float:
     """Exact-match accuracy on held-out synthetic lines."""
     from ..models.ocr.pre_post import CTCLabelDecoder
 
-    model = SVTRRec(num_classes=NUM_CLASSES)
-    decoder = CTCLabelDecoder(DEMO_CHARSET)
+    charset = LANG_CHARSETS.get(lang or "", DEMO_CHARSET)
+    model = SVTRRec(num_classes=len(charset) + 2)
+    decoder = CTCLabelDecoder(charset)
     rng = random.Random(seed)
     imgs = []
     texts = []
     for _ in range(n):
-        img, text = rec_sample(rng, WIDTH, HEIGHT)
+        if lang:
+            img, text = rec_sample_lang(rng, lang, WIDTH, HEIGHT)
+        else:
+            img, text = rec_sample(rng, WIDTH, HEIGHT)
         imgs.append(img)
         texts.append(text)
 
@@ -144,8 +161,13 @@ def evaluate(variables, n: int = 128, seed: int = 4242) -> float:
 
 
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    out = sys.argv[2] if len(sys.argv) > 2 else None
-    warm = sys.argv[3] if len(sys.argv) > 3 else None
-    v = train(steps, out, init_from=warm)
-    logger.info("exact match: %.3f", evaluate(v))
+    args = [a for a in sys.argv[1:] if not a.startswith("--lang")]
+    lang = None
+    for a in sys.argv[1:]:
+        if a.startswith("--lang="):
+            lang = a.split("=", 1)[1]
+    steps = int(args[0]) if len(args) > 0 else 3000
+    out = args[1] if len(args) > 1 else None
+    warm = args[2] if len(args) > 2 else None
+    v = train(steps, out, init_from=warm, lang=lang)
+    logger.info("exact match: %.3f", evaluate(v, lang=lang))

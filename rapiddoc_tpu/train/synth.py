@@ -54,6 +54,77 @@ FONTS = _find_fonts()
 # vocab entry, matching CTCLabelDecoder layout)
 DEMO_CHARSET = [c for c in string.printable[:94] if c != " "]
 
+# per-language demo charsets (reference ships per-lang rec checkpoints +
+# dicts; these power the non-Latin demo rec path, registry.py per-lang
+# loading). Cyrillic: digits + common punctuation + а-я А-Я ё Ё.
+CYRILLIC_CHARSET = (
+    list(string.digits)
+    + list(".,:;!?()-%№«»")
+    + [chr(c) for c in range(0x0430, 0x0450)]  # а-я
+    + [chr(c) for c in range(0x0410, 0x0430)]  # А-Я
+    + ["ё", "Ё"]
+)
+
+LANG_CHARSETS = {"ru": CYRILLIC_CHARSET}
+
+_WORDS_RU = (
+    "в и на с по для от до как это документ таблица текст страница "
+    "модель формула раздел данные число рисунок ссылка анализ система "
+    "процесс энергия поле вода уровень итог площадь размер время вход "
+    "выход метод результат значение общий высокий низкий среднее тест "
+).split()
+
+
+def random_text_lang(
+    rng: random.Random, lang: str, max_words: int = 8
+) -> str:
+    """Language-specific synthetic line text (mirrors random_text)."""
+    if lang != "ru":
+        return random_text(rng, max_words)
+    words = []
+    for _ in range(rng.randint(1, max_words)):
+        r = rng.random()
+        if r < 0.6:
+            w = rng.choice(_WORDS_RU)
+            if rng.random() < 0.2:
+                w = w.capitalize()
+        elif r < 0.8:
+            w = str(rng.randint(0, 99999))
+            if rng.random() < 0.3:
+                w += rng.choice(["%", ",00", ".5"])
+        else:
+            letters = [chr(c) for c in range(0x0430, 0x0450)]
+            w = "".join(
+                rng.choice(letters + list(string.digits) + [".", ",", "-"])
+                for _ in range(rng.randint(2, 8))
+            )
+        words.append(w)
+    return " ".join(words)
+
+
+def rec_sample_lang(
+    rng: random.Random, lang: str, width: int = 320, height: int = 48,
+    max_chars: int = 24,
+) -> tuple["np.ndarray", str]:
+    """Per-language rec training sample: isolated rendered line with
+    det-crop-like margins (the page-crop half of rec_sample stays
+    ASCII-only; isolated lines cover the per-lang glyph inventory)."""
+    import cv2
+
+    from ..models.ocr.pre_post import rec_resize
+
+    text = random_text_lang(rng, lang, max_words=4)[:max_chars].strip()
+    if not text:
+        text = rng.choice(_WORDS_RU if lang == "ru" else _WORDS)
+    line = render_line(text, rng, height=height)
+    out = rec_resize(line, width)
+    if out.shape[1] < width:
+        out = np.pad(
+            out, ((0, 0), (0, width - out.shape[1]), (0, 0)),
+            constant_values=0,
+        )
+    return out[:, :width], text
+
 _WORDS = (
     "the of and to in is was for that with document table text page image "
     "model layout formula title section results method data value number "
