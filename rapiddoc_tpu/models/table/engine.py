@@ -242,6 +242,30 @@ class TableRecognizer:
                     )
                 else:
                     results[i] = wireless_html
+        if self.config.use_img2table and self.ocr is not None:
+            # model-free borderless fallback for tables every learned
+            # model left empty (reference: rapid_table.py:219-249 routes
+            # wireless-classified tables to img2table with
+            # borderless_tables=True)
+            from .img2table import borderless_table_extract
+
+            for i, html in enumerate(results):
+                if html and "<td" in html:
+                    continue
+                try:
+                    items = []
+                    for it in self.ocr([crops[i]])[0]:
+                        q = np.asarray(it["box"], float).reshape(-1)
+                        items.append((
+                            [q[0::2].min(), q[1::2].min(),
+                             q[0::2].max(), q[1::2].max()],
+                            it["text"],
+                        ))
+                except Exception:
+                    continue
+                fb = borderless_table_extract(items, crops[i].shape[:2])
+                if fb:
+                    results[i] = fb
         return results
 
     def _ocr_texts(self, crop: np.ndarray) -> list[str]:

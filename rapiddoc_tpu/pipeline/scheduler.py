@@ -340,10 +340,33 @@ class DocumentAnalyzer:
         self.formula_enable = formula_enable
         self.table_enable = table_enable
         self.checkbox_enable = checkbox_enable
+        # device stages serialize per analyzer: model wrappers keep
+        # per-call instance state (e.g. the table engine's mfd/fill
+        # lists), so concurrent requests (aio_do_parse / parallel HTTP
+        # /file_parse) must not interleave inside one analyze call;
+        # their render/assembly host stages still overlap freely
+        import threading
+
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------ main
 
     def analyze_pages(
+        self,
+        page_images: Sequence[np.ndarray],
+        parse_modes: Sequence[str],
+        text_dicts: Sequence[dict | None],
+        image_boxes_per_page: Sequence[list[list[float]] | None] | None = None,
+        scales: Sequence[float] | None = None,
+        deferred: DeferredAR | None = None,
+    ) -> list[dict]:
+        with self._lock:
+            return self._analyze_pages_impl(
+                page_images, parse_modes, text_dicts,
+                image_boxes_per_page, scales, deferred,
+            )
+
+    def _analyze_pages_impl(
         self,
         page_images: Sequence[np.ndarray],
         parse_modes: Sequence[str],
@@ -764,6 +787,10 @@ class DocumentAnalyzer:
             det["latex"] = latex
 
     def flush_deferred(self, deferred: DeferredAR) -> None:
+        with self._lock:
+            self._flush_deferred_impl(deferred)
+
+    def _flush_deferred_impl(self, deferred: DeferredAR) -> None:
         """Decode every accumulated AR region in packed buckets.
 
         Formulas first (tables inject recognized in-table formulas via

@@ -404,3 +404,37 @@ def test_deferred_ar_window_added_and_flush_threshold():
     assert not d.should_flush()
     d.formula.extend([(None, {})] * DeferredAR.FORMULA_FLUSH)
     assert d.should_flush()
+
+
+def test_analyzer_serializes_concurrent_calls():
+    """Concurrent requests (aio_do_parse / parallel HTTP /file_parse)
+    must not interleave inside one analyze call: model wrappers keep
+    per-call instance state (round-4 advisor weak #7)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from rapiddoc_tpu.pipeline.scheduler import DocumentAnalyzer
+
+    order = []
+
+    class SlowLayout:
+        def batch_predict(self, imgs):
+            order.append("start")
+            time.sleep(0.15)
+            order.append("end")
+            return [[] for _ in imgs]
+
+    an = DocumentAnalyzer(layout_model=SlowLayout())
+    img = np.full((40, 40, 3), 255, np.uint8)
+
+    def work():
+        an.analyze_pages([img], ["txt"], [None])
+
+    threads = [threading.Thread(target=work) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert order == ["start", "end"] * 3, order

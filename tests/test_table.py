@@ -286,3 +286,40 @@ def test_slanet_batch_recompile_bound():
         assert len(out) == n
     # batches padded to {1, 2, 4} -> at most 3 traced programs
     assert m._compiled()._cache_size() <= 3
+
+
+def test_img2table_borderless_extract():
+    """Whitespace-corridor borderless extraction: OCR word boxes with a
+    clear 3-column layout become a 3-column HTML table with merged-cell
+    colspans (role parity: external img2table borderless_tables=True,
+    reference rapid_table.py:228-237)."""
+    from rapiddoc_tpu.models.table.img2table import borderless_table_extract
+
+    rows_spec = [
+        [("Name", 10, 80), ("Qty", 140, 180), ("Price", 240, 300)],
+        [("Apple", 10, 90), ("3", 150, 162), ("1.20", 245, 290)],
+        [("Banana", 10, 100), ("12", 148, 170), ("0.55", 245, 290)],
+        [("Total due today", 10, 195), ("14.45", 245, 300)],  # colspan 2
+    ]
+    items = []
+    for r, row in enumerate(rows_spec):
+        y0 = 10 + r * 30
+        for text, x0, x1 in row:
+            items.append(([x0, y0, x1, y0 + 18], text))
+    html = borderless_table_extract(items, (140, 320))
+    assert html.startswith("<table>")
+    assert html.count("<tr>") == 4
+    assert "<td>Name</td>" in html and "<td>Qty</td>" in html
+    assert 'colspan="2">Total due today' in html
+    assert "<td>14.45</td>" in html
+
+
+def test_img2table_borderless_rejects_plain_text():
+    """Paragraph-like single-column boxes must NOT fabricate a table."""
+    from rapiddoc_tpu.models.table.img2table import borderless_table_extract
+
+    items = [
+        ([10, 10 + 24 * i, 300, 28 + 24 * i], f"full width text line {i}")
+        for i in range(6)
+    ]
+    assert borderless_table_extract(items, (200, 320)) == ""
