@@ -67,8 +67,14 @@ def _detect_latin_lang(text: str) -> str:
     lang, margin = classify(text, "latin")
     # margin is per-gram: ~0.02+ already separates well on a sentence of
     # running text; below that (or on very short text) fall back to the
-    # stopword/diacritic heuristic
-    if margin >= 0.015 and len(text.strip()) >= 40:
+    # stopword/diacritic heuristic. Languages the heuristic has no
+    # stopword/diacritic profile for (the long tail beyond the 7 major
+    # ones) trust the classifier at a lower bar — the fallback could
+    # only ever misroute them to a major language.
+    if len(text.strip()) >= 40 and (
+        margin >= 0.015
+        or (margin >= 0.008 and lang not in _LATIN_STOPWORDS)
+    ):
         return lang
     words = [w.lower() for w in _WORD_RE.findall(text[:4000])]
     if not words:
@@ -118,12 +124,18 @@ def detect_lang(text: str, default: str = "ch") -> str:
         return _detect_latin_lang(text)
     if lang == "japan" and counts.get("ch", 0) > n * 3:
         return "ch"
-    if lang == "cyrillic":
-        # refine within the script family (ru/uk/bg/sr share the range)
+    if lang in ("cyrillic", "arabic", "devanagari"):
+        # refine within the script family (the languages of one script
+        # share a Unicode range; the trained n-gram model separates them
+        # — lid.176 role, utils/langid.py)
         from .langid import classify
 
-        sub, margin = classify(text, "cyrillic")
-        return sub if margin >= 0.01 and len(text.strip()) >= 40 else "ru"
+        defaults = {"cyrillic": "ru", "arabic": "arabic",
+                    "devanagari": "devanagari"}
+        sub, margin = classify(text, lang)
+        return sub if margin >= 0.01 and len(text.strip()) >= 40 else (
+            defaults[lang]
+        )
     return lang
 
 

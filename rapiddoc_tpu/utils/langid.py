@@ -9,7 +9,9 @@ on the embedded seed corpora below (~0.5-1KB of representative running
 text per language, written for this purpose). Within-script
 discrimination is the hard part script ranges cannot do (utils/lang.py
 handles script gating); the model is therefore trained per script group:
-Latin (20 languages) and Cyrillic (4).
+Latin (32 languages), Cyrillic (8), Arabic (3), Devanagari (3) — 46
+languages plus the script-range singletons (ch/japan/korean/th/el/ta/
+te/ka) resolved upstream.
 
 The model builds in <50ms and weighs ~3MB in RAM; nothing ships on disk.
 """
@@ -222,13 +224,178 @@ CORPORA: dict[str, str] = {
         "додатне информације о трошковима и користима предложених "
         "промена. То је једно од најважнијих питања нашег доба."
     ),
+    "ca": (
+        "El comitè va publicar el seu informe anual sobre l'estat de "
+        "l'economia i les mesures que el govern hauria de prendre. "
+        "Moltes de les persones que van assistir a la reunió no van "
+        "quedar convençudes pels arguments i van demanar més informació "
+        "sobre els costos i els beneficis dels canvis proposats. És una "
+        "de les qüestions més importants del nostre temps."
+    ),
+    "af": (
+        "Die komitee het sy jaarverslag oor die toestand van die "
+        "ekonomie gepubliseer en oor die maatreëls wat die regering "
+        "behoort te neem. Baie van die mense wat die vergadering "
+        "bygewoon het, was nie deur die argumente oortuig nie en het "
+        "verdere inligting gevra oor die koste en die voordele van die "
+        "voorgestelde veranderinge. Dit is een van die belangrikste "
+        "vrae van ons tyd."
+    ),
+    "ms": (
+        "Jawatankuasa itu menerbitkan laporan tahunannya mengenai "
+        "keadaan ekonomi dan langkah-langkah yang patut diambil oleh "
+        "kerajaan. Ramai yang hadir dalam mesyuarat itu tidak yakin "
+        "dengan hujah-hujah tersebut dan meminta maklumat lanjut "
+        "mengenai kos dan faedah perubahan yang dicadangkan. Ini ialah "
+        "salah satu persoalan terpenting zaman kita."
+    ),
+    "tl": (
+        "Inilathala ng komite ang taunang ulat nito tungkol sa "
+        "kalagayan ng ekonomiya at sa mga hakbang na dapat gawin ng "
+        "pamahalaan. Marami sa mga dumalo sa pulong ang hindi kumbinsido "
+        "sa mga argumento at humingi ng karagdagang impormasyon tungkol "
+        "sa gastos at benepisyo ng mga iminungkahing pagbabago. Isa ito "
+        "sa pinakamahahalagang tanong ng ating panahon."
+    ),
+    "sw": (
+        "Kamati ilichapisha ripoti yake ya mwaka kuhusu hali ya uchumi "
+        "na hatua ambazo serikali inapaswa kuchukua. Wengi wa watu "
+        "waliohudhuria mkutano hawakushawishika na hoja hizo na waliomba "
+        "taarifa zaidi kuhusu gharama na faida za mabadiliko "
+        "yaliyopendekezwa. Hili ni mojawapo ya maswali muhimu zaidi ya "
+        "wakati wetu."
+    ),
+    "sl": (
+        "Odbor je objavil svoje letno poročilo o stanju gospodarstva in "
+        "o ukrepih, ki bi jih morala sprejeti vlada. Mnogi od navzočih "
+        "na seji niso bili prepričani z argumenti in so zahtevali "
+        "dodatne informacije o stroških in koristih predlaganih "
+        "sprememb. To je eno najpomembnejših vprašanj našega časa."
+    ),
+    "lt": (
+        "Komitetas paskelbė savo metinę ataskaitą apie ekonomikos "
+        "būklę ir priemones, kurių vyriausybė turėtų imtis. Daugelis "
+        "posėdyje dalyvavusių žmonių nebuvo įtikinti argumentais ir "
+        "paprašė daugiau informacijos apie siūlomų pakeitimų išlaidas "
+        "ir naudą. Tai vienas svarbiausių mūsų laikų klausimų."
+    ),
+    "lv": (
+        "Komiteja publicēja savu gada ziņojumu par ekonomikas stāvokli "
+        "un pasākumiem, kas valdībai būtu jāveic. Daudzi sanāksmes "
+        "dalībnieki nebija pārliecināti ar argumentiem un lūdza papildu "
+        "informāciju par ierosināto izmaiņu izmaksām un ieguvumiem. "
+        "Tas ir viens no mūsu laika svarīgākajiem jautājumiem."
+    ),
+    "is": (
+        "Nefndin birti ársskýrslu sína um stöðu efnahagsmála og þær "
+        "aðgerðir sem ríkisstjórnin ætti að grípa til. Margir þeirra "
+        "sem sóttu fundinn voru ekki sannfærðir af rökunum og óskuðu "
+        "eftir frekari upplýsingum um kostnað og ávinning af "
+        "fyrirhuguðum breytingum. Þetta er ein mikilvægasta spurning "
+        "okkar tíma."
+    ),
+    "sq": (
+        "Komiteti publikoi raportin e tij vjetor për gjendjen e "
+        "ekonomisë dhe për masat që qeveria duhet të marrë. Shumë nga "
+        "të pranishmit në mbledhje nuk u bindën nga argumentet dhe "
+        "kërkuan informacione të mëtejshme për kostot dhe përfitimet e "
+        "ndryshimeve të propozuara. Kjo është një nga çështjet më të "
+        "rëndësishme të kohës sonë."
+    ),
+    "az": (
+        "Komitə iqtisadiyyatın vəziyyəti və hökumətin görməli olduğu "
+        "tədbirlər barədə illik hesabatını dərc etdi. İclasda iştirak "
+        "edənlərin çoxu arqumentlərə inanmadı və təklif olunan "
+        "dəyişikliklərin xərcləri və faydaları barədə əlavə məlumat "
+        "istədi. Bu, dövrümüzün ən vacib məsələlərindən biridir."
+    ),
+    # --------------------------------------------------------- cyrillic+
+    "mk": (
+        "Комитетот го објави својот годишен извештај за состојбата на "
+        "економијата и за мерките што владата треба да ги преземе. "
+        "Мнозина од присутните на седницата не беа убедени од "
+        "аргументите и побараа дополнителни информации за трошоците и "
+        "придобивките од предложените промени. Тоа е едно од "
+        "најважните прашања на нашето време."
+    ),
+    "be": (
+        "Камітэт апублікаваў сваю штогадовую справаздачу пра стан "
+        "эканомікі і пра меры, якія ўрад павінен прыняць. Многія з "
+        "прысутных на пасяджэнні не былі перакананыя аргументамі і "
+        "папрасілі дадатковую інфармацыю пра выдаткі і выгады "
+        "прапанаваных зменаў. Гэта адно з найважнейшых пытанняў "
+        "нашага часу."
+    ),
+    "kk": (
+        "Комитет экономиканың жағдайы туралы және үкімет қабылдауға "
+        "тиіс шаралар туралы жылдық есебін жариялады. Жиналысқа "
+        "қатысқандардың көбі дәлелдерге сенбеді және ұсынылған "
+        "өзгерістердің шығындары мен пайдасы туралы қосымша ақпарат "
+        "сұрады. Бұл біздің заманымыздың ең маңызды мәселелерінің "
+        "бірі."
+    ),
+    "mn": (
+        "Хороо эдийн засгийн байдал болон засгийн газар авах ёстой "
+        "арга хэмжээний талаарх жилийн тайлангаа нийтэллээ. Хуралд "
+        "оролцсон олон хүн уг үндэслэлд итгээгүй бөгөөд санал болгосон "
+        "өөрчлөлтийн зардал ба ашиг тусын талаар нэмэлт мэдээлэл "
+        "хүссэн. Энэ бол бидний үеийн хамгийн чухал асуудлын нэг "
+        "юм."
+    ),
+    # ----------------------------------------------------------- arabic
+    "ar": (
+        "نشرت اللجنة تقريرها السنوي عن حالة الاقتصاد وعن التدابير التي "
+        "ينبغي للحكومة أن تتخذها. لم يقتنع كثير من الحاضرين في الاجتماع "
+        "بالحجج المقدمة وطلبوا مزيدا من المعلومات عن تكاليف التغييرات "
+        "المقترحة وفوائدها. وهذه واحدة من أهم قضايا عصرنا."
+    ),
+    "fa": (
+        "کمیته گزارش سالانه خود را درباره وضعیت اقتصاد و اقداماتی که "
+        "دولت باید انجام دهد منتشر کرد. بسیاری از حاضران در جلسه با "
+        "استدلال‌ها قانع نشدند و اطلاعات بیشتری درباره هزینه‌ها و "
+        "مزایای تغییرات پیشنهادی خواستند. این یکی از مهم‌ترین "
+        "مسائل روزگار ماست."
+    ),
+    "ur": (
+        "کمیٹی نے معیشت کی حالت اور ان اقدامات کے بارے میں اپنی سالانہ "
+        "رپورٹ شائع کی جو حکومت کو کرنے چاہئیں۔ اجلاس میں موجود بہت سے "
+        "لوگ دلائل سے مطمئن نہیں ہوئے اور انہوں نے تجویز کردہ تبدیلیوں "
+        "کے اخراجات اور فوائد کے بارے میں مزید معلومات مانگیں۔ یہ "
+        "ہمارے دور کے اہم ترین سوالوں میں سے ایک ہے۔"
+    ),
+    # ------------------------------------------------------- devanagari
+    "hi": (
+        "समिति ने अर्थव्यवस्था की स्थिति और उन उपायों के बारे में अपनी "
+        "वार्षिक रिपोर्ट प्रकाशित की जो सरकार को करने चाहिए। बैठक में "
+        "उपस्थित कई लोग तर्कों से सहमत नहीं थे और उन्होंने प्रस्तावित "
+        "परिवर्तनों की लागत और लाभ के बारे में और जानकारी मांगी। यह "
+        "हमारे समय के सबसे महत्वपूर्ण प्रश्नों में से एक है।"
+    ),
+    "mr": (
+        "समितीने अर्थव्यवस्थेच्या स्थितीबाबत आणि सरकारने कोणते उपाय "
+        "करायला हवेत याबाबत आपला वार्षिक अहवाल प्रसिद्ध केला. बैठकीत "
+        "उपस्थित असलेल्या अनेकांना युक्तिवाद पटले नाहीत आणि त्यांनी "
+        "प्रस्तावित बदलांच्या खर्चाची व फायद्यांची अधिक माहिती "
+        "मागितली. हा आपल्या काळातील सर्वात महत्त्वाच्या प्रश्नांपैकी "
+        "एक आहे."
+    ),
+    "ne": (
+        "समितिले अर्थतन्त्रको अवस्था र सरकारले चाल्नुपर्ने कदमहरूका "
+        "बारेमा आफ्नो वार्षिक प्रतिवेदन प्रकाशित गर्यो। बैठकमा "
+        "उपस्थित धेरै मानिसहरू तर्कहरूबाट विश्वस्त भएनन् र उनीहरूले "
+        "प्रस्तावित परिवर्तनहरूको लागत र लाभबारे थप जानकारी मागे। यो "
+        "हाम्रो समयको सबैभन्दा महत्त्वपूर्ण प्रश्नहरूमध्ये एक हो।"
+    ),
 }
 
 LATIN_LANGS = [
     "en", "fr", "de", "es", "it", "pt", "nl", "pl", "cs", "sk", "sv",
     "da", "no", "fi", "hu", "ro", "tr", "vi", "id", "hr", "et",
+    "ca", "af", "ms", "tl", "sw", "sl", "lt", "lv", "is", "sq", "az",
 ]
-CYRILLIC_LANGS = ["ru", "uk", "bg", "sr"]
+CYRILLIC_LANGS = ["ru", "uk", "bg", "sr", "mk", "be", "kk", "mn"]
+ARABIC_LANGS = ["ar", "fa", "ur"]
+DEVANAGARI_LANGS = ["hi", "mr", "ne"]
 
 
 def _ngrams(text: str):
@@ -252,10 +419,14 @@ def _fit(langs: list[str]) -> tuple[np.ndarray, list[str]]:
     return np.log(mat).astype(np.float16), langs
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=8)
 def _model(script: str):
     if script == "cyrillic":
         return _fit(CYRILLIC_LANGS)
+    if script == "arabic":
+        return _fit(ARABIC_LANGS)
+    if script == "devanagari":
+        return _fit(DEVANAGARI_LANGS)
     return _fit(LATIN_LANGS)
 
 

@@ -1,4 +1,4 @@
-"""Language-ID routing over 25 languages (fasttext lid.176 role,
+"""Language-ID routing over 46 languages (fasttext lid.176 role,
 reference: rapid_doc/model/fast_langdetect/infer.py:24-30).
 
 The sentences below are HELD OUT — none appear in the utils/langid.py
@@ -48,6 +48,26 @@ LATIN_SAMPLES = {
           "động tốt hơn khi dữ liệu có nhiễu.",
     "id": "Para peneliti menunjukkan bahwa metode baru bekerja lebih "
           "baik ketika data mengandung derau.",
+    "ca": "Els investigadors van demostrar que el nou mètode funciona "
+          "millor quan les dades contenen soroll.",
+    "af": "Die navorsers het getoon dat die nuwe metode beter werk "
+          "wanneer die data geraas bevat.",
+    "sw": "Watafiti walionyesha kwamba mbinu mpya inafanya kazi vizuri "
+          "zaidi wakati data ina kelele.",
+    "tl": "Ipinakita ng mga mananaliksik na mas mahusay gumagana ang "
+          "bagong pamamaraan kapag may ingay ang datos.",
+    "sl": "Raziskovalci so pokazali, da nova metoda deluje bolje, kadar "
+          "podatki vsebujejo šum meritev.",
+    "lt": "Tyrėjai parodė, kad naujasis metodas veikia geriau, kai "
+          "duomenyse yra triukšmo.",
+    "lv": "Pētnieki parādīja, ka jaunā metode darbojas labāk, ja dati "
+          "satur mērījumu troksni.",
+    "is": "Rannsakendur sýndu að nýja aðferðin virkar betur þegar "
+          "gögnin innihalda suð.",
+    "sq": "Studiuesit treguan se metoda e re funksionon më mirë kur të "
+          "dhënat përmbajnë zhurmë.",
+    "az": "Tədqiqatçılar göstərdilər ki, məlumatlarda səs-küy olduqda "
+          "yeni üsul daha yaxşı işləyir.",
 }
 
 CYRILLIC_SAMPLES = {
@@ -59,6 +79,29 @@ CYRILLIC_SAMPLES = {
           "когато данните съдържат шум.",
     "sr": "Истраживачи су показали да нови метод ради боље када подаци "
           "садрже шум мерења.",
+    "mk": "Истражувачите покажаа дека новиот метод работи подобро кога "
+          "податоците содржат шум.",
+    "be": "Даследчыкі паказалі, што новы метад працуе лепш, калі "
+          "дадзеныя ўтрымліваюць шум вымярэнняў.",
+    "kk": "Зерттеушілер деректерде шу болған кезде жаңа әдістің "
+          "жақсырақ жұмыс істейтінін көрсетті.",
+    "mn": "Судлаачид өгөгдөлд шуугиан байгаа үед шинэ арга илүү сайн "
+          "ажилладагийг харуулсан.",
+}
+
+REFINED_SCRIPT_SAMPLES = {
+    "ar": "أظهر الباحثون أن الطريقة الجديدة تعمل بشكل أفضل عندما "
+          "تحتوي البيانات على ضوضاء.",
+    "fa": "پژوهشگران نشان دادند که روش جدید هنگامی که داده‌ها نویز "
+          "دارند بهتر عمل می‌کند.",
+    "ur": "محققین نے دکھایا کہ جب ڈیٹا میں شور ہوتا ہے تو نیا طریقہ "
+          "بہتر کام کرتا ہے۔",
+    "hi": "शोधकर्ताओं ने दिखाया कि जब डेटा में शोर होता है तो नई "
+          "विधि बेहतर काम करती है।",
+    "mr": "संशोधकांनी दाखवून दिले की डेटामध्ये गोंगाट असताना नवीन "
+          "पद्धत अधिक चांगले काम करते.",
+    "ne": "अनुसन्धानकर्ताहरूले देखाए कि डेटामा हल्ला हुँदा नयाँ "
+          "विधिले राम्रोसँग काम गर्छ।",
 }
 
 SCRIPT_SAMPLES = {
@@ -67,13 +110,9 @@ SCRIPT_SAMPLES = {
              "より優れていることを示しました。",
     "korean": "연구자들은 데이터에 노이즈가 포함될 때 새로운 방법이 더 "
               "잘 작동한다는 것을 보여주었다.",
-    "arabic": "أظهر الباحثون أن الطريقة الجديدة تعمل بشكل أفضل عندما "
-              "تحتوي البيانات على ضوضاء.",
     "th": "นักวิจัยแสดงให้เห็นว่าวิธีการใหม่ทำงานได้ดีกว่าเมื่อข้อมูลมีสัญญาณรบกวน",
     "el": "Οι ερευνητές έδειξαν ότι η νέα μέθοδος λειτουργεί καλύτερα "
           "όταν τα δεδομένα περιέχουν θόρυβο.",
-    "devanagari": "शोधकर्ताओं ने दिखाया कि जब डेटा में शोर होता है तो नई "
-                  "विधि बेहतर काम करती है।",
 }
 
 
@@ -89,6 +128,15 @@ def test_cyrillic_routing(lang, text):
 
 @pytest.mark.parametrize("lang,text", sorted(SCRIPT_SAMPLES.items()))
 def test_script_routing(lang, text):
+    assert detect_lang(text) == lang
+
+
+@pytest.mark.parametrize(
+    "lang,text", sorted(REFINED_SCRIPT_SAMPLES.items())
+)
+def test_within_script_refinement(lang, text):
+    """Arabic/Devanagari scripts refine to the language (ar/fa/ur,
+    hi/mr/ne) through the trained n-gram model."""
     assert detect_lang(text) == lang
 
 
