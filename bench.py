@@ -557,6 +557,67 @@ def _bench_ctc_head() -> dict:
     }
 
 
+def _bench_quant_head() -> dict:
+    """Int8-weight fused lm_head vs XLA bf16 at the published formula
+    decoder head shape (B=16 decode slots, 512 x 50000). The decode step
+    is weight-bound: int8 halves the HBM bytes the head streams per
+    step (ops/quant_head.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rapiddoc_tpu.ops.quant_head import (
+        fused_argmax_int8,
+        quantize_weight_int8,
+    )
+
+    B, K, V = 16, 512, 50000
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, K), jnp.bfloat16)
+    w = jax.random.normal(key, (K, V), jnp.float32) * 0.05
+    b = jnp.zeros((V,), jnp.float32)
+    wq, s = quantize_weight_int8(w)
+    wbf = w.astype(jnp.bfloat16)
+
+    @jax.jit
+    def xla_head(x, w, b):
+        logits = (
+            x.astype(jnp.float32) @ w.astype(jnp.float32)
+        ) + b
+        return jnp.argmax(logits, axis=-1)
+
+    interpret = jax.default_backend() != "tpu"
+
+    def timed(fn, *a):
+        jax.block_until_ready(fn(*a))
+        reps = 20
+        tic = time.perf_counter()
+        outs = [fn(*a) for _ in range(reps)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - tic) * 1e3 / reps
+
+    t_xla = timed(xla_head, x, wbf, b)
+    t_int8 = timed(
+        lambda x, wq, s, b: fused_argmax_int8(
+            x, wq, s, b, interpret=interpret
+        ),
+        x, wq, s, b,
+    )
+    ids_a = np.asarray(xla_head(x, wbf, b))
+    ids_b = np.asarray(
+        fused_argmax_int8(x, wq, s, b, interpret=interpret)[0]
+    )
+    return {
+        "shape": f"({B}, {K}) x ({K}, {V})",
+        "xla_bf16_ms": round(t_xla, 3),
+        "int8_fused_ms": round(t_int8, 3),
+        "speedup": round(t_xla / max(t_int8, 1e-9), 2),
+        "weight_mb_bf16": round(K * V * 2 / 1e6, 1),
+        "weight_mb_int8": round(K * V * 1 / 1e6, 1),
+        "argmax_agreement": round(float((ids_a == ids_b).mean()), 4),
+        **({"interpret_mode": True} if interpret else {}),
+    }
+
+
 FORMULA_STEPS_PER_SEQ = 96  # conservative; published max_new_tokens 1536
 
 
@@ -707,10 +768,18 @@ def main() -> None:
         with open("COLDSTART.json") as f:
             cold_start = json.load(f)
     ctc_head = None
+    quant_head = None
     if not TINY and not tpu_down:
         try:
             ctc_head = _bench_ctc_head()
             print(f"[ctc_head] {ctc_head}", file=sys.stderr)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+        try:
+            quant_head = _bench_quant_head()
+            print(f"[quant_head] {quant_head}", file=sys.stderr)
         except Exception:
             import traceback
 
@@ -794,6 +863,7 @@ def main() -> None:
                 **({"corpus": corpus} if corpus else {}),
                 **({"cold_start": cold_start} if cold_start else {}),
                 **({"ctc_head": ctc_head} if ctc_head else {}),
+                **({"quant_head": quant_head} if quant_head else {}),
                 **({"published_dims": published} if published else {}),
                 "platform": jax.default_backend(),
                 **(

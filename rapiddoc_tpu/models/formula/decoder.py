@@ -116,9 +116,14 @@ class MBartDecoderLayer(nn.Module):
 
 
 class MBartDecoder(nn.Module):
-    """Single-step (or multi-token) decoder forward over cached state."""
+    """Single-step (or multi-token) decoder forward over cached state.
+
+    skip_lm_head=True returns the pre-head hidden states instead of
+    logits — the int8 fused head (ops/quant_head.py) projects + argmaxes
+    them without materializing (B, vocab) logits."""
 
     cfg: MBartConfig
+    skip_lm_head: bool = False
 
     @nn.compact
     def __call__(self, tokens, caches_k, caches_v, position, mem_k_layers,
@@ -148,6 +153,8 @@ class MBartDecoder(nn.Module):
             new_k.append(ck)
             new_v.append(cv)
         x = nn.LayerNorm(name="layer_norm", dtype=x.dtype)(x)
+        if self.skip_lm_head:
+            return x, jnp.stack(new_k), jnp.stack(new_v)
         logits = nn.Dense(c.vocab_size, use_bias=False, name="lm_head")(x)
         return logits, jnp.stack(new_k), jnp.stack(new_v)
 
@@ -182,15 +189,25 @@ def greedy_decode(
     mem_mask: jax.Array,
     max_len: int,
     dtype=jnp.bfloat16,
+    int8_head: tuple | None = None,
 ):
     """Batched greedy AR decode under lax.while_loop with early exit.
 
     memory: (B, S, d_model). Returns (tokens (B, max_len), lengths (B,)).
-    """
+
+    int8_head=(wq int8 (d_model, vocab), scale (vocab,)) replaces the
+    bf16 lm_head matmul+argmax with the fused int8 kernel
+    (ops/quant_head.py): halves the weight bytes every decode step
+    streams from HBM, and the logits never materialize."""
     cfg = decoder.cfg
     B = memory.shape[0]
     hd = cfg.d_model // cfg.heads
     mem_k, mem_v = mem_proj.apply(mem_vars, memory)
+    if int8_head is not None:
+        decoder = MBartDecoder(cfg, skip_lm_head=True)
+        wq_head, head_scale = int8_head
+        head_bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
+        head_interpret = jax.default_backend() != "tpu"
 
     caches_k = jnp.zeros((cfg.layers, B, max_len, cfg.heads, hd), dtype)
     caches_v = jnp.zeros_like(caches_k)
@@ -205,12 +222,21 @@ def greedy_decode(
 
     def body(state):
         step, cur, tokens, ck, cv, done, lengths = state
-        logits, ck, cv = decoder.apply(
+        out, ck, cv = decoder.apply(
             dec_vars, cur, ck, cv, step, mem_k, mem_v, mem_mask
         )
-        nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
-            jnp.int32
-        )
+        if int8_head is not None:
+            from ...ops.quant_head import fused_argmax_int8
+
+            nxt, _conf = fused_argmax_int8(
+                out[:, -1], wq_head, head_scale, head_bias,
+                interpret=head_interpret,
+            )
+            nxt = nxt.astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(
+                out[:, -1].astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
         newly_done = nxt == cfg.eos_token_id

@@ -235,6 +235,25 @@ class FormulaRecognizer:
             raise FileNotFoundError("formula checkpoint missing")
         return cls(variables)
 
+    def _int8_head(self):
+        """Opt-in (RAPIDDOC_INT8_HEAD=1): lm_head quantized to int8 once
+        — decode steps then stream half the head bytes from HBM through
+        the fused kernel (ops/quant_head.py). Off by default: the greedy
+        argmax can flip on quantization near-ties (~<1% of steps at the
+        published head shape)."""
+        import os
+
+        if not os.environ.get("RAPIDDOC_INT8_HEAD"):
+            return None
+        cached = getattr(self, "_int8_head_cache", None)
+        if cached is None:
+            from ...ops.quant_head import quantize_weight_int8
+
+            kernel = self.variables["decoder"]["params"]["lm_head"]["kernel"]
+            cached = quantize_weight_int8(np.asarray(kernel, np.float32))
+            self._int8_head_cache = cached
+        return cached
+
     def _decode_fn(self, max_len: int):
         fn = self._compiled.get(max_len)
         if fn is None:
@@ -262,6 +281,7 @@ class FormulaRecognizer:
                 return greedy_decode(
                     self.decoder, dec_vars, self.mem_proj, mem_vars,
                     memory, mem_mask, max_len, dtype=cdtype,
+                    int8_head=self._int8_head(),
                 )
 
             fn = jax.jit(run, static_argnums=())
