@@ -11,6 +11,17 @@ ops/ctc_head.py).
 
 Greedy decode only consumes argmax(logits) (+ the prob for confidence),
 so the head output is (ids, prob) — not logits.
+
+MEASURED FINDING (round 5, single tunneled chip): at the published head
+shape (16, 512) x (512, 50000) XLA's plain bf16 matmul+argmax runs
+~0.02 ms/step — faster than both this kernel (~0.06 ms) and an XLA
+int8-weight variant (~0.08 ms). The chip's effective HBM bandwidth is
+high enough that the bf16 head is not weight-bound at this shape, and
+the int8->bf16 conversion cost dominates the halved bytes. The kernel
+stays available behind RAPIDDOC_INT8_HEAD=1 for bandwidth-constrained
+parts (and as the int8 pattern for future fully-quantized matmuls), but
+the default decode path keeps the bf16 head. bench.py's quant_head
+section records the comparison every run.
 """
 from __future__ import annotations
 
@@ -22,8 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_M = 128
-TILE_V = 1024
+TILE_M = 16
+TILE_V = 8192
 NEG = -1e30
 
 

@@ -19,6 +19,7 @@ encoder, production decoder); SLANet/UNET/RT-DETR have no torch
 reference implementation in the tree (ONNX-only) — their graphs are
 covered structurally by test_onnx_family_graphs.
 """
+import os
 import sys
 from pathlib import Path
 
@@ -33,7 +34,13 @@ import refnets  # noqa: E402
 if not refnets.available():  # pragma: no cover
     pytest.skip("reference networks unavailable", allow_module_level=True)
 
-pytestmark = pytest.mark.slow
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("RAPIDDOC_RUN_SLOW"),
+        reason="published-dims parity is slow (RAPIDDOC_RUN_SLOW=1)",
+    ),
+]
 
 
 def _to_nhwc(t):
@@ -255,6 +262,7 @@ def test_formula_encoder_b6_at_published_width():
     # order; gate on the mismatch FRACTION instead (measured 0.008%)
     bad = ~np.isclose(out, ref, atol=5e-3, rtol=1e-2)
     assert bad.mean() < 5e-4, f"mismatch fraction {bad.mean():.5f}"
-    np.testing.assert_allclose(
-        np.median(np.abs(out - ref)), 0.0, atol=2.0
+    rel_med = float(
+        np.median(np.abs(out - ref)) / max(np.median(np.abs(ref)), 1e-9)
     )
+    assert rel_med < 1e-3, f"relative median error {rel_med:.2e}"
