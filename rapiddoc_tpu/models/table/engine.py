@@ -216,12 +216,32 @@ class TableRecognizer:
         if compare:
             wired_idx = list(range(len(crops)))
             wireless_idx = list(range(len(crops)))
+        # ONE batched OCR pass over every table crop: the per-table
+        # _cell_texts call previously ran det+rec per crop, paying a
+        # device roundtrip per table (~40 ms/table on a tunneled chip
+        # for 1-crop det batches); TextSystem batches det and rec
+        # across all tables at once here
+        self._ocr_cache = {}
+        if self.ocr is not None and crops:
+            need = sorted(set(wired_idx) | set(wireless_idx))
+            try:
+                try:
+                    outs = self.ocr(
+                        [crops[i] for i in need], return_word_boxes=True
+                    )
+                except TypeError:  # custom OCR without word boxes
+                    outs = self.ocr([crops[i] for i in need])
+                self._ocr_cache = dict(zip(need, outs))
+            except Exception:
+                logger.exception("batched table OCR failed; per-table "
+                                 "fallback")
+                self._ocr_cache = {}
         if wired_idx:
             wired_structs = self.wired.batch([crops[i] for i in wired_idx])
             for i, (cell_boxes, grid) in zip(wired_idx, wired_structs):
                 results[i] = self._finish_wired(
                     crops[i], cell_boxes, grid, self._mfd[i],
-                    self._fill[i],
+                    self._fill[i], ocr_out=self._ocr_cache.get(i),
                 )
         if wireless_idx:
             structures = self.wireless(
@@ -231,12 +251,14 @@ class TableRecognizer:
             for i, (structure, bboxes) in zip(wireless_idx, structures):
                 wireless_html = self._fill_text(
                     crops[i], structure, bboxes, self._mfd[i],
-                    self._fill[i],
+                    self._fill[i], ocr_out=self._ocr_cache.get(i),
                 )
                 if compare and i in set(wired_idx):
                     from .select import select_best_table_html
 
-                    ocr_texts = self._ocr_texts(crops[i])
+                    ocr_texts = self._ocr_texts(
+                        crops[i], ocr_out=self._ocr_cache.get(i)
+                    )
                     results[i] = select_best_table_html(
                         ocr_texts, results[i], wireless_html
                     )
@@ -253,8 +275,11 @@ class TableRecognizer:
                 if html and "<td" in html:
                     continue
                 try:
+                    ocr_out = self._ocr_cache.get(i)
+                    if ocr_out is None:
+                        ocr_out = self.ocr([crops[i]])[0]
                     items = []
-                    for it in self.ocr([crops[i]])[0]:
+                    for it in ocr_out:
                         q = np.asarray(it["box"], float).reshape(-1)
                         items.append((
                             [q[0::2].min(), q[1::2].min(),
@@ -268,7 +293,9 @@ class TableRecognizer:
                     results[i] = fb
         return results
 
-    def _ocr_texts(self, crop: np.ndarray) -> list[str]:
+    def _ocr_texts(self, crop: np.ndarray, ocr_out=None) -> list[str]:
+        if ocr_out is not None:
+            return [it["text"] for it in ocr_out]
         if self.ocr is None:
             return []
         try:
@@ -281,6 +308,7 @@ class TableRecognizer:
     def _finish_wired(
         self, crop: np.ndarray, cell_boxes: list, grid: list,
         mfd: list | None = None, fill: list | None = None,
+        ocr_out=None,
     ) -> str:
         if not cell_boxes and self.config.use_img2table:
             # model-free ruling-line fallback (reference:
@@ -290,7 +318,8 @@ class TableRecognizer:
             cell_boxes, grid = opencv_table_extract(crop)
         if not cell_boxes:
             return ""
-        texts = self._cell_texts(crop, cell_boxes, mfd or [], fill or [])
+        texts = self._cell_texts(crop, cell_boxes, mfd or [], fill or [],
+                                 ocr_out=ocr_out)
         if self.config.enable_blank_cell_rec and self.ocr is not None:
             texts = self._retry_blank_cells(crop, cell_boxes, texts)
         return build_html_from_grid(grid, texts)
@@ -330,16 +359,21 @@ class TableRecognizer:
     def _fill_text(
         self, crop: np.ndarray, structure: list[str],
         bboxes: list[list[float]], mfd: list | None = None,
-        fill: list | None = None,
+        fill: list | None = None, ocr_out=None,
     ) -> str:
         if not structure:
             return ""
-        texts = self._cell_texts(crop, bboxes, mfd or [], fill or []) if bboxes else []
+        texts = (
+            self._cell_texts(crop, bboxes, mfd or [], fill or [],
+                             ocr_out=ocr_out)
+            if bboxes else []
+        )
         return html_from_structure_tokens(structure, texts)
 
     def _cell_texts(
         self, crop: np.ndarray, cell_boxes: list[list[float]],
         mfd: list | None = None, fill: list | None = None,
+        ocr_out=None,
     ) -> list[str]:
         """OCR the table crop and distribute text into cells. Prefers
         word-level boxes so one OCR line straddling a cell border splits
@@ -350,13 +384,14 @@ class TableRecognizer:
             return []
         if self.ocr is None and not mfd and not fill:
             return [""] * len(cell_boxes)
-        if self.ocr is None:
-            ocr_out = []
-        else:
-            try:
-                ocr_out = self.ocr([crop], return_word_boxes=True)[0]
-            except TypeError:  # custom OCR without word-box support
-                ocr_out = self.ocr([crop])[0]
+        if ocr_out is None:
+            if self.ocr is None:
+                ocr_out = []
+            else:
+                try:
+                    ocr_out = self.ocr([crop], return_word_boxes=True)[0]
+                except TypeError:  # custom OCR without word-box support
+                    ocr_out = self.ocr([crop])[0]
         items = []
         for it in ocr_out:
             if it.get("words"):
