@@ -111,6 +111,9 @@ class TextDetector:
             and os.environ.get("RAPIDDOC_DET_WIRE_BITS", "4") == "4"
         )
         thresh = self.post_params.thresh
+        self.prob4_wire = (
+            os.environ.get("RAPIDDOC_DET_PROB_BITS", "4") == "4"
+        )
 
         def det_apply(v, x):
             # device->host readback is the det bottleneck on a tunneled
@@ -133,10 +136,17 @@ class TextDetector:
             # 2x pooling only: thin text lines (~12 px at a 960px page)
             # lose box score to background dilution at 4x and drop below
             # box_thresh — measured recall 0.88 -> 0.77 on the page eval
-            prob_small = jnp.round(
-                prob.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
-                * 255.0
-            ).astype(jnp.uint8)
+            pooled = prob.reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+            if self.prob4_wire:
+                # 4-bit score map: box scoring averages MANY pixels, so
+                # 16-level round-to-nearest quantization moves a box
+                # score by << the box_thresh decision margin; halves the
+                # score-map readback (RAPIDDOC_DET_PROB_BITS=8 restores
+                # full depth)
+                q = jnp.round(pooled * 15.0).astype(jnp.uint8)
+                packed4 = (q[..., 0::2] << 4) | q[..., 1::2]
+                return {"bits": packed, "prob4": packed4}
+            prob_small = jnp.round(pooled * 255.0).astype(jnp.uint8)
             return {"bits": packed, "prob8": prob_small}
 
         from .pre_post import det_normalize_device_nibble
@@ -321,12 +331,19 @@ class TextDetector:
         supplies the values box scoring averages over."""
         if isinstance(out, np.ndarray):  # legacy full map
             return out[..., 0] if out.ndim == 3 else out
-        bits, prob8 = out["bits"], out["prob8"]
+        bits = out["bits"]
         h, w8 = bits.shape
         bitmap = np.unpackbits(bits, axis=1, count=w8 * 8).astype(bool)
+        if "prob4" in out:
+            p4 = out["prob4"]
+            prob8 = np.empty((p4.shape[0], p4.shape[1] * 2), np.float32)
+            prob8[:, 0::2] = (p4 >> 4).astype(np.float32) / 15.0
+            prob8[:, 1::2] = (p4 & 15).astype(np.float32) / 15.0
+        else:
+            prob8 = out["prob8"].astype(np.float32) / 255.0
         prob = cv2.resize(
             prob8, (w8 * 8, h), interpolation=cv2.INTER_NEAREST
-        ).astype(np.float32) / 255.0
+        )
         t = self.post_params.thresh
         # force host thresholding to agree with the device bitmap
         return np.where(
