@@ -249,6 +249,17 @@ class Font:
         if self.subtype == "Type3":
             mtx = r(self.dict.get("FontMatrix")) or [0.001, 0, 0, 0.001, 0, 0]
             try:
+                self.t3_matrix = tuple(float(r(v)) for v in mtx[:6])
+            except (TypeError, ValueError):
+                self.t3_matrix = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+            # glyph programs + their resources, for the rasterizer
+            # (reference fidelity via pdfium; our renderer executes the
+            # CharProc content streams directly, render.py _draw_type3)
+            cp = r(self.dict.get("CharProcs"))
+            self.t3_charprocs = cp if isinstance(cp, dict) else {}
+            res = r(self.dict.get("Resources"))
+            self.t3_resources = res if isinstance(res, dict) else {}
+            try:
                 scale = float(r(mtx[0])) * 1000.0
             except (TypeError, ValueError, IndexError):
                 scale = 1.0

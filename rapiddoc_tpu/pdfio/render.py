@@ -505,6 +505,11 @@ class PageRasterizer(ContentInterpreter):
         gs = self.gs
         if gs.render_mode in (3, 7):  # invisible / clip-only
             return
+        if getattr(font, "subtype", "") == "Type3":
+            # Type3 glyphs ARE content streams; execute them under
+            # FontMatrix x trm (the reference gets this from pdfium)
+            self._draw_type3(code, font, trm)
+            return
         if not text or text.isspace():
             return
         a, b, c, d, e, f = trm
@@ -538,6 +543,50 @@ class PageRasterizer(ContentInterpreter):
             self._draw_cached(text, face, color, (e, f))
         else:
             self._draw_rotated(text, face, color, (e, f), rotation)
+
+    def _draw_type3(self, code: int, font: Font, trm: Matrix) -> None:
+        """Execute a Type3 glyph's CharProc content stream under
+        FontMatrix x trm (trm already carries font size + ctm)."""
+        from dataclasses import replace
+
+        procs = getattr(font, "t3_charprocs", None)
+        if not procs:
+            return
+        name = font._differences.get(code)
+        if name is None:
+            return
+        stream = self.doc.resolve(procs.get(name))
+        if stream is None or not hasattr(stream, "dict"):
+            return
+        if self._form_depth >= self.MAX_FORM_DEPTH:
+            return
+        self._form_depth += 1
+        saved_gs = replace(self.gs)
+        saved_len = len(self.gs_stack)
+        try:
+            self.gs.ctm = mat_mul(
+                getattr(font, "t3_matrix", (0.001, 0, 0, 0.001, 0, 0)), trm
+            )
+            res = getattr(font, "t3_resources", None) or self.page.resources
+            cache = getattr(self.doc, "_form_tokens_cache", None)
+            if cache is None:
+                cache = {}
+                self.doc._form_tokens_cache = cache
+            toks = cache.get(id(stream))
+            if toks is None:
+                from .content import tokenize_content
+
+                toks = list(tokenize_content(self.doc.stream_bytes(stream)))
+                if len(cache) > 512:
+                    cache.clear()
+                cache[id(stream)] = toks
+            self.execute(b"", res, tokens=toks)
+        except Exception:
+            pass
+        finally:
+            self.gs = saved_gs
+            del self.gs_stack[saved_len:]
+            self._form_depth -= 1
 
     def _draw_cached(self, text, face, color, origin) -> None:
         """Glyph-tile cache: FreeType renders each (face, text, color)

@@ -269,3 +269,68 @@ def test_gradient_background_keeps_text_legible():
     # background is a light wash everywhere (>150), text strokes dark
     assert (arr > 150).mean() > 0.7
     assert (arr < 100).mean() > 0.005  # glyph ink present
+
+
+# ------------------------------------------------- fidelity corpus extras
+
+
+def test_type3_font_glyphs_render():
+    """Type3 glyph CharProcs execute as content streams: a square-glyph
+    font must paint ink where the glyphs land (previously Type3 fell to
+    the unicode fallback and symbolic glyphs vanished)."""
+    charproc = b"0 0 700 700 re f"
+    objs = {
+        5: (b"<< /Type /Font /Subtype /Type3 "
+            b"/FontBBox [0 0 800 800] "
+            b"/FontMatrix [0.001 0 0 0.001 0 0] "
+            b"/CharProcs << /sq 6 0 R >> "
+            b"/Encoding << /Differences [65 /sq] >> "
+            b"/FirstChar 65 /LastChar 65 /Widths [800] >>"),
+        6: (b"<< /Length %d >>\nstream\n" % len(charproc)) + charproc
+           + b"\nendstream",
+    }
+    content = b"BT /F3 36 Tf 40 30 Td (AAA) Tj ET"
+    data = _build_pdf(
+        b" /Resources << /Font << /F3 5 0 R >> >>", objs, content)
+    arr = np.asarray(_render(data).mean(axis=2))
+    dark = arr < 100
+    assert dark.mean() > 0.05, dark.mean()  # three squares of ink
+    # squares sit on the baseline row band, not everywhere
+    assert dark.mean() < 0.5
+
+
+def test_rotated_text_renders_ink():
+    """Text under a rotation matrix still rasterizes (fidelity corpus:
+    rotated labels/stamps)."""
+    # 30-degree rotation: cos=0.866, sin=0.5
+    content = (b"BT /F1 24 Tf 0.866 0.5 -0.5 0.866 60 20 Tm "
+               b"(Rotated stamp text) Tj ET")
+    data = _build_pdf(
+        b" /Resources << /Font << /F1 5 0 R >> >>",
+        {5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"},
+        content)
+    arr = np.asarray(_render(data, dpi=144).mean(axis=2))
+    assert (arr < 100).mean() > 0.005
+
+
+def test_watermark_form_with_alpha_keeps_text_legible():
+    """A translucent watermark form (ExtGState ca) drawn over body text
+    must not blot the text out (fidelity corpus: watermarked pages)."""
+    wm = b"/GS0 gs 0.2 0.2 0.9 rg 0 0 200 100 re f"
+    objs = {
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (b"<< /Type /XObject /Subtype /Form /BBox [0 0 200 100] "
+            b"/Resources << /ExtGState << /GS0 7 0 R >> >> "
+            b"/Length %d >>\nstream\n" % len(wm)) + wm + b"\nendstream",
+        7: b"<< /Type /ExtGState /ca 0.15 >>",
+    }
+    content = (b"BT /F1 20 Tf 20 40 Td (Body text under watermark) Tj ET "
+               b"q /Wm Do Q")
+    data = _build_pdf(
+        b" /Resources << /Font << /F1 5 0 R >> /XObject "
+        b"<< /Wm 6 0 R >> >>", objs, content)
+    arr = np.asarray(_render(data, dpi=144).mean(axis=2))
+    # wash is light (alpha 0.15 over white stays bright)...
+    assert (arr > 150).mean() > 0.6
+    # ...and glyph ink remains dark under it
+    assert (arr < 100).mean() > 0.005
