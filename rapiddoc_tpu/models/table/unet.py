@@ -141,15 +141,34 @@ class WiredTableStructure:
         from ...engine.session import commit_params
 
         self.variables = commit_params(variables)
+        # 4-bit luma wire (same trick as det/rec): ruling lines are
+        # near-binary ink, so 16 gray levels detect them identically
+        # while the 1024² upload drops 3 MB -> 0.5 MB per region.
+        # RAPIDDOC_UNET_WIRE_BITS=8 restores uint8 RGB.
+        import os
+
+        self.nibble_wire = (
+            os.environ.get("RAPIDDOC_UNET_WIRE_BITS", "4") == "4"
+        )
 
         def fwd(v, x):
             # uint8 in (4x less host->device), /255 fused on device;
             # the host cell recovery only thresholds the line map at 0.5,
             # so ship a packed bitmask (32x less readback than f32 — d2h
             # is the slowest wire on a tunneled chip)
-            logits = self.model.apply(
-                v, (x.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
-            ).astype(jnp.float32)
+            if self.nibble_wire:
+                # (B, H, W/2, 1) packed nibbles -> (B, H, W, 3)
+                hi = (x >> 4).astype(jnp.float32)
+                lo = (x & 15).astype(jnp.float32)
+                luma = jnp.stack([hi, lo], axis=3).reshape(
+                    x.shape[0], x.shape[1], x.shape[2] * 2
+                ) / 15.0
+                xin = jnp.broadcast_to(
+                    luma[..., None], (*luma.shape, 3)
+                ).astype(jnp.bfloat16)
+            else:
+                xin = (x.astype(jnp.float32) / 255.0).astype(jnp.bfloat16)
+            logits = self.model.apply(v, xin).astype(jnp.float32)
             line = logits[..., 1] > logits[..., 0]  # softmax p1 > 0.5
             return jnp.packbits(line, axis=-1)
 
@@ -168,6 +187,10 @@ class WiredTableStructure:
         handles = []
         for img in imgs:
             resized = cv2.resize(img, (self.INPUT, self.INPUT))
+            if self.nibble_wire:
+                from ..ocr.pre_post import pack_nibbles, to_luma
+
+                resized = pack_nibbles(to_luma(resized))[..., 0]
             track(
                 "table_unet", self._fwd, (self.variables, resized[None]),
                 sig=(resized[None].shape, str(resized.dtype)),
