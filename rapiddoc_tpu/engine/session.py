@@ -24,16 +24,22 @@ logger = get_logger("rapiddoc_tpu.engine")
 
 
 def _enable_persistent_compile_cache() -> None:
-    """Opt-in (RAPIDDOC_XLA_CACHE_DIR=<dir>): persist compiled XLA
-    programs across processes — the bucket set is closed, so a warm
-    cache turns process start into cache hits. Opt-in rather than
-    default because tunneled/virtualized backends may not honor the
-    cache (measured no benefit under axon)."""
+    """Persist compiled XLA programs across processes — the bucket set
+    is closed, so a warm cache turns process start into cache hits.
+    DEFAULT ON since round 5: the rehearsal (COLDSTART.json) measured
+    first-parse 51s -> 26s with a warm cache on this backend (earlier
+    rounds saw no benefit; the backend now honors it). Default dir is
+    ~/.cache/rapiddoc_tpu/xla_cache; override with
+    RAPIDDOC_XLA_CACHE_DIR=<dir> or disable with =off."""
     import os
 
     target = os.environ.get("RAPIDDOC_XLA_CACHE_DIR")
-    if not target or target in ("0", "off", "none"):
+    if target in ("0", "off", "none"):
         return
+    if not target:
+        target = os.path.join(
+            os.path.expanduser("~"), ".cache", "rapiddoc_tpu", "xla_cache"
+        )
     try:
         os.makedirs(target, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
