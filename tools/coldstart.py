@@ -62,9 +62,9 @@ print("CHILD:" + json.dumps({
 
 def _run_child(cache_dir: str | None) -> dict:
     env = dict(os.environ)
-    env.pop("RAPIDDOC_XLA_CACHE_DIR", None)
-    if cache_dir is not None:
-        env["RAPIDDOC_XLA_CACHE_DIR"] = cache_dir
+    # the cache defaults ON since round 5, so the no-cache leg must
+    # disable it explicitly
+    env["RAPIDDOC_XLA_CACHE_DIR"] = cache_dir if cache_dir else "off"
     env.setdefault("RAPIDDOC_DEMO_LAYOUT", "1")
     tic = time.perf_counter()
     proc = subprocess.run(
