@@ -183,3 +183,42 @@ def test_png_predictor_paths():
               "BitsPerComponent": 8}
     out = flate_decode(zlib.compress(enc), params)
     assert out == rows.tobytes()
+
+
+def test_truncated_pdf_never_crashes():
+    """Robustness: arbitrary truncations of a real PDF either parse or
+    raise cleanly — no hangs, no interpreter crashes (reference relies
+    on pdfium's hardening; our pdfio must match)."""
+    import os
+
+    from rapiddoc_tpu import pdfio
+
+    path = os.path.join(DEMO, "demo1.pdf")
+    if not os.path.isfile(path):
+        import pytest
+
+        pytest.skip("demo pdf unavailable")
+    data = open(path, "rb").read()
+    for frac in (0.999, 0.95, 0.7, 0.4, 0.15, 0.02):
+        cut = data[: int(len(data) * frac)]
+        try:
+            doc = pdfio.open_pdf(cut)
+            idxs = pdfio.loadable_page_indices(cut)
+            if idxs:
+                pdfio.page_text(doc.get_page(idxs[0]))
+        except Exception:
+            pass  # clean failure is acceptable; crashing/hanging is not
+
+
+def test_garbage_prefix_pdf_never_crashes():
+    import numpy as np
+
+    from rapiddoc_tpu import pdfio
+
+    rng = np.random.default_rng(0)
+    junk = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+    for blob in (junk, b"%PDF-1.7\n" + junk, junk[:16]):
+        try:
+            pdfio.open_pdf(blob)
+        except Exception:
+            pass
