@@ -454,9 +454,6 @@ class RapidDoc:
                 args = (start, infos, dims, w_imgs, w_text, originals)
                 if deferred is not None and deferred.window_added() > 0:
                     pending_asm.append(args)
-                    if deferred.should_flush():
-                        stack.analyzer.flush_deferred(deferred)
-                        submit_pending()
                 elif pending_asm:
                     # keep window order: ride behind the pending flush
                     pending_asm.append(args)
@@ -464,6 +461,16 @@ class RapidDoc:
                     asm_futures.append(
                         asm_pool.submit(assemble_window, *args)
                     )
+                # flush when a full decode bucket accumulated, OR when
+                # deferral has stalled assembly for >= 3 windows (a
+                # single early region must not hold every later window's
+                # page images in memory and serialize assembly to the
+                # end of the document)
+                if deferred is not None and pending_asm and (
+                    deferred.should_flush() or len(pending_asm) >= 3
+                ):
+                    stack.analyzer.flush_deferred(deferred)
+                    submit_pending()
                 all_model_infos.extend(infos)
                 page_imgs.extend(w_imgs)
                 text_dicts.extend(w_text)
@@ -742,7 +749,11 @@ class RapidDoc:
         if suffix in image_suffixes or _sniff_image(data):
             pdf = pdfio.images_to_pdf([data], dpi=get_pdf_render_dpi())
             return pdf, stem, "pdf"
-        if not suffix and data[:4] != b"%PDF":
+        known = (
+            image_suffixes + office_suffixes + old_office_suffixes
+            + (".pdf",)
+        )
+        if suffix not in known and data[:4] != b"%PDF":
             # extensionless input: content-based id (trained magika via the
             # JAX ONNX interpreter when available; reference:
             # utils/guess_suffix_or_lang.py:174-193)

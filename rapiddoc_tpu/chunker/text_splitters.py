@@ -426,7 +426,14 @@ def split_markdown(
     overlap_chars: int = 200,
 ) -> list[Chunk]:
     """Char-budgeted convenience wrapper over MarkdownTextSplitter
-    (token counter = len, so budgets are plain characters)."""
+    (token counter = len, so budgets are plain characters).
+
+    `overlap_chars` is accepted for API compatibility but NO LONGER
+    applied: the AST splitter cuts on block boundaries (reference
+    MarkdownTextSplitter has no overlap either), which retrieval-chunk
+    evaluations favor over mid-sentence character overlap. Chunk
+    .start_line/.end_line are superseded by .spans (source char
+    ranges)."""
     splitter = MarkdownTextSplitter(
         chunk_token_num=max_chars,
         min_chunk_tokens=1,
@@ -592,34 +599,44 @@ def chunk_with_bboxes(
                                 refs_idx.append(i)
                 if refs_idx:
                     search_from = cum[max(refs_idx) + 1]
+        reattributed = False
         if not refs_idx and cnorm:
-            # 2. fuzzy anchor + contiguous expansion
-            best_i, best_r = -1, 0.0
-            for i, t in enumerate(norm_texts):
-                if i in matched_global or not t:
-                    continue
-                r = _similarity(cnorm, t)
-                if r > best_r:
-                    best_r, best_i = r, i
-                    if best_r > 0.95:
-                        break
-            if best_i >= 0 and best_r >= 0.1:
-                refs_idx = [best_i]
-                for i in range(best_i - 1, -1, -1):
-                    if i in matched_global:
+            # 2. fuzzy anchor + contiguous expansion; a second pass
+            # WITHOUT the matched-unit exclusion handles continuation
+            # chunks whose source unit already matched (e.g. segments
+            # 2..N of an oversize split table all come from ONE table
+            # unit) — those re-attributions are not recorded in
+            # matched_global so ordinary chunks keep first-match wins
+            for allow_matched in (False, True):
+                best_i, best_r = -1, 0.0
+                for i, t in enumerate(norm_texts):
+                    if (not allow_matched and i in matched_global) or not t:
                         continue
-                    if norm_texts[i] and norm_texts[i] in cnorm:
-                        refs_idx.insert(0, i)
-                    else:
-                        break
-                for i in range(best_i + 1, len(units)):
-                    if i in matched_global:
-                        continue
-                    if norm_texts[i] and norm_texts[i] in cnorm:
-                        refs_idx.append(i)
-                    else:
-                        break
-        matched_global.update(refs_idx)
+                    r = _similarity(cnorm, t)
+                    if r > best_r:
+                        best_r, best_i = r, i
+                        if best_r > 0.95:
+                            break
+                if best_i >= 0 and best_r >= 0.1:
+                    refs_idx = [best_i]
+                    for i in range(best_i - 1, -1, -1):
+                        if not allow_matched and i in matched_global:
+                            continue
+                        if norm_texts[i] and norm_texts[i] in cnorm:
+                            refs_idx.insert(0, i)
+                        else:
+                            break
+                    for i in range(best_i + 1, len(units)):
+                        if not allow_matched and i in matched_global:
+                            continue
+                        if norm_texts[i] and norm_texts[i] in cnorm:
+                            refs_idx.append(i)
+                        else:
+                            break
+                    reattributed = allow_matched
+                    break
+        if not reattributed:
+            matched_global.update(refs_idx)
         refs = []
         positions = []
         for i in refs_idx:

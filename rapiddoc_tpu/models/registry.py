@@ -101,6 +101,18 @@ def build_ocr_system(configs: dict | None = None, lang: str = "ch"):
                 for ln in lang_dict.read_text(encoding="utf-8").splitlines()
                 if ln
             ]
+        elif rec_vars is not None:
+            # weights without their dictionary would decode through the
+            # WRONG glyph table (silently garbled text) — refuse the
+            # checkpoint and fall back to the default rec model
+            logger.warning(
+                "per-lang rec weights for %r found but the matching "
+                "dict file (%s) is missing — ignoring them; ship both "
+                "ocr_rec_%s.npz AND ocr_rec_%s_dict.txt",
+                lang, lang_dict.name, lang, lang,
+            )
+            rec_vars = None
+            rec_lang_demo = False
     if rec_vars is None:
         rec_vars = _load_variables(models_dir / "ocr_rec_v6_small.npz")
     det_demo = rec_demo = False

@@ -376,6 +376,12 @@ class PageRasterizer(ContentInterpreter):
         ry0 = max(int(math.floor(min(ys))), 0)
         rx1 = min(int(math.ceil(max(xs))), self.width)
         ry1 = min(int(math.ceil(max(ys))), self.height)
+        cb = self.gs.clip_bbox
+        if cb is not None:  # rect clip applies to pattern fills too
+            rx0 = max(rx0, int(math.floor(cb[0])))
+            ry0 = max(ry0, int(math.floor(cb[1])))
+            rx1 = min(rx1, int(math.ceil(cb[2])))
+            ry1 = min(ry1, int(math.ceil(cb[3])))
         if rx1 <= rx0 or ry1 <= ry0:
             return
         poly = Image.new("L", (self.width, self.height), 0)
@@ -386,6 +392,13 @@ class PageRasterizer(ContentInterpreter):
         poly_np = (
             np.asarray(poly, np.uint8)[ry0:ry1, rx0:rx1].astype(np.float64) / 255.0
         )
+        mask0 = self._clip_mask()
+        if mask0 is not None:
+            poly_np = poly_np * (
+                np.asarray(mask0, np.uint8)[ry0:ry1, rx0:rx1].astype(
+                    np.float64
+                ) / 255.0
+            )
         base = getattr(self, "_base_ctm", self.gs.ctm)
         pat_ctm = mat_mul(matrix, base)
         if kind == "shading":
@@ -410,13 +423,7 @@ class PageRasterizer(ContentInterpreter):
         j1 = int(math.ceil((ry1 - ty0) / stepy))
         if (i1 - i0) * (j1 - j0) > 4096:
             return  # degenerate step: avoid pathological loops
-        mask = self._clip_mask()
-        comb = poly_np
-        if mask is not None:
-            comb = comb * (
-                np.asarray(mask, np.uint8)[ry0:ry1, rx0:rx1].astype(np.float64)
-                / 255.0
-            )
+        comb = poly_np  # clip masks already folded in above
         region_mask = Image.fromarray((comb * 255).astype(np.uint8), "L")
         # compose the pattern layer for the region then paste once
         layer = Image.new("RGBA", (rx1 - rx0, ry1 - ry0), (0, 0, 0, 0))

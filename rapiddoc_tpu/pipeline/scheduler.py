@@ -776,9 +776,11 @@ class DocumentAnalyzer:
             return
         if deferred is not None:
             # copy the crops: region views would pin whole page arrays
-            # in memory until the flush
+            # in memory until the flush (np.array(copy=True), NOT
+            # ascontiguousarray — the latter no-ops on full-width slices
+            # that are already contiguous)
             deferred.formula.extend(
-                (np.ascontiguousarray(r), o) for r, o in zip(regions, owners)
+                (np.array(r, copy=True), o) for r, o in zip(regions, owners)
             )
             return
         with stage_timer("formula", len(regions)):
@@ -903,7 +905,7 @@ class DocumentAnalyzer:
             return
         if deferred is not None:
             deferred.table.extend(
-                (np.ascontiguousarray(r), o, m, fl)
+                (np.array(r, copy=True), o, m, fl)
                 for r, o, m, fl in zip(regions, owners, mfd_refs, fill_items)
             )
             return

@@ -124,19 +124,33 @@ def detect_lang(text: str, default: str = "ch") -> str:
         return _detect_latin_lang(text)
     if lang == "japan" and counts.get("ch", 0) > n * 3:
         return "ch"
-    if lang in ("cyrillic", "arabic", "devanagari"):
-        # refine within the script family (the languages of one script
-        # share a Unicode range; the trained n-gram model separates them
-        # — lid.176 role, utils/langid.py)
+    if lang == "cyrillic":
+        # refine within the script family (ru/uk/bg/... share the range
+        # and per-lang rec checkpoints exist per ISO code)
         from .langid import classify
 
-        defaults = {"cyrillic": "ru", "arabic": "arabic",
-                    "devanagari": "devanagari"}
-        sub, margin = classify(text, lang)
-        return sub if margin >= 0.01 and len(text.strip()) >= 40 else (
-            defaults[lang]
-        )
+        sub, margin = classify(text, "cyrillic")
+        return sub if margin >= 0.01 and len(text.strip()) >= 40 else "ru"
+    # arabic/devanagari stay FAMILY names: the OCR rec model families
+    # are script-level there (reference rapidocr lang keys "arabic" etc.
+    # cover ar/fa/ur with one dictionary); use classify_language() for
+    # the fine-grained ISO code
     return lang
+
+
+def classify_language(text: str) -> str:
+    """Fine-grained ISO language code (fasttext lid.176 role): resolves
+    within-script languages the OCR-routing detect_lang leaves at the
+    family level (arabic -> ar/fa/ur, devanagari -> hi/mr/ne)."""
+    fam = detect_lang(text)
+    if fam in ("arabic", "devanagari"):
+        from .langid import classify
+
+        sub, margin = classify(text, fam)
+        if margin >= 0.01 and len(text.strip()) >= 40:
+            return sub
+        return {"arabic": "ar", "devanagari": "hi"}[fam]
+    return fam
 
 
 def guess_language_by_text(text: str) -> str:

@@ -179,3 +179,26 @@ def test_parse_blocks_char_offsets():
                      "table", "paragraph"]
     for b in blocks:
         assert md[b.start:b.end] == b.text
+
+
+def test_oversize_table_continuation_chunks_keep_refs():
+    """Segments 2..N of a split oversize table come from ONE source
+    unit; every segment must still carry that unit's bbox ref (round-5
+    review finding: the matched-unit exclusion left them empty)."""
+    from rapiddoc_tpu.chunker.text_splitters import chunk_with_bboxes
+
+    rows = "".join(
+        f"<tr><td>row {i} with a fair amount of cell text</td></tr>"
+        for i in range(30)
+    )
+    table = f"<table><tr><th>head</th></tr>{rows}</table>"
+    content_list = [
+        {"type": "table", "table_body": table,
+         "bbox": [5, 5, 500, 700], "page_idx": 2},
+    ]
+    chunks = chunk_with_bboxes(table, content_list, max_chars=400)
+    table_chunks = [c for c in chunks if "<table" in c["text"]]
+    assert len(table_chunks) >= 2  # actually split
+    for ch in table_chunks:
+        assert ch["refs"], ch["text"][:60]
+        assert ch["refs"][0]["page_idx"] == 2

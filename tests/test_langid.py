@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from rapiddoc_tpu.utils.lang import detect_lang
+from rapiddoc_tpu.utils.lang import classify_language, detect_lang
 from rapiddoc_tpu.utils.langid import classify
 
 LATIN_SAMPLES = {
@@ -110,9 +110,13 @@ SCRIPT_SAMPLES = {
              "より優れていることを示しました。",
     "korean": "연구자들은 데이터에 노이즈가 포함될 때 새로운 방법이 더 "
               "잘 작동한다는 것을 보여주었다.",
+    "arabic": "أظهر الباحثون أن الطريقة الجديدة تعمل بشكل أفضل عندما "
+              "تحتوي البيانات على ضوضاء.",
     "th": "นักวิจัยแสดงให้เห็นว่าวิธีการใหม่ทำงานได้ดีกว่าเมื่อข้อมูลมีสัญญาณรบกวน",
     "el": "Οι ερευνητές έδειξαν ότι η νέα μέθοδος λειτουργεί καλύτερα "
           "όταν τα δεδομένα περιέχουν θόρυβο.",
+    "devanagari": "शोधकर्ताओं ने दिखाया कि जब डेटा में शोर होता है तो नई "
+                  "विधि बेहतर काम करती है।",
 }
 
 
@@ -135,9 +139,12 @@ def test_script_routing(lang, text):
     "lang,text", sorted(REFINED_SCRIPT_SAMPLES.items())
 )
 def test_within_script_refinement(lang, text):
-    """Arabic/Devanagari scripts refine to the language (ar/fa/ur,
-    hi/mr/ne) through the trained n-gram model."""
-    assert detect_lang(text) == lang
+    """classify_language refines Arabic/Devanagari scripts to the ISO
+    code (ar/fa/ur, hi/mr/ne); detect_lang keeps the OCR rec FAMILY
+    (reference rapidocr lang keys are script-level for those)."""
+    assert classify_language(text) == lang
+    fam = detect_lang(text)
+    assert fam in ("arabic", "devanagari")
 
 
 def test_classifier_margin_is_confident_on_running_text():
