@@ -438,6 +438,10 @@ def split_markdown(
         chunk_token_num=max_chars,
         min_chunk_tokens=1,
         max_table_tokens=max_chars,
+        # strict: max_chars is a hard cap here (the class default allows
+        # 2x for token-budget callers; char-budget callers size DB
+        # columns/embedding contexts to max_chars exactly)
+        max_tokens=max_chars,
         token_len=len,
     )
     return splitter.split_chunks(markdown)

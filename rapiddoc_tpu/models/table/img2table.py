@@ -149,6 +149,7 @@ def borderless_table_extract(
         return n_cols - 1
 
     html_rows: list[str] = []
+    multi_col_rows = 0
     for row in rows:
         # merge boxes landing in the same column cell
         cells: list[list[str]] = [[] for _ in range(n_cols)]
@@ -161,19 +162,22 @@ def borderless_table_extract(
                 spans[c0] = max(spans.get(c0, 1), c1 - c0 + 1)
         tds = []
         c = 0
+        nonempty = 0
         while c < n_cols:
             span = spans.get(c, 1)
             text = " ".join(x for x in cells[c] if x)
+            if text:
+                nonempty += 1
             if span > 1:
                 tds.append(f'<td colspan="{span}">{text}</td>')
             else:
                 tds.append(f"<td>{text}</td>")
             c += span
+        if nonempty >= 2:
+            multi_col_rows += 1
         html_rows.append("<tr>" + "".join(tds) + "</tr>")
-    # tabular sanity: at least two rows must have >1 populated column
-    populated = sum(
-        1 for r in html_rows if r.count("<td>") + r.count("<td ") >= 2
-    )
-    if populated < 2:
+    # tabular sanity: at least two rows must have >1 NON-EMPTY column
+    # (empty <td> padding must not make a single-column layout pass)
+    if multi_col_rows < 2:
         return ""
     return "<table><tbody>" + "".join(html_rows) + "</tbody></table>"

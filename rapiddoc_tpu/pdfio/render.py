@@ -59,7 +59,17 @@ def _discover_fallback_fonts() -> list[str]:
     return cands
 
 
-_FALLBACK_FONTS = _discover_fallback_fonts()
+_FALLBACK_FONTS_CACHE: list[str] | None = None
+
+
+def _fallback_fonts() -> list[str]:
+    """Lazy: the /usr/share/fonts glob walk (hundreds of ms on big
+    font trees) only runs the first time a fallback glyph is actually
+    needed, not at import."""
+    global _FALLBACK_FONTS_CACHE
+    if _FALLBACK_FONTS_CACHE is None:
+        _FALLBACK_FONTS_CACHE = _discover_fallback_fonts()
+    return _FALLBACK_FONTS_CACHE
 
 
 class _FontBank:
@@ -88,7 +98,7 @@ class _FontBank:
         px = max(2, min(int(px), 512))
         if px not in self._fallback_cache:
             face = None
-            for path in _FALLBACK_FONTS:
+            for path in _fallback_fonts():
                 try:
                     face = ImageFont.truetype(path, px)
                     break
@@ -102,7 +112,7 @@ class _FontBank:
                     "no scalable system fallback font found (checked %d "
                     "paths) — unmapped glyphs will render with PIL's "
                     "bitmap default; set RAPIDDOC_FALLBACK_FONT=<ttf>",
-                    len(_FALLBACK_FONTS),
+                    len(_fallback_fonts()),
                 )
             self._fallback_cache[px] = face or ImageFont.load_default()
         return self._fallback_cache[px]
@@ -359,6 +369,14 @@ class PageRasterizer(ContentInterpreter):
                 np.asarray(mask, np.uint8)[y0:y1, x0:x1].astype(np.float64) / 255.0
             )
         if extra_mask is not None:
+            # extra_mask is sized to the CALLER's region; the shading's
+            # own BBox may have shrunk the paint window further — slice
+            # to the final window so shapes always agree
+            if region is not None and extra_mask.shape != a.shape:
+                oy, ox = region[1], region[0]
+                extra_mask = extra_mask[
+                    y0 - oy : y1 - oy, x0 - ox : x1 - ox
+                ]
             a = a * extra_mask
         am = Image.fromarray((np.clip(a, 0.0, 1.0) * 255).astype(np.uint8), "L")
         self.canvas.paste(Image.fromarray(rgb, "RGB"), (x0, y0), am)
@@ -454,6 +472,8 @@ class PageRasterizer(ContentInterpreter):
         pd = pat_stream.dict if hasattr(pat_stream, "dict") else None
         if not isinstance(pd, dict):
             return None
+        if self._form_depth >= self.MAX_FORM_DEPTH:
+            return None  # pattern-in-pattern recursion guard
         cache = getattr(self, "_tile_cache", None)
         if cache is None:
             cache = {}
@@ -489,8 +509,11 @@ class PageRasterizer(ContentInterpreter):
         if tw > 2048 or th > 2048:
             cache[key] = None
             return None
-        # nested rasterizer onto a transparent RGBA cell
+        # nested rasterizer onto a transparent RGBA cell; inherit the
+        # form depth so mutually-referencing patterns cannot recurse
+        # past MAX_FORM_DEPTH
         sub = PageRasterizer(self.page, scale=self.scale)
+        sub._form_depth = self._form_depth + 1
         sub.canvas = Image.new("RGBA", (tw, th), (0, 0, 0, 0))
         sub.draw = ImageDraw.Draw(sub.canvas, "RGBA")
         sub.width, sub.height = tw, th

@@ -116,7 +116,12 @@ class PdfFunction:
         t = min(max(t, d0), d1)
         if self.kind == 2:
             try:
-                tt = t ** self.n
+                # negative base ** fractional exponent returns COMPLEX in
+                # py3 (no exception) — guard explicitly
+                if t >= 0 or float(self.n).is_integer():
+                    tt = t ** self.n
+                else:
+                    tt = 0.0
             except (ValueError, OverflowError):
                 tt = 0.0
             vals = [a + tt * (b - a) for a, b in zip(self.c0, self.c1)]
@@ -282,7 +287,11 @@ def _ps_exec(prog: list, stack: list[float], depth: int = 0) -> list[float]:
                 b, a = st.pop(), st.pop()
                 st.append(math.degrees(math.atan2(a, b)) % 360.0)
             elif op == "exp":
-                b, a = st.pop(), st.pop(); st.append(a ** b)
+                b, a = st.pop(), st.pop()
+                # complex-result guard (neg base, fractional exponent)
+                st.append(
+                    a ** b if a >= 0 or float(b).is_integer() else 0.0
+                )
             elif op == "ln":
                 st.append(math.log(max(st.pop(), 1e-300)))
             elif op == "log":
@@ -416,7 +425,23 @@ def components_to_rgb(doc, cs_obj: Any, comps: list[float]) -> tuple[float, floa
 
 
 def _color_lut(doc, sh: dict, n: int = 256) -> tuple[np.ndarray, float, float]:
-    """(n,3) uint8 LUT over the shading function's domain."""
+    """(n,3) uint8 LUT over the shading function's domain. Cached PER
+    DOCUMENT by shading-dict identity (ids are stable for the doc's
+    life via its object cache; a module-global id-keyed cache could
+    collide across documents after gc): a page that fills many paths
+    with one pattern would otherwise re-evaluate the (possibly
+    Separation-tinted or sampled) function stack 256 times per fill."""
+    cache = getattr(doc, "_shading_lut_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            doc._shading_lut_cache = cache
+        except AttributeError:  # stub docs in tests
+            pass
+    key = (id(sh), n)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     fn = PdfFunction(doc, sh.get("Function"))
     d0, d1 = 0.0, 1.0
     dom = doc.resolve(sh.get("Domain"))
@@ -433,6 +458,9 @@ def _color_lut(doc, sh: dict, n: int = 256) -> tuple[np.ndarray, float, float]:
             int(min(max(g, 0.0), 1.0) * 255),
             int(min(max(b, 0.0), 1.0) * 255),
         )
+    if len(cache) > 256:
+        cache.clear()
+    cache[key] = (lut, d0, d1)
     return lut, d0, d1
 
 
