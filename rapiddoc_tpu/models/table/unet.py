@@ -184,21 +184,37 @@ class WiredTableStructure:
         """All tables dispatched before any mask is fetched."""
         from ...engine.flops import track
 
-        handles = []
+        from ...engine.buckets import batch_chunks, pad_rows
+
+        prepped = []
         for img in imgs:
             resized = cv2.resize(img, (self.INPUT, self.INPUT))
             if self.nibble_wire:
                 from ..ocr.pre_post import pack_nibbles, to_luma
 
                 resized = pack_nibbles(to_luma(resized))[..., 0]
+            prepped.append(resized)
+        # batch regions into (1,2,4)-bucketed calls: all crops share the
+        # fixed 1024^2 shape, so one program serves every batch bucket
+        # and per-call dispatch overhead amortizes 4x
+        handles = []
+        rows_meta: list[tuple[int, int]] = []  # (handle idx, row in batch)
+        for s, e, padded in batch_chunks(len(prepped), sizes=(1, 2, 4)):
+            batch = pad_rows(np.stack(prepped[s:e]), padded)
             track(
-                "table_unet", self._fwd, (self.variables, resized[None]),
-                sig=(resized[None].shape, str(resized.dtype)),
+                "table_unet", self._fwd, (self.variables, batch),
+                sig=(batch.shape, str(batch.dtype)),
             )
-            handles.append(self._fwd(self.variables, jnp.asarray(resized[None])))
+            h = self._fwd(self.variables, jnp.asarray(batch))
+            for j in range(e - s):
+                rows_meta.append((len(handles), j))
+            handles.append(h)
+        fetched: list[np.ndarray | None] = [None] * len(handles)
         out = []
-        for img, h8 in zip(imgs, handles):
-            bits = np.asarray(h8[0])
+        for img, (hi, row) in zip(imgs, rows_meta):
+            if fetched[hi] is None:
+                fetched[hi] = np.asarray(handles[hi])
+            bits = fetched[hi][row]
             mask = np.unpackbits(bits, axis=-1)[:, : self.INPUT]
             cells = extract_cells_from_mask(mask.astype(np.float32))
             h, w = img.shape[:2]
