@@ -605,40 +605,49 @@ def chunk_with_bboxes(
                     search_from = cum[max(refs_idx) + 1]
         reattributed = False
         if not refs_idx and cnorm:
-            # 2. fuzzy anchor + contiguous expansion; a second pass
-            # WITHOUT the matched-unit exclusion handles continuation
-            # chunks whose source unit already matched (e.g. segments
-            # 2..N of an oversize split table all come from ONE table
-            # unit) — those re-attributions are not recorded in
-            # matched_global so ordinary chunks keep first-match wins
-            for allow_matched in (False, True):
-                best_i, best_r = -1, 0.0
-                for i, t in enumerate(norm_texts):
-                    if (not allow_matched and i in matched_global) or not t:
-                        continue
-                    r = _similarity(cnorm, t)
-                    if r > best_r:
-                        best_r, best_i = r, i
-                        if best_r > 0.95:
-                            break
-                if best_i >= 0 and best_r >= 0.1:
-                    refs_idx = [best_i]
-                    for i in range(best_i - 1, -1, -1):
-                        if not allow_matched and i in matched_global:
-                            continue
-                        if norm_texts[i] and norm_texts[i] in cnorm:
-                            refs_idx.insert(0, i)
-                        else:
-                            break
-                    for i in range(best_i + 1, len(units)):
-                        if not allow_matched and i in matched_global:
-                            continue
-                        if norm_texts[i] and norm_texts[i] in cnorm:
-                            refs_idx.append(i)
-                        else:
-                            break
-                    reattributed = allow_matched
+            # 2. fuzzy anchor + contiguous expansion. One scoring pass
+            # tracks both the best UNMATCHED unit (ordinary attribution,
+            # threshold 0.1 per the reference) and the best unit overall
+            # (continuation chunks — e.g. segments 2..N of an oversize
+            # split table all come from ONE already-matched table unit;
+            # re-attribution demands a much stronger 0.3 similarity and
+            # is not recorded in matched_global, so ordinary chunks keep
+            # first-match-wins and absent text still gets no refs).
+            best_u, best_ur = -1, 0.0  # best unmatched
+            best_a, best_ar = -1, 0.0  # best overall
+            for i, t in enumerate(norm_texts):
+                if not t:
+                    continue
+                r = _similarity(cnorm, t)
+                if r > best_ar:
+                    best_ar, best_a = r, i
+                if i not in matched_global and r > best_ur:
+                    best_ur, best_u = r, i
+                if best_ur > 0.95:
                     break
+            if best_u >= 0 and best_ur >= 0.1:
+                anchor, allow_matched = best_u, False
+            elif best_a >= 0 and best_ar >= 0.3:
+                anchor, allow_matched = best_a, True
+            else:
+                anchor = -1
+            if anchor >= 0:
+                refs_idx = [anchor]
+                for i in range(anchor - 1, -1, -1):
+                    if not allow_matched and i in matched_global:
+                        continue
+                    if norm_texts[i] and norm_texts[i] in cnorm:
+                        refs_idx.insert(0, i)
+                    else:
+                        break
+                for i in range(anchor + 1, len(units)):
+                    if not allow_matched and i in matched_global:
+                        continue
+                    if norm_texts[i] and norm_texts[i] in cnorm:
+                        refs_idx.append(i)
+                    else:
+                        break
+                reattributed = allow_matched
         if not reattributed:
             matched_global.update(refs_idx)
         refs = []

@@ -34,7 +34,9 @@ def _enable_persistent_compile_cache() -> None:
     import os
 
     target = os.environ.get("RAPIDDOC_XLA_CACHE_DIR")
-    if target in ("0", "off", "none"):
+    # "" kept as a disable spelling: it disabled the cache before the
+    # default flipped on, and operators may still export an empty var
+    if target in ("", "0", "off", "none"):
         return
     if not target:
         target = os.path.join(

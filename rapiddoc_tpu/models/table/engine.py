@@ -221,7 +221,10 @@ class TableRecognizer:
         # device roundtrip per table (~40 ms/table on a tunneled chip
         # for 1-crop det batches); TextSystem batches det and rec
         # across all tables at once here
-        self._ocr_cache = {}
+        # LOCAL cache (not instance state): batch() is a public API and
+        # instance-level caching would leak every table's OCR output
+        # past the call and race under concurrent callers
+        ocr_cache: dict[int, list] = {}
         if self.ocr is not None and crops:
             need = sorted(set(wired_idx) | set(wireless_idx))
             try:
@@ -231,17 +234,17 @@ class TableRecognizer:
                     )
                 except TypeError:  # custom OCR without word boxes
                     outs = self.ocr([crops[i] for i in need])
-                self._ocr_cache = dict(zip(need, outs))
+                ocr_cache = dict(zip(need, outs))
             except Exception:
                 logger.exception("batched table OCR failed; per-table "
                                  "fallback")
-                self._ocr_cache = {}
+                ocr_cache = {}
         if wired_idx:
             wired_structs = self.wired.batch([crops[i] for i in wired_idx])
             for i, (cell_boxes, grid) in zip(wired_idx, wired_structs):
                 results[i] = self._finish_wired(
                     crops[i], cell_boxes, grid, self._mfd[i],
-                    self._fill[i], ocr_out=self._ocr_cache.get(i),
+                    self._fill[i], ocr_out=ocr_cache.get(i),
                 )
         if wireless_idx:
             structures = self.wireless(
@@ -251,13 +254,13 @@ class TableRecognizer:
             for i, (structure, bboxes) in zip(wireless_idx, structures):
                 wireless_html = self._fill_text(
                     crops[i], structure, bboxes, self._mfd[i],
-                    self._fill[i], ocr_out=self._ocr_cache.get(i),
+                    self._fill[i], ocr_out=ocr_cache.get(i),
                 )
                 if compare and i in set(wired_idx):
                     from .select import select_best_table_html
 
                     ocr_texts = self._ocr_texts(
-                        crops[i], ocr_out=self._ocr_cache.get(i)
+                        crops[i], ocr_out=ocr_cache.get(i)
                     )
                     results[i] = select_best_table_html(
                         ocr_texts, results[i], wireless_html
@@ -275,7 +278,7 @@ class TableRecognizer:
                 if html and "<td" in html:
                     continue
                 try:
-                    ocr_out = self._ocr_cache.get(i)
+                    ocr_out = ocr_cache.get(i)
                     if ocr_out is None:
                         ocr_out = self.ocr([crops[i]])[0]
                     items = []

@@ -249,7 +249,11 @@ class Font:
         if self.subtype == "Type3":
             mtx = r(self.dict.get("FontMatrix")) or [0.001, 0, 0, 0.001, 0, 0]
             try:
-                self.t3_matrix = tuple(float(r(v)) for v in mtx[:6])
+                t3 = tuple(float(r(v)) for v in mtx[:6])
+                self.t3_matrix = (
+                    t3 if len(t3) == 6
+                    else (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
+                )
             except (TypeError, ValueError):
                 self.t3_matrix = (0.001, 0.0, 0.0, 0.001, 0.0, 0.0)
             # glyph programs + their resources, for the rasterizer

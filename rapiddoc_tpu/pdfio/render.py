@@ -537,9 +537,12 @@ class PageRasterizer(ContentInterpreter):
             return
         if getattr(font, "subtype", "") == "Type3":
             # Type3 glyphs ARE content streams; execute them under
-            # FontMatrix x trm (the reference gets this from pdfium)
-            self._draw_type3(code, font, trm)
-            return
+            # FontMatrix x trm (the reference gets this from pdfium).
+            # Fall through to the unicode fallback-font path when the
+            # glyph program is missing/unresolvable so the text doesn't
+            # silently vanish.
+            if self._draw_type3(code, font, trm):
+                return
         if not text or text.isspace():
             return
         a, b, c, d, e, f = trm
@@ -574,25 +577,31 @@ class PageRasterizer(ContentInterpreter):
         else:
             self._draw_rotated(text, face, color, (e, f), rotation)
 
-    def _draw_type3(self, code: int, font: Font, trm: Matrix) -> None:
+    def _draw_type3(self, code: int, font: Font, trm: Matrix) -> bool:
         """Execute a Type3 glyph's CharProc content stream under
-        FontMatrix x trm (trm already carries font size + ctm)."""
+        FontMatrix x trm (trm already carries font size + ctm). Returns
+        False when the glyph program can't be resolved, so the caller
+        can fall back to the unicode fallback-font path."""
         from dataclasses import replace
 
         procs = getattr(font, "t3_charprocs", None)
         if not procs:
-            return
+            return False
         name = font._differences.get(code)
         if name is None:
-            return
+            return False
         stream = self.doc.resolve(procs.get(name))
         if stream is None or not hasattr(stream, "dict"):
-            return
+            return False
         if self._form_depth >= self.MAX_FORM_DEPTH:
-            return
+            return True  # depth-guarded: don't double-draw via fallback
         self._form_depth += 1
         saved_gs = replace(self.gs)
         saved_len = len(self.gs_stack)
+        # CharProcs may legally contain BT/ET (glyphs that show text):
+        # the full text state must restore, not just gs
+        saved_tm = self.text_matrix
+        saved_tlm = self.text_line_matrix
         try:
             self.gs.ctm = mat_mul(
                 getattr(font, "t3_matrix", (0.001, 0, 0, 0.001, 0, 0)), trm
@@ -616,7 +625,10 @@ class PageRasterizer(ContentInterpreter):
         finally:
             self.gs = saved_gs
             del self.gs_stack[saved_len:]
+            self.text_matrix = saved_tm
+            self.text_line_matrix = saved_tlm
             self._form_depth -= 1
+        return True
 
     def _draw_cached(self, text, face, color, origin) -> None:
         """Glyph-tile cache: FreeType renders each (face, text, color)

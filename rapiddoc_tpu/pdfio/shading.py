@@ -122,8 +122,8 @@ class PdfFunction:
                     tt = t ** self.n
                 else:
                     tt = 0.0
-            except (ValueError, OverflowError):
-                tt = 0.0
+            except (ValueError, OverflowError, ZeroDivisionError):
+                tt = 0.0  # e.g. 0 ** negative-integer N
             vals = [a + tt * (b - a) for a, b in zip(self.c0, self.c1)]
         elif self.kind == 3:
             vals = self._eval_stitch(t)
